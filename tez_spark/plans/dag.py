@@ -1,0 +1,169 @@
+"""DAG-builder facade mirroring Tez's Vertex/Edge vocabulary.
+
+Capability parity with the public DAG API (tez-api/.../dag/api/DAG.java:90
+— addVertex :138, addEdge :287, createVertexGroup :207;
+Vertex.java:50 — create :131-181, addDataSource :334, addDataSink :365;
+EdgeProperty.java:44-66 — ONE_TO_ONE / BROADCAST / SCATTER_GATHER)
+WITHOUT copying its architecture: a vertex is a DataFrame transform, an
+edge is a data-movement declaration, and ``build`` compiles the graph to
+a plain DataFrame pipeline that Catalyst optimizes end-to-end. The
+physical machinery Tez implements (sorters, shuffle, merges, vertex
+managers) is Spark's — the facade never schedules anything itself.
+
+CUSTOM edges (EdgeManagerPluginOnDemand.java:186-340) and CONCURRENT
+scheduling (EdgeProperty.java:102-107) are unshipped extension points in
+the reference and are out of scope (SURVEY.md §4).
+
+Example (WordCount DAG, tez-examples/.../WordCount.java:130-160)::
+
+    dag = DAGBuilder("wordcount")
+    dag.add_vertex("tokenizer", source=lambda s: docs_df, processor=tokenize)
+    dag.add_vertex("summation", processor=lambda dfs: count(dfs[0]))
+    dag.add_edge("tokenizer", "summation", DataMovement.SCATTER_GATHER, keys=["word"])
+    result = dag.build(spark)["summation"]
+"""
+
+from __future__ import annotations
+
+import enum
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class DataMovement(enum.Enum):
+    """EdgeProperty.DataMovementType (EdgeProperty.java:44-66)."""
+
+    ONE_TO_ONE = "one_to_one"          # narrow dependency: no exchange
+    BROADCAST = "broadcast"            # ship whole dataset to every consumer
+    SCATTER_GATHER = "scatter_gather"  # hash exchange on declared keys
+
+
+@dataclass
+class _Vertex:
+    name: str
+    processor: Callable[[list[DataFrame]], DataFrame] | None
+    source: Callable[[SparkSession], DataFrame] | None
+    sink: Callable[[DataFrame], None] | None = None
+    group: Sequence[str] | None = None  # member vertex names (VertexGroup)
+
+
+@dataclass
+class _Edge:
+    src: str
+    dst: str
+    movement: DataMovement
+    keys: Sequence[str] = field(default_factory=tuple)
+    num_partitions: int | None = None
+
+
+class DAGBuilder:
+    """Tez DAG.create(...) analog; compiles to DataFrame lineage."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self._vertices: dict[str, _Vertex] = {}
+        self._edges: list[_Edge] = []
+
+    # -- graph construction (DAG.addVertex / addEdge / createVertexGroup) --
+
+    def add_vertex(
+        self,
+        name: str,
+        processor: Callable[[list[DataFrame]], DataFrame] | None = None,
+        source: Callable[[SparkSession], DataFrame] | None = None,
+        sink: Callable[[DataFrame], None] | None = None,
+    ) -> "DAGBuilder":
+        if name in self._vertices:
+            raise ValueError(f"duplicate vertex {name!r}")
+        if processor is None and source is None:
+            raise ValueError("vertex needs a processor and/or source")
+        self._vertices[name] = _Vertex(name, processor, source, sink)
+        return self
+
+    def add_vertex_group(self, name: str, members: Sequence[str]) -> "DAGBuilder":
+        """VertexGroup: N producers unioned into one logical input
+        (GroupInputEdge + ConcatenatedMergedKeyValuesInput = UNION ALL)."""
+        self._vertices[name] = _Vertex(name, None, None, group=tuple(members))
+        return self
+
+    def add_edge(
+        self,
+        src: str,
+        dst: str,
+        movement: DataMovement = DataMovement.ONE_TO_ONE,
+        keys: Sequence[str] = (),
+        num_partitions: int | None = None,
+    ) -> "DAGBuilder":
+        if movement is DataMovement.SCATTER_GATHER and not keys:
+            raise ValueError("SCATTER_GATHER edge requires partition keys")
+        self._edges.append(_Edge(src, dst, movement, tuple(keys), num_partitions))
+        return self
+
+    # -- compile (DAG.verify + createDag analog: topological check, then
+    #    hand the whole declarative plan to Catalyst) --
+
+    def _topo_order(self) -> list[str]:
+        indeg = {v: 0 for v in self._vertices}
+        deps: dict[str, list[str]] = {v: [] for v in self._vertices}
+        for e in self._edges:
+            indeg[e.dst] += 1
+            deps[e.src].append(e.dst)
+        for v in self._vertices.values():
+            if v.group:
+                for m in v.group:
+                    indeg[v.name] += 1
+                    deps[m].append(v.name)
+        ready = sorted(n for n, d in indeg.items() if d == 0)
+        order: list[str] = []
+        while ready:
+            n = ready.pop(0)
+            order.append(n)
+            for d in deps[n]:
+                indeg[d] -= 1
+                if indeg[d] == 0:
+                    ready.append(d)
+            ready.sort()
+        if len(order) != len(self._vertices):
+            raise ValueError(f"DAG {self.name!r} has a cycle")  # DAG.verify()
+        return order
+
+    @staticmethod
+    def _apply_movement(df: DataFrame, edge: _Edge) -> DataFrame:
+        if edge.movement is DataMovement.BROADCAST:
+            return F.broadcast(df)
+        if edge.movement is DataMovement.SCATTER_GATHER:
+            if edge.num_partitions:
+                return df.repartition(edge.num_partitions, *edge.keys)
+            return df.repartition(*edge.keys)
+        return df  # ONE_TO_ONE: narrow chaining
+
+    def build(self, spark: SparkSession) -> dict[str, DataFrame]:
+        """Compile every vertex to its output DataFrame (lazily — nothing
+        executes until an action). Returns {vertex_name: DataFrame}."""
+        results: dict[str, DataFrame] = {}
+        in_edges: dict[str, list[_Edge]] = {}
+        for e in self._edges:
+            in_edges.setdefault(e.dst, []).append(e)
+
+        for name in self._topo_order():
+            v = self._vertices[name]
+            if v.group:
+                dfs = [results[m] for m in v.group]
+                out = dfs[0]
+                for d in dfs[1:]:
+                    out = out.unionByName(d)
+                results[name] = out
+                continue
+            inputs: list[DataFrame] = []
+            if v.source is not None:
+                inputs.append(v.source(spark))
+            for e in in_edges.get(name, []):
+                inputs.append(self._apply_movement(results[e.src], e))
+            out = v.processor(inputs) if v.processor is not None else inputs[0]
+            if v.sink is not None:
+                v.sink(out)
+            results[name] = out
+        return results

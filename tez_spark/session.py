@@ -1,0 +1,88 @@
+"""SparkSession factory.
+
+Tez parity notes (reference: /root/reference):
+
+- Tez session mode + container reuse (TezConfiguration.java:218,1254-1256)
+  ≙ one long-lived SparkSession with warm executors.
+- ShuffleVertexManager auto-reduce parallelism
+  (tez-runtime-library/.../vertexmanager/ShuffleVertexManager.java:64,
+  DESIRED_TASK_INPUT_SIZE ~100MB) ≙ AQE coalescePartitions with
+  advisoryPartitionSizeInBytes (we keep Spark's 64MB default).
+- FairShuffleVertexManager skew splitting
+  (FairShuffleVertexManager.java:113-130) ≙ AQE skewJoin.
+- Speculation (LegacySpeculator.java) ≙ spark.speculation (left off in
+  local mode; enable on a real cluster).
+- TezSplitGrouper locality-aware split coalescing, 50MB..1GB per group
+  (TezSplitGrouper.java:72-110) ≙ spark.sql.files.maxPartitionBytes +
+  openCostInBytes file packing.
+
+Scale design: these configs are the local-mode defaults; on a 1000-executor
+cluster the same code runs unchanged — AQE decides shuffle partition counts
+from runtime statistics exactly like ShuffleVertexManager repacks reducer
+partitions from VertexManagerEvents.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs every entry point applies even when handed a
+# foreign SparkSession (e.g. the verify driver's): determinism (UTC) and
+# Arrow for the Pandas-UDF slow path.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable determinism/perf confs to an existing session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Some confs may be static in exotic deployments; never fail a
+            # query over a tuning knob.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "tez_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) the engine session.
+
+    local[N] for tests/bench; on a real cluster, master/resource configs
+    come from spark-submit and everything here still applies.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 4)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("TEZ_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # TezSplitGrouper max 1GB/min 50MB per group -> Spark file packing.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)

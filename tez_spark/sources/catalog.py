@@ -1,0 +1,71 @@
+"""Fixture catalog: the driver-generated TPC-H-ish tables (TESTDATA.md).
+
+Tez's root inputs are attached per-vertex via Vertex.addDataSource
+(tez-api/.../dag/api/Vertex.java:334); here a scan is just
+spark.read.parquet with Catalyst handling split planning, predicate
+pushdown and column pruning (MRInputAMSplitGenerator / TezSplitGrouper
+equivalents are built into the parquet DataSource).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tez_spark.session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Columnar parquet scan: filters/projections
+    applied downstream reach the scan (PushedFilters/ReadSchema)."""
+    apply_runtime_confs(spark)
+    # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    # rejects outright; read nanos as int64 and truncate to micros (same
+    # ns->us truncation DuckDB applies when it surfaces the column as
+    # TIMESTAMP). Integer division — a double intermediate would lose
+    # precision at 2^63-scale nanosecond values.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Scan every fixture table present in sf_dir."""
+    apply_runtime_confs(spark)
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view for the SQL entry point
+    (Tez entry point 3 — Hive-style session, SimpleSessionExample.java —
+    maps to a long-lived SparkSession with named views)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

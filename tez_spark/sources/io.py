@@ -1,0 +1,70 @@
+"""Generic scans/sinks.
+
+Tez reads any Hadoop InputFormat via MRInput
+(tez-mapreduce/.../input/MRInput.java:87 — Text, SequenceFile, ...) and
+writes via MROutput / MultiMROutput. Spark's DataSource API covers the
+same formats declaratively; the partitioned sink
+(MultiMROutput.getWriter basePath routing, MultiMROutput.java:90-108)
+is df.write.partitionBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def scan_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def scan_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    reader = spark.read.option("header", header).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        # inferSchema costs an extra pass; acceptable for tests, avoid at scale.
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def scan_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text scan (MRInput over TextInputFormat,
+    WordCount.java:25 uses Text keys/values). One `value: string` column."""
+    return spark.read.text(path)
+
+
+def scan_json(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Leaf output + commit (MROutput; two-phase commit handled by the
+    Hadoop committer inside df.write — MROutputCommitter.java:99)."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Partitioned sink: rows routed to subdirectories by key, the
+    MultiMROutput.write(key, value, basePath) pattern
+    (tez-mapreduce/.../output/MultiMROutput.java:51).
+
+    Scale note: one file per (task, partition-value) — repartition by the
+    partition columns first so each output partition is written by few
+    tasks (avoids the small-files explosion at 100TB).
+    """
+    df.repartition(*partition_cols).write.mode(mode).partitionBy(*partition_cols).parquet(path)
