@@ -1,0 +1,43 @@
+"""Execution-variant invariance (SURVEY.md §5): the same query must give
+identical results with shuffle partitions ∈ {1, 7, 64} and AQE on/off —
+the Spark translation of Tez's fault-tolerance goal ("same answer despite
+re-execution/re-routing")."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR, canon_rows
+
+# representative sample across operator families: agg, join, window,
+# union, sort, dedup-LSH (the most partitioning-sensitive plan here)
+SAMPLE = ("q05", "q06", "q08", "q12", "q14", "dedup_minhash_lsh")
+
+
+def _rows(spark, name):
+    from tez_spark.plans.registry import all_queries
+
+    df = all_queries()[name](spark, SF_DIR)
+    return canon_rows(df.columns, [tuple(r) for r in df.collect()])
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_partition_count_invariance(spark, name):
+    base = _rows(spark, name)
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n in ("1", "7", "64"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            assert _rows(spark, name) == base, f"{name} differs at {n} partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+@pytest.mark.parametrize("name", ("q05", "q08", "q14"))
+def test_aqe_invariance(spark, name):
+    base = _rows(spark, name)
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        assert _rows(spark, name) == base, f"{name} differs with AQE off"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

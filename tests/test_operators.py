@@ -1,0 +1,193 @@
+"""Operator-family unit tests (SURVEY.md §5 tier 1): DAG facade,
+explicit join strategies, partitioned sink, processor escape hatch."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_dag_facade_wordcount(spark):
+    """WordCount as a Tez-vocabulary DAG (WordCount.java:130-160 shape)."""
+    from tez_spark.operators import count_by, flat_map_tokens
+    from tez_spark.plans import DAGBuilder, DataMovement
+    from tez_spark.sources.catalog import load_table
+
+    dag = DAGBuilder("wordcount")
+    dag.add_vertex(
+        "tokenizer",
+        source=lambda s: load_table(s, SF_DIR, "documents"),
+        processor=lambda dfs: flat_map_tokens(dfs[0], "text", out_col="word"),
+    )
+    dag.add_vertex("summation", processor=lambda dfs: count_by(dfs[0], "word"))
+    dag.add_edge("tokenizer", "summation", DataMovement.SCATTER_GATHER, keys=["word"])
+    got = dag.build(spark)["summation"]
+
+    want = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .count()
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_dag_facade_union_group(spark):
+    from tez_spark.plans import DAGBuilder
+    from tez_spark.sources.catalog import load_table
+
+    dag = DAGBuilder("union")
+    dag.add_vertex(
+        "o", source=lambda s: load_table(s, SF_DIR, "orders").select(
+            F.col("o_custkey").alias("k"))
+    )
+    dag.add_vertex(
+        "c", source=lambda s: load_table(s, SF_DIR, "customer").select(
+            F.col("c_custkey").alias("k"))
+    )
+    dag.add_vertex_group("both", ["o", "c"])
+    out = dag.build(spark)["both"]
+    n_o = load_table(spark, SF_DIR, "orders").count()
+    n_c = load_table(spark, SF_DIR, "customer").count()
+    assert out.count() == n_o + n_c
+
+
+def test_dag_cycle_detection(spark):
+    from tez_spark.plans import DAGBuilder, DataMovement
+
+    dag = DAGBuilder("cyclic")
+    dag.add_vertex("a", processor=lambda dfs: dfs[0])
+    dag.add_vertex("b", processor=lambda dfs: dfs[0])
+    dag.add_edge("a", "b", DataMovement.ONE_TO_ONE)
+    dag.add_edge("b", "a", DataMovement.ONE_TO_ONE)
+    try:
+        dag.build(spark)
+        raise AssertionError("cycle not detected")
+    except ValueError as e:
+        assert "cycle" in str(e)
+
+
+def test_explicit_sort_merge_join_plan(spark):
+    """The explicit SMJ operator produces a SortMergeJoin physical node."""
+    from tez_spark.operators import sort_merge_join
+    from tez_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+    j = sort_merge_join(li, orders, li.l_orderkey == orders.o_orderkey)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert j.count() == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+
+
+def test_broadcast_join_plan(spark):
+    from tez_spark.operators import broadcast_join
+    from tez_spark.sources.catalog import load_table
+
+    sup = load_table(spark, SF_DIR, "supplier")
+    nation = load_table(spark, SF_DIR, "nation")
+    j = broadcast_join(sup, nation, sup.s_nationkey == nation.n_nationkey)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_join_validate(spark):
+    from tez_spark.operators import join_validate
+    from tez_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("k"))
+    orders = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("k"))
+    # lineitem ⊆ orders on the key but not vice versa (orders w/o items)
+    assert not join_validate(li, orders, ["k"])
+    assert join_validate(orders, orders, ["k"])
+
+
+def test_partitioned_write_roundtrip(spark):
+    """MultiMROutput parity: partitionBy sink routes rows to key dirs."""
+    from tez_spark.sources import write_partitioned
+    from tez_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "by_flag")
+        write_partitioned(li, out, ["l_returnflag"])
+        flags = {
+            p.split("=")[1]
+            for p in os.listdir(out)
+            if p.startswith("l_returnflag=")
+        }
+        want = {r.l_returnflag for r in li.select("l_returnflag").distinct().collect()}
+        assert flags == want
+        back = spark.read.parquet(out)
+        assert back.count() == li.count()
+
+
+def test_processor_escape_hatch(spark):
+    """mapInPandas processor (Tez Processor API parity)."""
+    from tez_spark.operators import processor
+    from tez_spark.sources.catalog import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+
+    def double_price(batches):
+        for pdf in batches:
+            yield pdf.assign(double_total=pdf.o_totalprice * 2)[
+                ["o_orderkey", "double_total"]
+            ]
+
+    out = processor(orders, double_price, "o_orderkey long, double_total double")
+    row = out.orderBy("o_orderkey").first()
+    want = orders.orderBy("o_orderkey").first()
+    assert abs(row.double_total - want.o_totalprice * 2) < 1e-9
+
+
+def test_grouped_processor(spark):
+    """applyInPandas per-group processor (KeyValuesReader parity)."""
+    from tez_spark.operators import grouped_processor
+    from tez_spark.sources.catalog import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+
+    def span(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "o_custkey": [pdf.o_custkey.iloc[0]],
+                "span": [pdf.o_totalprice.max() - pdf.o_totalprice.min()],
+            }
+        )
+
+    out = grouped_processor(
+        orders, ["o_custkey"], span, "o_custkey long, span double"
+    )
+    assert out.count() == orders.select("o_custkey").distinct().count()
+
+
+def test_secondary_sort_partition_order(spark):
+    """Rows within each partition are sorted by (k1, k2)."""
+    from tez_spark.operators import secondary_sort
+    from tez_spark.sources.catalog import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    ss = secondary_sort(orders, ["o_custkey"], ["o_orderdate"])
+
+    def check(it):
+        import pandas as pd
+
+        for pdf in it:
+            ok = True
+            if len(pdf) > 1:
+                keys = list(zip(pdf.o_custkey, pdf.o_orderdate))
+                ok = keys == sorted(keys)
+            yield pd.DataFrame({"ok": [ok]})
+
+    flags = ss.mapInPandas(check, "ok boolean").collect()
+    assert all(r.ok for r in flags)

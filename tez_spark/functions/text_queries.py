@@ -1,0 +1,157 @@
+"""Declared text-analysis queries (+DuckDB oracles) over `documents`.
+
+Extensions beyond the reference surface (Tez ships no scalar functions,
+SURVEY.md §2.4); first-class components of the 100TB training-data
+pipeline: token counting, quality scoring, language ID, fingerprinting.
+
+Every query here is pure built-in-function DataFrame code (no UDFs), so
+the plan is one codegen'd scan + projection (+ one small broadcast join
+for language ID) — embarrassingly parallel at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tez_spark.functions import text as X
+from tez_spark.sources.catalog import load_table
+
+# language -> marker words, shared verbatim with the oracle SQL.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in"),
+    "de": ("der", "die", "das", "und", "ist", "von"),
+    "es": ("el", "los", "las", "y", "es", "una"),
+    "fr": ("le", "les", "et", "est", "une", "dans"),
+}
+
+
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char counts and quality signals."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.char_count("text").alias("n_chars_m"),
+        X.alpha_ratio("text").alias("alpha_r"),
+        X.stopword_ratio("text").alias("stop_r"),
+        X.avg_token_len("text").alias("avg_tok_len"),
+        X.quality_score("text").alias("quality"),
+    )
+    return out.orderBy("doc_id")
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive md5 fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/marker-word language ID: count marker hits per language,
+    argmax with lexicographic tie-break, 'und' when no marker matches.
+
+    Plan shape: explode tokens -> broadcast join against the (tiny) marker
+    table -> two-level agg -> window argmax. The explode blowup is linear
+    in corpus size and the join side is broadcast — scales to any corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    markers = spark.createDataFrame(
+        [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws],
+        "pred_lang string, word string",
+    )
+    from tez_spark.operators.core import fan_out
+
+    toks = fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(X.tokens("text")).alias("word")
+    )
+    hits = (
+        toks.join(F.broadcast(markers), "word")
+        .groupBy("doc_id", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("pred_lang"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "pred_lang", "hits")
+    )
+    out = docs.select("doc_id", "lang").join(best, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+        F.coalesce("hits", F.lit(0)).alias("hits"),
+    )
+    return out.orderBy("doc_id")
+
+
+def _markers_values_sql() -> str:
+    rows = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in LANG_MARKERS.items() for w in ws
+    )
+    return f"(VALUES {rows}) AS m(pred_lang, word)"
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in X.STOPWORDS)
+
+ORACLE: dict[str, str] = {
+    "text_metrics": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+                   text
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_m,
+                   CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) / length(text)
+                        ELSE 0.0 END AS alpha_r,
+                   CASE WHEN len(toks) > 0
+                        THEN len(list_filter(toks, t -> t IN ({_STOP_SQL}))) / len(toks)
+                        ELSE 0.0 END AS stop_r,
+                   CASE WHEN len(toks) > 0
+                        THEN list_sum(list_transform(toks, t -> length(t))) / len(toks)
+                        ELSE 0.0 END AS avg_tok_len
+            FROM base
+        )
+        SELECT doc_id, n_tokens, n_chars_m, alpha_r, stop_r, avg_tok_len,
+               least(stop_r * 4.0, 1.0) * 0.4 + alpha_r * 0.4 +
+               CASE WHEN avg_tok_len >= 3 AND avg_tok_len <= 10 THEN 0.2 ELSE 0.0 END
+                   AS quality
+        FROM m ORDER BY doc_id
+    """,
+    "text_fingerprint": """
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   list_filter(string_split(text, ' '), t -> t <> ''))), ' ')) AS fp
+        FROM documents ORDER BY doc_id
+    """,
+    "text_langid": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ), hits AS (
+            SELECT t.doc_id, m.pred_lang, COUNT(*) AS hits
+            FROM toks t JOIN {_markers_values_sql()} ON t.word = m.word
+            GROUP BY 1, 2
+        ), best AS (
+            SELECT doc_id, pred_lang, hits,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY hits DESC, pred_lang) AS rn
+            FROM hits
+        )
+        SELECT d.doc_id, d.lang,
+               COALESCE(b.pred_lang, 'und') AS pred_lang,
+               COALESCE(b.hits, 0) AS hits
+        FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+          ON d.doc_id = b.doc_id
+        ORDER BY d.doc_id
+    """,
+}
+
+QUERIES = {
+    "text_metrics": text_metrics,
+    "text_fingerprint": text_fingerprint,
+    "text_langid": text_langid,
+}

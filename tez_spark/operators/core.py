@@ -68,6 +68,22 @@ def hash_repartition(df: DataFrame, *keys: ColumnOrName, num_partitions: int | N
     return df.repartition(*keys)
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition when the scan yielded fewer splits than the
+    cluster has slots (RoundRobinPartitioner parity,
+    tez-runtime-library/.../partitioner/RoundRobinPartitioner.java:23-27).
+
+    Local/small-input fix: a tiny parquet file arrives as one split and
+    would serialize every downstream map-side operator. At 100TB the scan
+    has thousands of natural splits and this is a no-op decision — call it
+    only in front of compute-heavy per-row work (hashing, Python decode),
+    never before pushdown-sensitive filters."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def ordered_partition(
     df: DataFrame, keys: Sequence[ColumnOrName], num_partitions: int | None = None
 ) -> DataFrame:

@@ -1,0 +1,383 @@
+"""Deduplication operators for training-data pipelines.
+
+Extensions beyond the reference surface (SURVEY.md §7 step 7): exact
+dedup, exact n-gram Jaccard, MinHash+LSH, SimHash. The reference's
+nearest analog is grouped-key iteration (OrderedGroupedKVInput /
+ValuesIterator.java:45 — dedup = emit one value per key); everything
+fuzzier is new capability.
+
+Scale design (100TB):
+- exact dedup: one hash shuffle on the dedup key — the cheapest possible.
+- n-gram Jaccard ALL-PAIRS is quadratic and exists as the small-scale
+  oracle path; the scale path is MinHash+LSH: candidates come from
+  band-bucket equijoins (shuffle on (band, signature), skew-safe because
+  signatures are ~uniform), then candidates-only exact verification.
+- SimHash: fingerprint is a pure map-side projection; near-pair discovery
+  is a banded equijoin with pigeonhole-guaranteed recall for the declared
+  hamming radius. No quadratic stage anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tez_spark.functions.text import tokens
+from tez_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# shared shingling
+# ---------------------------------------------------------------------------
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, sh).
+
+    fan_out first: shingling is compute-heavy per row and the local fixture
+    arrives as one split. The distinct is a shuffle on (id, sh) — at scale
+    this is the materialize-once shingle table every downstream stage
+    (signatures, verification) reuses, hence callers persist() it."""
+    from tez_spark.operators.core import fan_out
+
+    # Materialize the token array in its own projection first: referencing
+    # the tokenizer expression inside the transform() lambda would re-split
+    # the whole text once per shingle (no subexpression elimination across
+    # lambda scopes) — O(tokens^2) per document.
+    toks = F.col("_toks")
+    base = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    )
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        base.filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(sh).alias("sh"))
+        .distinct()
+    )
+
+
+def _pair_jaccard(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(da, db, j) for every pair sharing ≥1 shingle. Quadratic in
+    co-shingled docs — oracle/verification path, not the 100TB path."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("da"), F.col(f"b.{id_col}").alias("db"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("db"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .select(
+            "da",
+            "db",
+            (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("j"),
+        )
+    )
+
+
+def _verify_pairs(cand: DataFrame, sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard for candidate pairs only — the LSH verification stage.
+    Cost is O(candidates × shingles-per-doc), never all-pairs."""
+    sa = sh.select(F.col(id_col).alias("da"), F.col("sh").alias("sha"))
+    sb = sh.select(F.col(id_col).alias("db_r"), F.col("sh").alias("shb"))
+    inter = (
+        cand.join(sa, "da")
+        .join(sb, (F.col("db") == F.col("db_r")) & (F.col("sha") == F.col("shb")))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col(id_col).alias("da"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("db"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "da")
+        .join(nb, "db")
+        .select(
+            "da",
+            "db",
+            (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("j"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Keep one row per distinct key (hash-groupBy; single shuffle)."""
+    return df.dropDuplicates(cols)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact-dup summary (fixtures contain no exact text dups
+    — the near-dup signal is at the shingle level, below)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (small-scale / verification truth)
+# ---------------------------------------------------------------------------
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All near-dup pairs with exact 3-gram Jaccard ≥ 0.8."""
+    docs = load_table(spark, sf_dir, "documents")
+    # persist: the shingle table feeds the self-join twice plus sizes —
+    # without it Spark recomputes the explode+distinct per branch. At
+    # 100TB this is "materialize the shingle table once", the standard
+    # pipeline shape.
+    sh = shingles(docs, "doc_id", "text", n=3).persist()
+    return _pair_jaccard(sh).filter(F.col("j") >= 0.8).orderBy("da", "db")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the 100TB path)
+# ---------------------------------------------------------------------------
+
+NUM_HASHES = 128
+BANDS = 32          # 32 bands x 4 rows: P(miss | j=0.8) = (1-0.8^4)^32 ≈ 5e-8
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+# Affine universal-hash family over one base hash: h_i(x) = a_i*H(x)+b_i
+# over the prime field p=2^31-1. One string hash per shingle instead of
+# NUM_HASHES of them — the standard MinHash trick. The 31-bit field keeps
+# a_i*H+b_i < 2^62 (Spark 4 runs ANSI mode: long overflow would throw);
+# min-collision probability over ~100 shingles is ~100/2^31 — negligible.
+# Constants from a fixed seed: deterministic across runs/executors.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _hash_family() -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(42)
+    return [
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        for _ in range(NUM_HASHES)
+    ]
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """128 minhashes per doc — one aggregation, no row blowup (h_i is MIN
+    over shingles per seed); single xxhash64 per shingle + cheap long
+    arithmetic for the family."""
+    base = F.pmod(F.xxhash64(F.col("sh")), F.lit(_MERSENNE_P))
+    # the trailing mod is essential: without it a*h+b is monotonic in h and
+    # every "hash function" would select the same min shingle.
+    aggs = [
+        F.min(F.pmod(base * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_hash_family())
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidates(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band signatures -> bucket equijoin -> distinct candidate pairs.
+    Shuffle key (band, sig) is ~uniform (hash values), so no skew."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                ).alias("sig"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    # persist: the self-join below would otherwise recompute the full
+    # signature aggregation for BOTH sides. (id, band, sig) is tiny —
+    # BANDS rows per doc.
+    banded = (
+        sig.select(F.col(id_col), F.explode(bands).alias("bs"))
+        .select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        .persist()
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("da"), F.col(f"b.{id_col}").alias("db"))
+        .distinct()
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates + exact verification at Jaccard ≥ 0.8.
+
+    Output is identical to q_dedup_ngram_jaccard (the oracle) whenever LSH
+    misses nothing; with 32x4 banding the per-pair miss probability at the
+    0.8 threshold is ~5e-8 — the declared oracle is the exact computation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", n=3).persist()  # reused 4x below
+    cand = lsh_candidates(minhash_signatures(sh))
+    return _verify_pairs(cand, sh).filter(F.col("j") >= 0.8).orderBy("da", "db")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit, md5-nibble bits so the oracle is cross-engine exact)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+HAMMING_MAX = 3
+SIMHASH_BANDS = 4   # pigeonhole: hamming<=3 over 4 bands -> >=1 band equal
+_BAND_WIDTH = SIMHASH_BITS // SIMHASH_BANDS  # 8 bits -> values 0..255
+
+
+def _simhash_col() -> F.Column:
+    """32-bit SimHash of the token multiset of column `word` grouped by
+    doc: bit j of a token = (hex digit j of md5(token)) >= '8' — i.e. the
+    high bit of that nibble. Expressible identically in DuckDB, which is
+    the whole point (xxhash64 isn't)."""
+    digit = lambda j: F.substring(F.md5(F.col("word").cast("binary")), j + 1, 1)
+    bit = lambda j: F.when(digit(j) >= "8", 1).otherwise(-1)
+    sums = [F.sum(bit(j)) for j in range(SIMHASH_BITS)]
+    return sum(
+        (F.when(s > 0, F.lit(2**j)).otherwise(F.lit(0)) for j, s in enumerate(sums)),
+        F.lit(0),
+    ).cast("long")
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): pure map-side explode + one aggregation.
+    fan_out: 32 md5-substring terms per token are compute-heavy — spread
+    the explode across slots when the scan is a single tiny split."""
+    from tez_spark.operators.core import fan_out
+
+    words = fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(tokens("text")).alias("word")
+    )
+    return words.groupBy("doc_id").agg(_simhash_col().alias("simhash"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at hamming distance ≤ 3 over 32-bit SimHash.
+    Candidates from 4x8-bit band equijoin (guaranteed recall for d≤3),
+    then exact bit_count(xor) filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                ((F.col("simhash") / F.lit(2 ** (b * _BAND_WIDTH))).cast("long")
+                 % F.lit(2**_BAND_WIDTH)).alias("sig"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = fp.select("doc_id", "simhash", F.explode(bands).alias("bs")).select(
+        "doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= HAMMING_MAX).orderBy("da", "db")
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_SH_CTE = """
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS sh
+        FROM t, unnest(range(len(toks) - 2)) AS u(i)
+        WHERE len(toks) >= 3
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT da, db, i / (sa.n + sb.n - i) AS j
+    FROM inter
+    JOIN sizes sa ON da = sa.doc_id
+    JOIN sizes sb ON db = sb.doc_id
+"""
+
+_JACCARD_SQL = f"""
+    SELECT da, db, j FROM ({_SH_CTE}) WHERE j >= 0.8 ORDER BY da, db
+"""
+
+_SIMHASH_SQL = """
+    WITH words AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        FROM documents
+    ), fp AS (
+        SELECT doc_id,
+               CAST(SUM_BITS AS BIGINT) AS simhash
+        FROM words GROUP BY doc_id
+    )
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY da, db
+"""
+
+
+def _simhash_sum_bits_sql() -> str:
+    terms = []
+    for j in range(SIMHASH_BITS):
+        terms.append(
+            f"CASE WHEN sum(CASE WHEN substring(md5(word), {j + 1}, 1) >= '8' "
+            f"THEN 1 ELSE -1 END) > 0 THEN {2**j} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+ORACLE: dict[str, str] = {
+    "dedup_exact": """
+        SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique FROM documents
+    """,
+    "dedup_ngram_jaccard": _JACCARD_SQL,
+    # LSH output == exact output up to a ~5e-8 per-pair miss probability;
+    # declared against the exact oracle deliberately (recall is part of
+    # the contract).
+    "dedup_minhash_lsh": _JACCARD_SQL,
+    "dedup_simhash": _SIMHASH_SQL.replace("SUM_BITS", _simhash_sum_bits_sql()),
+}
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+}

@@ -1,0 +1,95 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata (north-star extension — the reference's record model
+is schema-less KV bytes, SURVEY.md §1.1, so "binary payload + metadata"
+is its closest native concept, made columnar here).
+
+The Spark-side plumbing is real and tested: binary columns, Arrow-batched
+mapInPandas decode, stable output schema, partition-preserving shape. The
+actual media decode is STUBBED (image/audio libs are not in this
+container): ``decode_image_meta`` raises NotImplementedError unless
+``fake=True``, in which case a deterministic fake decoder (pure function
+of the payload bytes) stands in. Swap `_decode_one` for a real
+PIL/ffmpeg call on a cluster with the libs installed — the pipeline
+around it does not change.
+
+Scale notes: mapInPandas streams Arrow batches — no row-at-a-time serde,
+no driver collection; payloads stay partitioned exactly as scanned.
+Control batch memory for large blobs with
+spark.sql.execution.arrow.maxRecordsPerBatch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tez_spark.sources.catalog import load_table
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, width long, height long, checksum string"
+)
+
+
+def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, int, str]:
+    """Stub decode: deterministic fake 'image header' from the payload.
+    A real implementation would call PIL.Image.open / soundfile / ffmpeg."""
+    if not fake:
+        raise NotImplementedError(
+            "real media decode requires PIL/ffmpeg — not in this container; "
+            "pass fake=True for the deterministic stand-in"
+        )
+    n = len(payload)
+    return n, n % 640, n % 480, hashlib.md5(payload).hexdigest()
+
+
+def decode_image_meta(df: DataFrame, payload_col: str = "payload", fake: bool = True) -> DataFrame:
+    """Binary payload -> typed metadata via Arrow-batched mapInPandas."""
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_decode_one(p, fake) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": [d[0] for d in decoded],
+                    "width": [d[1] for d in decoded],
+                    "height": [d[2] for d in decoded],
+                    "checksum": [d[3] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(proc, DECODE_SCHEMA)
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents' text re-encoded as a binary payload column, pushed
+    through the decode pipeline. The oracle recomputes the same metadata
+    in SQL (octet_length / md5), proving the Python plumbing is lossless.
+    """
+    from tez_spark.operators.core import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = fan_out(
+        docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    )
+    return decode_image_meta(payloads, fake=True).orderBy("doc_id")
+
+
+ORACLE: dict[str, str] = {
+    "multimodal_decode": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+               CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
+               md5(text) AS checksum
+        FROM documents ORDER BY doc_id
+    """,
+}
+
+QUERIES = {
+    "multimodal_decode": q_multimodal_decode,
+}

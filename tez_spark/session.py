@@ -72,7 +72,9 @@ def get_spark(
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("TEZ_SPARK_DRIVER_MEM", "8g"))
+        # local mode: driver heap is the only memory knob; undersizing it
+        # turns shuffles/aggs into GC thrash with wild run-to-run variance.
+        .config("spark.driver.memory", os.environ.get("TEZ_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # TezSplitGrouper max 1GB/min 50MB per group -> Spark file packing.

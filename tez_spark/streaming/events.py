@@ -1,0 +1,95 @@
+"""Structured Streaming view of the events table.
+
+Capability extension (SURVEY.md §7 step 7): Tez's streaming edge types
+are unimplemented placeholders (EdgeProperty.java:81-89), so the engine
+exposes streams through Spark Structured Streaming instead: readStream →
+windowed/stateful transforms → writeStream, with watermarks for late
+data.
+
+For local smoke the parquet fixture drives the stream (file source +
+memory sink + processAllAvailable — the guide's pattern); in production
+the same plans run off kafka/cloud-storage sources unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tez_spark.session import apply_runtime_confs
+
+# events schema with ts as long (TIMESTAMP(NANOS) read via nanosAsLong —
+# same handling as the batch catalog).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded stream (file source over the fixture dir)."""
+    apply_runtime_confs(spark)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir if sf_dir.endswith("/") else sf_dir + "/")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(stream: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts with a watermark bounding state for late
+    data — state size is O(active windows × event types), independent of
+    stream length."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Native streaming sessionization (session_window merges windows
+    within the gap — the streaming twin of windows.sessionize)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("t_start"),
+            F.col("w.end").alias("t_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_completion(result: DataFrame, name: str, spark: SparkSession) -> DataFrame:
+    """Drive a streaming plan over the (finite) fixture to completion via
+    the memory sink; returns the final result as a batch DataFrame."""
+    q = (
+        result.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
