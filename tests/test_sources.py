@@ -1,0 +1,83 @@
+"""Source/sink round-trips (MRInput reads any InputFormat — MRInput.java:87;
+we cover the DataSource formats) and sketch-accuracy for approx aggregates."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_csv_roundtrip(spark):
+    from tez_spark.sources import scan_csv, write_parquet
+    from tez_spark.sources.catalog import load_table
+
+    nation = load_table(spark, SF_DIR, "nation")
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "nation_csv")
+        nation.write.option("header", True).csv(p)
+        back = scan_csv(spark, p)
+        assert {tuple(r) for r in back.collect()} == {
+            tuple(r) for r in nation.collect()
+        }
+
+
+def test_json_roundtrip(spark):
+    from tez_spark.sources import scan_json
+    from tez_spark.sources.catalog import load_table
+
+    region = load_table(spark, SF_DIR, "region")
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "region_json")
+        region.write.json(p)
+        back = scan_json(spark, p, schema=region.schema)
+        assert {tuple(r) for r in back.collect()} == {
+            tuple(r) for r in region.collect()
+        }
+
+
+def test_text_scan(spark):
+    """Line-oriented scan (TextInputFormat parity: WordCount.java:25)."""
+    from tez_spark.sources import scan_text
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "lines.txt")
+        with open(p, "w") as f:
+            f.write("hello world\nfoo bar\n")
+        df = scan_text(spark, p)
+        assert df.columns == ["value"]
+        assert df.count() == 2
+
+
+def test_multiple_committed_outputs(spark):
+    """One plan, several committed sinks (MultipleCommitsExample.java;
+    DAG-level commit ≙ independent df.write actions sharing lineage)."""
+    from tez_spark.sources.catalog import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    with tempfile.TemporaryDirectory() as d:
+        p1, p2 = os.path.join(d, "s1"), os.path.join(d, "s2")
+        agg.write.parquet(p1)
+        agg.filter(F.col("n") > 0).write.parquet(p2)
+        assert spark.read.parquet(p1).count() == agg.count()
+        assert spark.read.parquet(p2).count() == agg.count()
+
+
+def test_approx_distinct_accuracy(spark):
+    """HLL++ estimate within 5% of exact (the rows-only query's real check)."""
+    from tez_spark.plans.queries_ext import q_approx_distinct
+    from tez_spark.sources.catalog import load_table
+
+    row = q_approx_distinct(spark, SF_DIR).first()
+    exact = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert abs(row.approx_parts - exact) / exact < 0.05
+    assert row.p50_est > 0

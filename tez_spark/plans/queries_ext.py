@@ -1,0 +1,291 @@
+"""Extended relational queries — capabilities Tez lacks entirely
+(SURVEY.md §2.4: window functions, scalar function library, grouping
+sets/rollup, approx aggregates) plus custom operators Spark composes
+(as-of join). All carry exact DuckDB oracles unless noted.
+
+These are 'free' capability in the Spark-first design: each is a
+declarative plan Catalyst optimizes like any other — no custom physical
+code, which is exactly the architectural bet of this engine over the
+reference's processor-per-vertex model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tez_spark.sources.catalog import load_table
+
+
+# --- window functions (rank/lag/frames — SURVEY.md §2.4 gap #1) -----------
+
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order analytics: rank, previous-order delta, running
+    total. One shuffle on the partition key; frames evaluated in a single
+    sorted pass per partition (the secondary-sort pattern generalized)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    out = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).cast("long").alias("rk"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("delta_prev"),
+        F.sum("o_totalprice")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("running_total"),
+    )
+    return out.orderBy("o_custkey", "o_orderkey")
+
+
+# --- scalar functions: string/date/math/json (gap #2) ----------------------
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math/date scalar pipeline over part: the row-level logic Tez
+    delegates to user processors, here as codegen'd built-ins."""
+    part = load_table(spark, sf_dir, "part")
+    out = part.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_u"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("uplift"),
+        F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
+        (F.col("p_partkey") % 7).alias("bucket7"),
+    )
+    return out.orderBy("p_partkey")
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction over events.props + agg."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    out = (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+    return out.orderBy("event_type")
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing over orders (year/month/day-of-week extraction)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("m"),
+            "o_totalprice",
+        )
+        .groupBy("y", "m")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("sum_price"))
+    )
+    return out.orderBy("y", "m")
+
+
+# --- rollup / grouping sets (gap #3) ---------------------------------------
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP — one pass, partial-agg expanded.
+    grouping_id distinguishes subtotal levels (NULL-vs-value is ambiguous
+    for genuinely-null keys)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+    return out.orderBy("gid", "l_returnflag", "l_linestatus")
+
+
+# --- approximate aggregates (gap #3; rows-only — sketch internals differ) --
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-count estimate. No oracle: sketch estimates are
+    engine-specific; tests assert ±5% of the exact count instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("p50_est"),
+    )
+
+
+# --- as-of join (custom operator — composed, SURVEY.md §7) -----------------
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """For each left row, the latest right row with the same key and
+    right_ts <= left_ts (pd.merge_asof semantics, composed from built-ins:
+    equi-join on key + window argmax).
+
+    Scale note: the equi-join shuffles both sides on the key once; the
+    window then sorts within key partitions. For dense time-series where
+    key⨯time blowup bites, bucketize right_ts and join on (key, bucket)
+    first — same plan shape, bounded fan-out."""
+    lw = left.withColumn("_lid", F.monotonically_increasing_id())
+    j = lw.join(right, on=[on], how="left").filter(
+        F.col(right_ts) <= F.col(left_ts)
+    )
+    w = Window.partitionBy("_lid").orderBy(F.desc(right_ts))
+    latest = j.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return latest.drop("_rn", "_lid")
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: each event joined to the latest prior event (self as-of),
+    yielding inter-event gap seconds — the classic telemetry enrichment."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    # self as-of via lag is the degenerate case; use the generic operator
+    # against a renamed copy to exercise the join path.
+    prior = ev.select(
+        F.col("user_id"),
+        F.col("ts").alias("prior_ts"),
+        F.col("event_id").alias("prior_id"),
+    )
+    j = asof_join(ev, prior, on="user_id", left_ts="ts", right_ts="prior_ts")
+    out = j.filter(F.col("prior_id") != F.col("event_id")).select(
+        "event_id",
+        "prior_id",
+        (F.col("ts").cast("long") - F.col("prior_ts").cast("long")).alias("gap_s"),
+    )
+    return out.orderBy("event_id")
+
+
+# --- BPE-ish regex tokenization (prompt: token counting) -------------------
+
+def q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-ish token counts: runs of letters or digits (a BPE-style
+    pre-tokenizer split), per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")
+    out = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_subtokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+    )
+    return out.orderBy("doc_id")
+
+
+# --- embedding-cosine near-dup (prompt: dedup family) ----------------------
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine >= 0.45 — exact all-pairs at oracle
+    scale (the fixtures have no planted high-cosine dups; 0.45 sits above
+    the random-pair bulk). The 100TB path for this operator is ann_lsh's
+    bucketed candidates + this exact verification."""
+    from tez_spark.functions.vectors import as_double, cosine
+    from tez_spark.operators.core import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = fan_out(emb.select(F.col("vec_id").alias("va"), as_double("embedding").alias("ea")))
+    b = emb.select(F.col("vec_id").alias("vb"), as_double("embedding").alias("eb"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb", cosine(F.col("ea"), F.col("eb")).alias("sim"))
+        .filter(F.col("sim") >= 0.45)
+    )
+    return pairs.orderBy("va", "vb")
+
+
+ORACLE: dict[str, str] = {
+    "window_funcs": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(RANK() OVER w AS BIGINT) AS rk,
+               o_totalprice - LAG(o_totalprice) OVER w AS delta_prev,
+               SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS running_total
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+    """,
+    "scalar_funcs": """
+        SELECT p_partkey,
+               upper(p_brand) AS brand_u,
+               CAST(length(p_name) AS BIGINT) AS name_len,
+               substring(p_type, 1, 5) AS type5,
+               round(p_retailprice * 1.1, 2) AS uplift,
+               sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
+               p_partkey % 7 AS bucket7
+        FROM part ORDER BY p_partkey
+    """,
+    "json_extract": """
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(props ->> '$.k' AS BIGINT)) AS sum_k,
+               MAX(CAST(props ->> '$.k' AS BIGINT)) AS max_k
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "date_funcs": """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+               CAST(month(o_orderdate) AS BIGINT) AS m,
+               COUNT(*) AS n, SUM(o_totalprice) AS sum_price
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "rollup": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               SUM(l_quantity) AS sum_qty,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag, l_linestatus
+    """,
+    "asof_join": """
+        WITH j AS (
+            SELECT e.event_id, p.event_id AS prior_id, e.ts, p.ts AS prior_ts,
+                   ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                      ORDER BY p.ts DESC) AS rn
+            FROM events e JOIN events p
+              ON e.user_id = p.user_id AND p.ts <= e.ts
+        )
+        SELECT event_id, prior_id,
+               epoch_us(ts) // 1000000 - epoch_us(prior_ts) // 1000000 AS gap_s
+        FROM j WHERE rn = 1 AND prior_id <> event_id
+        ORDER BY event_id
+    """,
+    "regex_tokens": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+', 0)) AS BIGINT)
+                   AS n_subtokens,
+               CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+', 0))) AS BIGINT)
+                   AS n_unique
+        FROM documents ORDER BY doc_id
+    """,
+    "dedup_embedding": """
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+              (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+               sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
+        ORDER BY va, vb
+    """,
+    # approx_distinct: intentionally no oracle (sketches are engine-specific)
+}
+
+QUERIES = {
+    "window_funcs": q_window_funcs,
+    "scalar_funcs": q_scalar_funcs,
+    "json_extract": q_json_extract,
+    "date_funcs": q_date_funcs,
+    "rollup": q_rollup,
+    "approx_distinct": q_approx_distinct,
+    "asof_join": q_asof_join,
+    "regex_tokens": q_regex_tokens,
+    "dedup_embedding": q_dedup_embedding,
+}
