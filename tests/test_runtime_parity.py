@@ -1,0 +1,63 @@
+"""Runtime-optimization parity checks (SURVEY.md §4): the Tez mechanisms
+this engine deliberately delegates to AQE, asserted at the plan level."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_aqe_coalesces_small_shuffle(spark):
+    """ShuffleVertexManager auto-reduce parallelism parity
+    (ShuffleVertexManager.java:64, repack to ~100MB per task): with AQE on,
+    a tiny groupBy must not keep all 32 configured shuffle partitions."""
+    from tez_spark.sources.catalog import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        agg = orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+        agg.collect()  # materialize so AQE finalizes the plan
+        n_parts = agg.rdd.getNumPartitions()
+        assert n_parts < 32, f"AQE did not coalesce: {n_parts} partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_aqe_broadcasts_small_join_side(spark):
+    """Broadcast-edge parity decided at run time: joining a fact to a
+    filtered-tiny dim must end up a BroadcastHashJoin even without an
+    explicit hint (ShuffleVertexManager/broadcast edge selection is
+    Catalyst+AQE's job here)."""
+    from tez_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    part = load_table(spark, SF_DIR, "part").filter(F.col("p_size") > 40)
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """TezSplitGrouper/InputInitializer pruning parity: predicates must
+    appear as scan-level DataFilters, projections as a pruned ReadSchema."""
+    from tez_spark.plans.queries import q01
+
+    plan = q01(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "Contains(text" in plan  # pushed LIKE
+    # pruned schema: only the 3 referenced columns are read
+    scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "lang" not in scan_line and "source" not in scan_line
+
+
+def test_session_defaults(spark):
+    """The session factory's runtime-parity defaults are in effect:
+    AQE (ShuffleVertexManager analog), skew-join (FairShuffleVertexManager
+    analog), UTC determinism. (Speculation, the LegacySpeculator analog,
+    is a spark-submit-time core conf — documented in session.py.)"""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"

@@ -242,12 +242,11 @@ _BAND_WIDTH = SIMHASH_BITS // SIMHASH_BANDS  # 8 bits -> values 0..255
 
 
 def _simhash_col() -> F.Column:
-    """32-bit SimHash of the token multiset of column `word` grouped by
-    doc: bit j of a token = (hex digit j of md5(token)) >= '8' — i.e. the
-    high bit of that nibble. Expressible identically in DuckDB, which is
-    the whole point (xxhash64 isn't)."""
-    digit = lambda j: F.substring(F.md5(F.col("word").cast("binary")), j + 1, 1)
-    bit = lambda j: F.when(digit(j) >= "8", 1).otherwise(-1)
+    """32-bit SimHash over a precomputed `_h` md5-hex column (see
+    simhash_fingerprints): bit j of a token = (hex digit j of md5(token))
+    >= '8' — the high bit of that nibble. Expressible identically in
+    DuckDB, which is the whole point (xxhash64 isn't)."""
+    bit = lambda j: F.when(F.substring(F.col("_h"), j + 1, 1) >= "8", 1).otherwise(-1)
     sums = [F.sum(bit(j)) for j in range(SIMHASH_BITS)]
     return sum(
         (F.when(s > 0, F.lit(2**j)).otherwise(F.lit(0)) for j, s in enumerate(sums)),
@@ -264,7 +263,10 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     words = fan_out(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(tokens("text")).alias("word")
     )
-    return words.groupBy("doc_id").agg(_simhash_col().alias("simhash"))
+    # one md5 per token row; the 32 bit-extractions are substrings of this
+    # column (inlining md5 into each term would hash every token 32x).
+    hashed = words.select("doc_id", F.md5(F.col("word").cast("binary")).alias("_h"))
+    return hashed.groupBy("doc_id").agg(_simhash_col().alias("simhash"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

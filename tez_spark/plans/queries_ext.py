@@ -180,25 +180,64 @@ def q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+# --- pivot (gap: no reshaping ops in Tez at all) ---------------------------
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format reshaping: quantity totals per returnflag, one column
+    per linestatus. Explicit value list — an unbounded pivot needs a
+    distinct-values pass first and yields an unstable schema."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .withColumnRenamed("O", "qty_o")
+        .withColumnRenamed("F", "qty_f")
+    )
+    return out.orderBy("l_returnflag")
+
+
 # --- embedding-cosine near-dup (prompt: dedup family) ----------------------
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine >= 0.45 — exact all-pairs at oracle
     scale (the fixtures have no planted high-cosine dups; 0.45 sits above
-    the random-pair bulk). The 100TB path for this operator is ann_lsh's
-    bucketed candidates + this exact verification."""
-    from tez_spark.functions.vectors import as_double, cosine
+    the random-pair bulk). Numpy matmul per Arrow batch against the
+    broadcast corpus matrix: each partition scores rows x corpus in one
+    BLAS call and emits only above-threshold (va < vb) pairs. The 100TB
+    path for this operator is ann_lsh's bucketed candidates + this exact
+    verification on candidates only."""
+    import numpy as np
+    import pandas as pd
+
+    from tez_spark.functions.vectors import as_double
     from tez_spark.operators.core import fan_out
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = fan_out(emb.select(F.col("vec_id").alias("va"), as_double("embedding").alias("ea")))
-    b = emb.select(F.col("vec_id").alias("vb"), as_double("embedding").alias("eb"))
-    pairs = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("va") < F.col("vb"))
-        .select("va", "vb", cosine(F.col("ea"), F.col("eb")).alias("sim"))
-        .filter(F.col("sim") >= 0.45)
-    )
+    rows = emb.select("vec_id", as_double("embedding").alias("v")).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    bcast = spark.sparkContext.broadcast((ids, Mn))
+    threshold = 0.45
+
+    a = fan_out(emb.select(F.col("vec_id").alias("va"), as_double("embedding").alias("v")))
+
+    def pair_scan(batches):
+        ids_, Mn_ = bcast.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+            S = An @ Mn_.T  # batch_rows x corpus
+            va = pdf["va"].to_numpy()
+            r, c = np.nonzero((S >= threshold) & (va[:, None] < ids_[None, :]))
+            yield pd.DataFrame(
+                {"va": va[r], "vb": ids_[c], "sim": S[r, c]}
+            ).astype({"va": "int64", "vb": "int64", "sim": "float64"})
+
+    pairs = a.mapInPandas(pair_scan, "va long, vb long, sim double")
     return pairs.orderBy("va", "vb")
 
 
@@ -275,6 +314,12 @@ ORACLE: dict[str, str] = {
                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
         ORDER BY va, vb
     """,
+    "pivot": """
+        SELECT l_returnflag,
+               SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o,
+               SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f
+        FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
     # approx_distinct: intentionally no oracle (sketches are engine-specific)
 }
 
@@ -287,5 +332,6 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "asof_join": q_asof_join,
     "regex_tokens": q_regex_tokens,
+    "pivot": q_pivot,
     "dedup_embedding": q_dedup_embedding,
 }
