@@ -171,6 +171,25 @@ def test_grouped_processor(spark):
     assert out.count() == orders.select("o_custkey").distinct().count()
 
 
+def test_salted_join_equals_plain_join(spark):
+    """Skew salting must not change join semantics (same multiset of
+    output rows as the plain equi-join)."""
+    from tez_spark.operators import salted_join
+    from tez_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        (F.col("user_id") % 50).alias("k"), "event_id"
+    )
+    cust = load_table(spark, SF_DIR, "customer").select(
+        (F.col("c_custkey") % 50).alias("k"), "c_custkey"
+    )
+    plain = ev.join(cust, "k").groupBy("k").count()
+    salted = salted_join(ev, cust, "k", salt=4).groupBy("k").count()
+    assert {tuple(r) for r in plain.collect()} == {
+        tuple(r) for r in salted.collect()
+    }
+
+
 def test_secondary_sort_partition_order(spark):
     """Rows within each partition are sorted by (k1, k2)."""
     from tez_spark.operators import secondary_sort

@@ -205,6 +205,35 @@ def join_validate(left: DataFrame, right: DataFrame, on: Sequence[str]) -> bool:
     ).isEmpty()
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the (possibly hot-keyed) left side,
+    replicate the right side `salt`× — every hot key spreads over `salt`
+    reducer partitions (FairShuffleVertexManager DATA_MOVEMENT_SIZE_BASED
+    partition splitting, FairShuffleVertexManager.java:113-130, done
+    manually). AQE skew-join covers most cases automatically; use this
+    when a single key exceeds what one task can hold even post-split, or
+    when AQE is unavailable (streaming joins).
+
+    Cost: right side inflated salt× — keep salt small and the right side
+    the smaller input."""
+    l_salted = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    )
+    r_salted = right.crossJoin(
+        F.broadcast(
+            left.sparkSession.range(salt).select(F.col("id").cast("int").alias("_salt"))
+        )
+    )
+    out = l_salted.join(r_salted, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
 def cross_join(
     left: DataFrame, right: DataFrame, theta: Column | None = None
 ) -> DataFrame:

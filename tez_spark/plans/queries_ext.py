@@ -180,6 +180,52 @@ def q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+# --- set operations (JoinValidate's exceptAll mapping, SURVEY.md §2.3) -----
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION DISTINCT over customer-vs-order keys:
+    the symmetric-difference algebra behind JoinValidate
+    (JoinValidate.java:151-181), as declarative set ops."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    both = orders.intersect(cust).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect").alias("op"), "n"
+    )
+    only_c = cust.exceptAll(orders.distinct()).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("except_cust").alias("op"), "n")
+    uni = orders.union(cust).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("union_distinct").alias("op"), "n"
+    )
+    return both.unionByName(only_c).unionByName(uni).orderBy("op")
+
+
+# --- multi-join star chain (Catalyst join planning over 4 tables) ----------
+
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders ⋈ customer ⋈ nation: fact-to-dims chain. Catalyst
+    orders the joins and broadcasts the small dims; at 100TB the
+    fact⋈orders leg is the only big shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    out = j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+    return out.orderBy("n_name")
+
+
 # --- pivot (gap: no reshaping ops in Tez at all) ---------------------------
 
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,6 +360,30 @@ ORACLE: dict[str, str] = {
                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
         ORDER BY va, vb
     """,
+    "set_ops": """
+        SELECT op, n FROM (
+            SELECT 'intersect' AS op, COUNT(*) AS n FROM (
+                SELECT o_custkey AS k FROM orders
+                INTERSECT SELECT c_custkey AS k FROM customer)
+            UNION ALL
+            SELECT 'except_cust' AS op, COUNT(*) AS n FROM (
+                SELECT c_custkey AS k FROM customer
+                EXCEPT ALL SELECT DISTINCT o_custkey AS k FROM orders)
+            UNION ALL
+            SELECT 'union_distinct' AS op, COUNT(*) AS n FROM (
+                SELECT o_custkey AS k FROM orders
+                UNION SELECT c_custkey AS k FROM customer)
+        ) ORDER BY op
+    """,
+    "star_join": """
+        SELECT n.n_name, COUNT(*) AS n,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1 ORDER BY 1
+    """,
     "pivot": """
         SELECT l_returnflag,
                SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o,
@@ -332,6 +402,8 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "asof_join": q_asof_join,
     "regex_tokens": q_regex_tokens,
+    "set_ops": q_set_ops,
+    "star_join": q_star_join,
     "pivot": q_pivot,
     "dedup_embedding": q_dedup_embedding,
 }
