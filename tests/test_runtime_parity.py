@@ -53,6 +53,29 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "lang" not in scan_line and "source" not in scan_line
 
 
+def test_partition_pruning_on_partitioned_sink(spark):
+    """MultiMROutput + InputInitializer pruning, end to end: write
+    partitioned by key, read back with a key predicate, and assert the
+    scan prunes at the PARTITION level (PartitionFilters, not just row
+    filters) — this is what makes partitioned layouts pay off at 100TB."""
+    import os
+    import tempfile
+
+    from tez_spark.sources import write_partitioned
+    from tez_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "by_flag")
+        write_partitioned(li, out, ["l_returnflag"])
+        back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        assert "l_returnflag" in plan.split("PartitionFilters")[1].split("]")[0]
+        want = li.filter(F.col("l_returnflag") == "R").count()
+        assert back.count() == want
+
+
 def test_session_defaults(spark):
     """The session factory's runtime-parity defaults are in effect:
     AQE (ShuffleVertexManager analog), skew-join (FairShuffleVertexManager

@@ -1,0 +1,60 @@
+"""CLI runner — the TezExampleBase analog (every reference example runs
+via `hadoop jar tez-examples.jar <example> args`,
+tez-examples/.../TezExampleBase.java:230 local-mode entry). Here:
+
+    python -m tez_spark.cli list
+    python -m tez_spark.cli run q05 --sf-dir /root/testdata/sf0.01 --show 10
+    python -m tez_spark.cli explain q08 --sf-dir /root/testdata/sf0.001
+
+One long-lived session per invocation (session mode, SURVEY.md §3.3);
+`run` prints rows, `explain` prints the formatted physical plan for
+shuffle/pushdown inspection.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="tez_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list declared queries")
+
+    for cmd in ("run", "explain"):
+        p = sub.add_parser(cmd)
+        p.add_argument("query", help="query name from the registry")
+        p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+        p.add_argument("--cpus", type=int, default=None)
+        if cmd == "run":
+            p.add_argument("--show", type=int, default=20)
+
+    args = ap.parse_args(argv)
+
+    from tez_spark.plans.registry import all_queries
+
+    queries = all_queries()
+    if args.cmd == "list":
+        for name in sorted(queries):
+            print(name)
+        return 0
+
+    if args.query not in queries:
+        print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+        return 2
+
+    from tez_spark.session import get_spark
+
+    spark = get_spark(app_name=f"tez_spark:{args.query}", cpus=args.cpus)
+    df = queries[args.query](spark, args.sf_dir)
+    if args.cmd == "explain":
+        df.explain("formatted")
+    else:
+        df.show(args.show, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

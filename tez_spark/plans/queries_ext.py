@@ -105,6 +105,18 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("gid", "l_returnflag", "l_linestatus")
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (returnflag, linestatus): all 4 grouping-set levels
+    in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_extendedprice").alias("sum_price"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+    return out.orderBy("gid", "l_returnflag", "l_linestatus")
+
+
 # --- approximate aggregates (gap #3; rows-only — sketch internals differ) --
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,6 +372,13 @@ ORACLE: dict[str, str] = {
                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
         ORDER BY va, vb
     """,
+    "cube": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               SUM(l_extendedprice) AS sum_price,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag, l_linestatus
+    """,
     "set_ops": """
         SELECT op, n FROM (
             SELECT 'intersect' AS op, COUNT(*) AS n FROM (
@@ -399,6 +418,7 @@ QUERIES = {
     "json_extract": q_json_extract,
     "date_funcs": q_date_funcs,
     "rollup": q_rollup,
+    "cube": q_cube,
     "approx_distinct": q_approx_distinct,
     "asof_join": q_asof_join,
     "regex_tokens": q_regex_tokens,
