@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -49,7 +50,15 @@ def main() -> None:
     # first pass pays JVM JIT + codegen compilation per plan shape and is
     # not representative of warm-session throughput (Tez's paper makes the
     # same cold-AM vs warm-session split).
-    runs = int(os.environ.get("TEZ_SPARK_BENCH_RUNS", "2"))
+    # the host shows heavy external CPU steal (load 10-40 with zero local
+    # processes); under observed steal, time each query once instead of
+    # best-of-2 so the whole bench fits any reasonable driver timeout.
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = 0.0
+    default_runs = "1" if load1 > max(4, cpus / 4) else "2"
+    runs = int(os.environ.get("TEZ_SPARK_BENCH_RUNS", default_runs))
     # queries whose first run exceeds this get no repeats, and once the
     # whole bench exceeds its budget everything runs once — bounds total
     # wall-clock on a box with heavy external CPU steal (observed load
@@ -58,6 +67,29 @@ def main() -> None:
     budget_s = float(os.environ.get("TEZ_SPARK_BENCH_BUDGET", "360"))
     bench_start = time.monotonic()
     timings: dict[str, float] = {}
+
+    def emit(partial: bool = False) -> None:
+        total = round(sum(t for t in timings.values() if t >= 0), 3)
+        line = {
+            "metric": "tez_spark_total_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": {
+                n: timings.get(n, -1.0) for n in sorted(queries)
+            },
+            "sf": sf,
+        }
+        if partial:
+            line["partial"] = True
+        print(json.dumps(line), flush=True)
+
+    def on_term(signum, frame):  # killed by a driver timeout: still emit
+        emit(partial=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
     for name in sorted(queries):
         fn = queries[name]
         samples: list[float] = []
@@ -80,14 +112,7 @@ def main() -> None:
             timings[name] = -1.0
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(json.dumps({
-        "metric": "tez_spark_total_wall_clock",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }))
+    emit()
     spark.stop()
 
 

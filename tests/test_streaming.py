@@ -30,6 +30,39 @@ def test_tumbling_stream_matches_batch(spark):
     assert g == w and len(g) > 0
 
 
+def test_stateful_running_totals(spark):
+    """applyInPandasWithState: final per-user state equals the batch
+    aggregate (update-mode memory sink keeps the latest row per key)."""
+    from tez_spark.sources.catalog import load_table
+    from tez_spark.streaming.events import stream_events
+    from tez_spark.streaming.stateful import running_user_totals
+
+    stream = stream_events(spark, SF_DIR)
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_state")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        """SELECT user_id, n_events, total_value FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY n_events DESC) rn FROM t_state) WHERE rn = 1"""
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    want = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
+    g = {(r.user_id, r.n_events, round(r.total_value, 6)) for r in got.collect()}
+    w = {(r.user_id, r.n_events, round(r.total_value, 6)) for r in want.collect()}
+    assert g == w and len(g) > 0
+
+
 def test_session_window_stream_runs(spark):
     from tez_spark.streaming.events import (
         run_to_completion,

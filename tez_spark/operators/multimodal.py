@@ -65,6 +65,72 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload", fake: bool = 
     return df.mapInPandas(proc, DECODE_SCHEMA)
 
 
+FEATURE_BINS = 16
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Payload -> fixed-size feature vector (normalized 16-bin byte
+    histogram — the deterministic stand-in for a real image/audio
+    embedding model). Output array<double> plugs directly into the
+    similarity operators (brute_force_topk / lsh)."""
+    import numpy as np
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf[payload_col]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=FEATURE_BINS).astype(np.float64)
+                total = hist.sum()
+                feats.append((hist / total if total else hist).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return df.mapInPandas(proc, "doc_id long, feature array<double>")
+
+
+def frame_sample(df: DataFrame, n_frames: int = 4, payload_col: str = "payload") -> DataFrame:
+    """Video-style 1->N expansion: sample n byte-range 'frames' per
+    payload (real impl: ffmpeg keyframe extraction). Demonstrates row
+    fan-out inside Arrow batches — output stays partition-local, no
+    shuffle."""
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                b = bytes(p)
+                step = max(len(b) // n_frames, 1)
+                for i in range(n_frames):
+                    chunk = b[i * step : (i + 1) * step]
+                    if not chunk:
+                        break
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(chunk)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(proc, "doc_id long, frame_idx int, frame binary")
+
+
+def resize_image(
+    df: DataFrame, width: int, height: int, payload_col: str = "payload", fake: bool = True
+) -> DataFrame:
+    """Resize stub: real impl is PIL Image.resize; the fake truncates/pads
+    the byte plane to width*height so schema and sizing logic are real."""
+    if not fake:
+        raise NotImplementedError("real resize requires PIL — pass fake=True")
+    target = width * height
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                (bytes(p) + b"\0" * target)[:target] for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "pixels": out})
+
+    return df.mapInPandas(proc, "doc_id long, pixels binary")
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents' text re-encoded as a binary payload column, pushed
     through the decode pipeline. The oracle recomputes the same metadata
