@@ -40,9 +40,14 @@ def main() -> None:
 
     queries = all_queries()
 
-    # warm the JVM/session once (container-reuse analog) on the flagship
+    # warm the JVM/session once (container-reuse analog) on the flagship,
+    # plus one trivial Python stage so the first Pandas-UDF query doesn't
+    # absorb the Python-worker fleet startup.
     try:
         _digest_action(queries["q08"](spark, sf_dir))
+        spark.range(1000).repartition(cpus).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
 
