@@ -105,6 +105,25 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("gid", "l_returnflag", "l_linestatus")
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — arbitrary subtotal combinations in one pass
+    (each-key-alone + grand total here; neither rollup nor cube shape).
+    Completes the grouping-analytics trio (SURVEY.md §2.4: absent in Tez —
+    reference keeps all multi-level aggregation in user processors, e.g.
+    tez-examples/.../OrderedWordCount.java chains separate DAG vertices)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+    return out.orderBy("gid", "l_returnflag", "l_linestatus")
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full cube over (returnflag, linestatus): all 4 grouping-set levels
     in one pass."""
@@ -372,6 +391,14 @@ ORACLE: dict[str, str] = {
                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
         ORDER BY va, vb
     """,
+    "grouping_sets": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               SUM(l_quantity) AS sum_qty,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY gid, l_returnflag, l_linestatus
+    """,
     "cube": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                SUM(l_extendedprice) AS sum_price,
@@ -418,6 +445,7 @@ QUERIES = {
     "json_extract": q_json_extract,
     "date_funcs": q_date_funcs,
     "rollup": q_rollup,
+    "grouping_sets": q_grouping_sets,
     "cube": q_cube,
     "approx_distinct": q_approx_distinct,
     "asof_join": q_asof_join,
