@@ -6,9 +6,22 @@ scalar function library at all — SURVEY.md §2.4; row logic lives in user
 processors): the operations a 100TB training-data pipeline needs over a
 `documents`-shaped table.
 
-Design rule: every function here is a Column -> Column transform so it
-composes with any scan and stays inside whole-stage codegen; the DuckDB
-oracles in text_queries.py mirror the exact same arithmetic.
+Design rules:
+- every function is a Column -> Column transform so it composes with any
+  scan and stays inside whole-stage codegen; the DuckDB oracles in
+  text_queries.py mirror the exact same arithmetic.
+- tokenize ONCE: the `*_of` metric functions take a pre-materialized token
+  array column. Catalyst has no subexpression elimination across lambda
+  scopes, so deriving each metric from its own `tokens(text)` call
+  re-splits the document per metric (~10 splits/row in the round-1
+  text_metrics — the measured hot-path waste). Callers project
+  `tokens(text).alias("_toks")` in its own select stage first; because the
+  alias is referenced more than once by non-cheap expressions,
+  CollapseProject keeps the stage boundary and the split runs once.
+- avoid interpreted higher-order functions where a set/string built-in
+  exists: token-length totals via length(array_join(...)) rather than an
+  F.aggregate lambda (HOF lambdas evaluate interpreted, ~100x slower than
+  codegen for per-element arithmetic).
 """
 
 from __future__ import annotations
@@ -31,12 +44,6 @@ def tokens(text: str | Column) -> Column:
     return F.filter(F.split(text, " "), lambda t: t != "")
 
 
-def token_count(text: str | Column) -> Column:
-    """Token count per document (BPE-ish subword counting is a tokenizer
-    choice; whitespace count is the stable cross-engine baseline)."""
-    return F.size(tokens(text)).cast("long")
-
-
 def char_count(text: str | Column) -> Column:
     return F.length(text).cast("long")
 
@@ -51,37 +58,45 @@ def alpha_ratio(text: str | Column) -> Column:
     )
 
 
-def stopword_count(text: str | Column) -> Column:
+# --- metrics over a pre-materialized token array ---------------------------
+
+def token_count_of(toks: Column) -> Column:
+    """Token count from a materialized token array (BPE-ish subword
+    counting is a tokenizer choice; whitespace count is the stable
+    cross-engine baseline)."""
+    return F.size(toks).cast("long")
+
+
+def stopword_count_of(toks: Column) -> Column:
     """Number of tokens that are function words (case-sensitive: the
-    fixtures are lowercase; keeps the oracle SQL trivially identical)."""
-    toks = tokens(text)
-    stop = F.array(*[F.lit(s) for s in STOPWORDS])
-    return F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("long")
+    fixtures are lowercase; keeps the oracle SQL trivially identical).
+    One interpreted membership filter per row — the only HOF left in the
+    metrics path."""
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
 
 
-def stopword_ratio(text: str | Column) -> Column:
-    n = token_count(text)
-    return F.when(n > 0, stopword_count(text) / n).otherwise(F.lit(0.0))
+def token_char_sum_of(toks: Column) -> Column:
+    """Sum of token lengths, as length(array_join(toks, '')) — pure
+    codegen'd string ops, replacing the interpreted F.aggregate lambda."""
+    return F.length(F.array_join(toks, "")).cast("long")
 
 
-def avg_token_len(text: str | Column) -> Column:
-    toks = tokens(text)
-    total = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    )
-    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+def ratio_of(numer: Column, denom: Column) -> Column:
+    """numer/denom with 0.0 when the denominator is 0 (division of longs
+    yields double in both Spark and the DuckDB oracle)."""
+    return F.when(denom > 0, numer / denom).otherwise(F.lit(0.0))
 
 
-def quality_score(text: str | Column) -> Column:
-    """Composite quality heuristic in [0,1]: rewards function-word density
-    (natural-language-ness) and alphabetic cleanliness, penalizes
-    degenerate token lengths. Weights are arbitrary but fixed — the value
-    is the *pipeline* (filter at scale), not the constants."""
+def quality_score_of(stop_r: Column, alpha_r: Column, avg_tok_len: Column) -> Column:
+    """Composite quality heuristic in [0,1] over already-computed signal
+    columns: rewards function-word density (natural-language-ness) and
+    alphabetic cleanliness, penalizes degenerate token lengths. Weights
+    are arbitrary but fixed — the value is the *pipeline* (filter at
+    scale), not the constants."""
     return (
-        F.least(stopword_ratio(text) * 4.0, F.lit(1.0)) * 0.4
-        + alpha_ratio(text) * 0.4
-        + F.when((avg_token_len(text) >= 3) & (avg_token_len(text) <= 10), 0.2)
-        .otherwise(F.lit(0.0))
+        F.least(stop_r * 4.0, F.lit(1.0)) * 0.4
+        + alpha_r * 0.4
+        + F.when((avg_tok_len >= 3) & (avg_tok_len <= 10), 0.2).otherwise(F.lit(0.0))
     )
 
 

@@ -11,7 +11,7 @@ for language ID) — embarrassingly parallel at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tez_spark.functions import text as X
@@ -27,16 +27,45 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token/char counts and quality signals."""
+    """Per-document token/char counts and quality signals.
+
+    Staged projections: the token array is materialized ONCE, every count
+    derives from it, every ratio derives from the counts, and the quality
+    composite derives from the ratios. Each stage's aliases are referenced
+    more than once downstream, so CollapseProject keeps the boundaries and
+    nothing is recomputed — one split + one stopword filter per document
+    (the round-1 version split each document ~10x; see functions/text.py).
+    """
     docs = load_table(spark, sf_dir, "documents")
-    out = docs.select(
+    toks = F.col("_toks")
+    base = docs.select("doc_id", "text", X.tokens("text").alias("_toks"))
+    counts = base.select(
         "doc_id",
-        X.token_count("text").alias("n_tokens"),
+        X.token_count_of(toks).alias("n_tokens"),
         X.char_count("text").alias("n_chars_m"),
         X.alpha_ratio("text").alias("alpha_r"),
-        X.stopword_ratio("text").alias("stop_r"),
-        X.avg_token_len("text").alias("avg_tok_len"),
-        X.quality_score("text").alias("quality"),
+        X.stopword_count_of(toks).alias("_n_stop"),
+        X.token_char_sum_of(toks).alias("_tok_chars"),
+    )
+    n = F.col("n_tokens")
+    ratios = counts.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_m",
+        "alpha_r",
+        X.ratio_of(F.col("_n_stop"), n).alias("stop_r"),
+        X.ratio_of(F.col("_tok_chars"), n).alias("avg_tok_len"),
+    )
+    out = ratios.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_m",
+        "alpha_r",
+        "stop_r",
+        "avg_tok_len",
+        X.quality_score_of(
+            F.col("stop_r"), F.col("alpha_r"), F.col("avg_tok_len")
+        ).alias("quality"),
     )
     return out.orderBy("doc_id")
 
@@ -70,11 +99,21 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "pred_lang")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("pred_lang"))
+    # argmax by (hits DESC, pred_lang ASC) as a struct-MIN aggregate:
+    # partial-aggregable (map-side combine), no extra shuffle+sort the
+    # row_number window would need.
     best = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "pred_lang", "hits")
+        hits.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("hits")).alias("nh"), F.col("pred_lang"))
+            ).alias("b")
+        )
+        .select(
+            "doc_id",
+            F.col("b.pred_lang").alias("pred_lang"),
+            (-F.col("b.nh")).cast("long").alias("hits"),
+        )
     )
     out = docs.select("doc_id", "lang").join(best, "doc_id", "left").select(
         "doc_id",

@@ -21,6 +21,32 @@ ColumnOrName = Column | str
 
 
 # ---------------------------------------------------------------------------
+# Cache tracking
+# ---------------------------------------------------------------------------
+
+# Persisted intermediates (shingle/band tables) registered here so the next
+# registry run can drop them — a long-lived session (bench loop, notebook)
+# would otherwise accumulate storage until OOM. Unpersist never breaks a
+# plan that still references the DataFrame; it only costs a recompute.
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """persist() with registration for later release_caches()."""
+    _TRACKED_CACHES.append(df.persist())
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every tracked intermediate (call between query runs)."""
+    while _TRACKED_CACHES:
+        try:
+            _TRACKED_CACHES.pop().unpersist()
+        except Exception:
+            pass
+
+
+# ---------------------------------------------------------------------------
 # Row-level (map-side) operators
 # ---------------------------------------------------------------------------
 
@@ -221,9 +247,19 @@ def salted_join(
     when AQE is unavailable (streaming joins).
 
     Cost: right side inflated salt× — keep salt small and the right side
-    the smaller input."""
+    the smaller input. Only inner/left are supported: the replicated right
+    side would emit unmatched right rows salt× under right/full semantics.
+
+    The salt must be independent of row content — hot keys are usually
+    fully-duplicate rows, and a content hash would send them all to one
+    bucket, defeating the mitigation. Any per-row value works for
+    correctness (the right side is replicated to every bucket), so a
+    retry-renumbered monotonically_increasing_id cannot change the join
+    result."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
     l_salted = left.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int")
     )
     r_salted = right.crossJoin(
         F.broadcast(

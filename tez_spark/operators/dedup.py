@@ -131,12 +131,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All near-dup pairs with exact 3-gram Jaccard ≥ 0.8."""
+    from tez_spark.operators.core import release_caches, tracked_persist
+
+    release_caches()
     docs = load_table(spark, sf_dir, "documents")
     # persist: the shingle table feeds the self-join twice plus sizes —
     # without it Spark recomputes the explode+distinct per branch. At
     # 100TB this is "materialize the shingle table once", the standard
-    # pipeline shape.
-    sh = shingles(docs, "doc_id", "text", n=3).persist()
+    # pipeline shape. Tracked so the next registry run unpersists it.
+    sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))
     return _pair_jaccard(sh).filter(F.col("j") >= 0.8).orderBy("da", "db")
 
 
@@ -198,11 +201,12 @@ def lsh_candidates(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
     # persist: the self-join below would otherwise recompute the full
     # signature aggregation for BOTH sides. (id, band, sig) is tiny —
-    # BANDS rows per doc.
-    banded = (
+    # BANDS rows per doc. Tracked for release between registry runs.
+    from tez_spark.operators.core import tracked_persist
+
+    banded = tracked_persist(
         sig.select(F.col(id_col), F.explode(bands).alias("bs"))
         .select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-        .persist()
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -225,8 +229,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses nothing; with 32x4 banding the per-pair miss probability at the
     0.8 threshold is ~5e-8 — the declared oracle is the exact computation.
     """
+    from tez_spark.operators.core import release_caches, tracked_persist
+
+    release_caches()
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs, "doc_id", "text", n=3).persist()  # reused 4x below
+    sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))  # reused 4x below
     cand = lsh_candidates(minhash_signatures(sh))
     return _verify_pairs(cand, sh).filter(F.col("j") >= 0.8).orderBy("da", "db")
 

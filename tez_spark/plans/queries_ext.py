@@ -342,7 +342,7 @@ ORACLE: dict[str, str] = {
     """,
     "json_extract": """
         SELECT event_type, COUNT(*) AS n,
-               SUM(CAST(props ->> '$.k' AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
                MAX(CAST(props ->> '$.k' AS BIGINT)) AS max_k
         FROM events GROUP BY 1 ORDER BY 1
     """,

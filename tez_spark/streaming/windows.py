@@ -50,12 +50,12 @@ def sessionize(
     (the classic secondary-sort pattern, SecondarySort.java:54-148,
     expressed as window functions)."""
     w_order = Window.partitionBy(key_col).orderBy(ts_col, "event_id")
-    gap_s = gap_minutes * 60
-    is_new = F.when(
-        F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w_order)
-        > gap_s,
-        1,
-    ).otherwise(0)
+    # Compare in MICROseconds (unix_micros), matching the oracle's epoch_us
+    # arithmetic exactly — a seconds cast would misclassify sub-second
+    # overshoots of the gap boundary.
+    gap_us = gap_minutes * 60 * 1_000_000
+    ts_us = F.unix_micros(F.col(ts_col))
+    is_new = F.when(ts_us - F.lag(ts_us).over(w_order) > gap_us, 1).otherwise(0)
     # first event per key: lag is null -> otherwise(0); cumulative sum
     # starts sessions at 0.
     return df.withColumn(
