@@ -1,7 +1,8 @@
 """Property test: asof_join matches pandas.merge_asof on random inputs
 (the reference's JoinDataGen/JoinValidate self-validating-pair idea —
 JoinDataGen.java / JoinValidate.java:58 — applied to the one operator we
-composed by hand)."""
+composed by hand). Covers left-join semantics: unmatched left rows keep
+null right columns, exactly as merge_asof keeps NaN."""
 
 from __future__ import annotations
 
@@ -21,11 +22,11 @@ ROW = st.tuples(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
-    left=st.lists(ROW, min_size=1, max_size=25, unique=True),
-    right=st.lists(ROW, min_size=1, max_size=25, unique=True),
+    left=st.lists(ROW, min_size=1, max_size=60, unique=True),
+    right=st.lists(ROW, min_size=1, max_size=60, unique=True),
 )
 def test_asof_matches_pandas(spark, left, right):
-    from tez_spark.plans.queries_ext import asof_join
+    from tez_spark.operators.core import asof_join
 
     ldf = spark.createDataFrame(
         [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, lts long"
@@ -48,9 +49,33 @@ def test_asof_matches_pandas(spark, left, right):
         lpd, rpd, left_on="lts", right_on="rts", by="k", direction="backward"
     )
     want = {
-        (int(r.lid), int(r.rts)) for r in m.itertuples() if pd.notna(r.rts)
+        (int(r.lid), int(r.rts) if pd.notna(r.rts) else None)
+        for r in m.itertuples()
     }
-    # ties on rts within a key: merge_asof takes the last row, our window
-    # argmax takes row_number 1 by ts desc (arbitrary among equal ts) —
-    # compare on (lid, rts) which is invariant to that choice.
+    # left semantics: every left row appears exactly once, unmatched with
+    # null rts. (lid, rts) is invariant to tie-breaks among equal rts.
     assert got == want
+
+
+def test_asof_inner_drops_unmatched(spark):
+    from tez_spark.operators.core import asof_join
+
+    ldf = spark.createDataFrame([(0, 1, 10), (1, 1, 5), (2, 2, 7)],
+                                "lid long, k long, lts long")
+    rdf = spark.createDataFrame([(100, 1, 8)], "rid long, k long, rts long")
+    rows = asof_join(ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+                     how="inner").collect()
+    assert [(r.lid, r.rid) for r in rows] == [(0, 100)]
+
+
+def test_asof_no_join_blowup_plan(spark):
+    """The plan must contain no join node at all — union + single window.
+    (Round 1 joined on the key alone, materializing per-key cross
+    products before the window pruned them.)"""
+    from tez_spark.operators.core import asof_join
+
+    ldf = spark.range(10).selectExpr("id AS lid", "id % 3 AS k", "id AS lts")
+    rdf = spark.range(10).selectExpr("id AS rid", "id % 3 AS k", "id * 2 AS rts")
+    plan = asof_join(ldf, rdf, on="k", left_ts="lts", right_ts="rts")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" in plan

@@ -17,3 +17,57 @@ def test_lsh_recall_vs_brute_force(spark):
     # 4 tables x 8 planes on random 64-dim data: generous floor; the point
     # is the pipeline shape, tuning comes from table/plane counts.
     assert recall >= 0.3, f"LSH recall collapsed: {recall:.2f}"
+
+
+def test_all_pairs_cosine_matches_numpy(spark):
+    """Block-pair matmul (multiple blocks forced) vs a local numpy
+    all-pairs truth — exactness of the distributed exact path."""
+    import numpy as np
+
+    from tez_spark.operators.similarity import all_pairs_cosine
+
+    rng = np.random.RandomState(7)
+    n, dim = 300, 16
+    M = rng.standard_normal((n, dim))
+    df = spark.createDataFrame(
+        [(i, M[i].tolist()) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r.va, r.vb): r.sim
+        for r in all_pairs_cosine(df, threshold=0.5, block_rows=64).collect()
+    }
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    want = {
+        (i, j): S[i, j]
+        for i in range(n)
+        for j in range(i + 1, n)
+        if S[i, j] >= 0.5
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9
+
+
+def test_dedup_embedding_lsh_finds_planted_dups(spark):
+    """Planted near-dups (cosine ≈ 0.99) must be recovered by the LSH
+    candidate path: per-pair miss probability at cos≈0.99 is ~1e-6 with
+    8 tables x 4 planes, so an exact-recovery assertion is stable."""
+    import numpy as np
+
+    from tez_spark.operators.similarity import dedup_embedding_lsh
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((40, 64))
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    planted = set()
+    for k in range(5):  # ids 100.. are jittered copies of 0..4
+        dup = base[k] + 0.01 * rng.standard_normal(64)
+        rows.append((100 + k, dup.tolist()))
+        planted.add((k, 100 + k))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.va, r.vb)
+        for r in dedup_embedding_lsh(df, threshold=0.9, dim=64).collect()
+    }
+    assert planted <= got, f"missed planted dups: {planted - got}"

@@ -270,6 +270,79 @@ def salted_join(
     return out.drop("_salt")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    how: str = "left",
+) -> DataFrame:
+    """As-of join, pd.merge_asof(direction='backward') semantics: each left
+    row gains the right row with the same key and the greatest
+    right_ts <= left_ts (all right columns carried; null-filled when no
+    such row and how='left'; 'inner' drops unmatched lefts).
+
+    Union-merge plan — no per-key cross product: tag both sides, union,
+    ONE shuffle on the key, one sort by (ts, side, payload), then a
+    running last-non-null carry of the right row packed as a struct.
+    A hot key costs a single sorted partition pass; the round-1
+    join-then-window formulation materialized events-per-key² intermediate
+    rows before pruning (the classic skew bomb at 100TB scale).
+
+    Deterministic without synthetic row ids: right rows tied on right_ts
+    resolve by the packed-struct ordering (argmax over the remaining
+    columns); equal left rows all see the same carried prefix. Nothing
+    depends on monotonically_increasing_id, so task retries cannot
+    renumber rows mid-query.
+
+    No Tez analog (reference joins are hash/merge equi-joins only,
+    HashJoinExample.java:143, SortMergeJoinExample.java:220) — this is
+    extension capability for telemetry/market-data enrichment.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join supports left/inner, got {how!r}")
+    carried = [c for c in right.columns if c != on]
+    clash = set(carried) & set(left.columns)
+    if clash:
+        raise ValueError(f"rename right columns colliding with left: {sorted(clash)}")
+    payload = F.struct(F.col(right_ts), *[F.col(c) for c in carried if c != right_ts])
+    payload_type = right.select(payload.alias("_p")).schema["_p"].dataType
+
+    l_cols = [c for c in left.columns]
+    l_sel = left.select(
+        *l_cols,
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(payload_type).alias("_rp"),
+    )
+    r_sel = right.select(
+        *[
+            (F.col(on) if c == on else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in l_cols
+        ],
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        payload.alias("_rp"),
+    )
+
+    u = l_sel.unionByName(r_sel)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ats", "_side", "_rp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = u.withColumn("_m", F.last("_rp", ignorenulls=True).over(w)).filter(
+        F.col("_side") == 1
+    )
+    if how == "inner":
+        matched = matched.filter(F.col("_m").isNotNull())
+    out_cols = [F.col(c) for c in l_cols] + [
+        F.col(f"_m.{c}").alias(c) for c in [right_ts] + [c for c in carried if c != right_ts]
+    ]
+    return matched.select(*out_cols)
+
+
 def cross_join(
     left: DataFrame, right: DataFrame, theta: Column | None = None
 ) -> DataFrame:

@@ -205,6 +205,154 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def all_pairs_cosine(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 2048,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via distributed block-pair
+    matmul — NO driver-side collect of the corpus (the round-1 version
+    broadcast the whole embedding matrix from the driver: O(N) driver
+    memory, dead at 100TB before the job starts).
+
+    Plan: hash rows into nb = ceil(N/block_rows) blocks; each row is
+    replicated to the nb unordered block-pair groups it belongs to; each
+    group task holds exactly two blocks (bounded memory: 2·block_rows·dim
+    doubles) and scores them with one BLAS matmul, emitting only
+    above-threshold (va < vb) pairs.
+
+    Honest scale note: exact all-pairs is inherently O(N²) compute and
+    O(N·nb) shuffle — that is the operator's contract, distributed with
+    bounded task memory. The sublinear 100TB path is LSH candidate
+    generation + exact re-rank on candidates only (dedup_embedding_lsh /
+    q_ann_lsh below); this exact form is the oracle-verifiable truth and
+    the right tool up to ~10⁶ vectors."""
+    import pandas as pd
+
+    n = df.count()  # scalar aggregate, not a data collect
+    nb = max(1, -(-n // block_rows))
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        as_double(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int").alias("_b"),
+    )
+    keys = F.array(
+        *[
+            F.struct(
+                F.least(F.col("_b"), F.lit(x)).alias("p1"),
+                F.greatest(F.col("_b"), F.lit(x)).alias("p2"),
+            )
+            for x in range(nb)
+        ]
+    )
+    exploded = v.select("_id", "_v", "_b", F.explode(keys).alias("_pk")).select(
+        "_id",
+        "_v",
+        "_b",
+        F.col("_pk.p1").alias("_p1"),
+        F.col("_pk.p2").alias("_p2"),
+    )
+
+    def _norm_rows(pdf):
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
+        return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+
+    def score_pair(key, pdf):
+        i, j = int(key[0]), int(key[1])
+        a_pdf = pdf[pdf["_b"] == i]
+        ids_a = a_pdf["_id"].to_numpy()
+        An = _norm_rows(a_pdf)
+        if i == j:
+            S = An @ An.T
+            mask = (S >= threshold) & (ids_a[:, None] < ids_a[None, :])
+            r, c = np.nonzero(mask)
+            va, vb, sim = ids_a[r], ids_a[c], S[r, c]
+        else:
+            b_pdf = pdf[pdf["_b"] == j]
+            ids_b = b_pdf["_id"].to_numpy()
+            Bn = _norm_rows(b_pdf)
+            S = An @ Bn.T
+            r, c = np.nonzero(S >= threshold)
+            va = np.minimum(ids_a[r], ids_b[c])
+            vb = np.maximum(ids_a[r], ids_b[c])
+            sim = S[r, c]
+        return pd.DataFrame({"va": va, "vb": vb, "sim": sim}).astype(
+            {"va": "int64", "vb": "int64", "sim": "float64"}
+        )
+
+    return exploded.groupBy("_p1", "_p2").applyInPandas(
+        score_pair, "va long, vb long, sim double"
+    )
+
+
+def dedup_embedding_lsh(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via LSH candidates + exact re-rank — the
+    sublinear 100TB path (probabilistic recall; the exact truth is
+    all_pairs_cosine above).
+
+    Candidates: random-hyperplane signatures self-joined on
+    (table, signature) — shuffle keys are ~uniform sign patterns, per
+    bucket work bounded. Re-rank: candidate ids joined back to their
+    vectors (two shuffles of the candidate set only), then one vectorized
+    row-wise cosine per Arrow batch. No driver collect, no broadcast of
+    the corpus."""
+    import pandas as pd
+
+    sig = lsh_signatures(df, dim, id_col=id_col, vec_col=vec_col)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("va"), F.col(f"b.{id_col}").alias("vb")
+        )
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    joined = (
+        cand.join(vecs.select(F.col(id_col).alias("va"), F.col("_v").alias("_va")), "va")
+        .join(vecs.select(F.col(id_col).alias("vb"), F.col("_v").alias("_vb")), "vb")
+    )
+
+    def rescore(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_va"]])
+            B = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_vb"]])
+            An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+            Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+            sims = np.einsum("ij,ij->i", An, Bn)
+            yield pd.DataFrame(
+                {"va": pdf["va"], "vb": pdf["vb"], "sim": sims}
+            ).astype({"va": "int64", "vb": "int64", "sim": "float64"})
+
+    scored = joined.mapInPandas(rescore, "va long, vb long, sim double")
+    return scored.filter(F.col("sim") >= threshold)
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-candidate near-dup pairs at cosine ≥ 0.45 — rows-only check
+    (probabilistic recall; exact recall asserted against planted near-dups
+    in tests/test_similarity.py). Deterministic output: hyperplanes are
+    seed-fixed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup_embedding_lsh(emb, threshold=0.45, dim=64).orderBy("va", "vb")
+
+
 ORACLE: dict[str, str] = {
     "ann_topk": f"""
         WITH q AS (
@@ -233,4 +381,5 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
 }

@@ -148,47 +148,32 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- as-of join (custom operator — composed, SURVEY.md §7) -----------------
-
-def asof_join(
-    left: DataFrame,
-    right: DataFrame,
-    on: str,
-    left_ts: str,
-    right_ts: str,
-) -> DataFrame:
-    """For each left row, the latest right row with the same key and
-    right_ts <= left_ts (pd.merge_asof semantics, composed from built-ins:
-    equi-join on key + window argmax).
-
-    Scale note: the equi-join shuffles both sides on the key once; the
-    window then sorts within key partitions. For dense time-series where
-    key⨯time blowup bites, bucketize right_ts and join on (key, bucket)
-    first — same plan shape, bounded fan-out."""
-    lw = left.withColumn("_lid", F.monotonically_increasing_id())
-    j = lw.join(right, on=[on], how="left").filter(
-        F.col(right_ts) <= F.col(left_ts)
-    )
-    w = Window.partitionBy("_lid").orderBy(F.desc(right_ts))
-    latest = j.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-    return latest.drop("_rn", "_lid")
-
+# --- as-of join (custom operator — union-merge, operators/core.py) ---------
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per user: each event joined to the latest prior event (self as-of),
-    yielding inter-event gap seconds — the classic telemetry enrichment."""
+    """Per purchase event: the latest click by the same user at or before
+    the purchase (the classic attribution/telemetry enrichment), with the
+    click→purchase gap in seconds; purchases with no prior click keep null
+    prior columns (left-asof semantics).
+
+    Disjoint left/right streams from one scan (event_type split), so there
+    is no self-row to exclude; ties on (user, ts) resolve deterministically
+    by prior_id DESC in both engines."""
+    from tez_spark.operators.core import asof_join
+
     ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    # self as-of via lag is the degenerate case; use the generic operator
-    # against a renamed copy to exercise the join path.
-    prior = ev.select(
-        F.col("user_id"),
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
         F.col("ts").alias("prior_ts"),
         F.col("event_id").alias("prior_id"),
     )
-    j = asof_join(ev, prior, on="user_id", left_ts="ts", right_ts="prior_ts")
-    out = j.filter(F.col("prior_id") != F.col("event_id")).select(
+    j = asof_join(purchases, clicks, on="user_id", left_ts="ts", right_ts="prior_ts")
+    out = j.select(
         "event_id",
         "prior_id",
         (F.col("ts").cast("long") - F.col("prior_ts").cast("long")).alias("gap_s"),
@@ -277,45 +262,15 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- embedding-cosine near-dup (prompt: dedup family) ----------------------
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All embedding pairs with cosine >= 0.45 — exact all-pairs at oracle
-    scale (the fixtures have no planted high-cosine dups; 0.45 sits above
-    the random-pair bulk). Numpy matmul per Arrow batch against the
-    broadcast corpus matrix: each partition scores rows x corpus in one
-    BLAS call and emits only above-threshold (va < vb) pairs. The 100TB
-    path for this operator is ann_lsh's bucketed candidates + this exact
-    verification on candidates only."""
-    import numpy as np
-    import pandas as pd
-
-    from tez_spark.functions.vectors import as_double
-    from tez_spark.operators.core import fan_out
+    """All embedding pairs with cosine >= 0.45 — exact, via distributed
+    block-pair matmul (operators/similarity.all_pairs_cosine). No driver
+    collect, no corpus broadcast: bounded per-task memory at any N. The
+    sublinear 100TB path is dedup_embedding_lsh (candidates + re-rank);
+    this exact form is the DuckDB-verifiable truth."""
+    from tez_spark.operators.similarity import all_pairs_cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
-    rows = emb.select("vec_id", as_double("embedding").alias("v")).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-    bcast = spark.sparkContext.broadcast((ids, Mn))
-    threshold = 0.45
-
-    a = fan_out(emb.select(F.col("vec_id").alias("va"), as_double("embedding").alias("v")))
-
-    def pair_scan(batches):
-        ids_, Mn_ = bcast.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-            An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
-            S = An @ Mn_.T  # batch_rows x corpus
-            va = pdf["va"].to_numpy()
-            r, c = np.nonzero((S >= threshold) & (va[:, None] < ids_[None, :]))
-            yield pd.DataFrame(
-                {"va": va[r], "vb": ids_[c], "sim": S[r, c]}
-            ).astype({"va": "int64", "vb": "int64", "sim": "float64"})
-
-    pairs = a.mapInPandas(pair_scan, "va long, vb long, sim double")
-    return pairs.orderBy("va", "vb")
+    return all_pairs_cosine(emb, threshold=0.45).orderBy("va", "vb")
 
 
 ORACLE: dict[str, str] = {
@@ -360,16 +315,22 @@ ORACLE: dict[str, str] = {
         ORDER BY gid, l_returnflag, l_linestatus
     """,
     "asof_join": """
-        WITH j AS (
-            SELECT e.event_id, p.event_id AS prior_id, e.ts, p.ts AS prior_ts,
-                   ROW_NUMBER() OVER (PARTITION BY e.event_id
-                                      ORDER BY p.ts DESC) AS rn
-            FROM events e JOIN events p
-              ON e.user_id = p.user_id AND p.ts <= e.ts
+        WITH p AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ), c AS (
+            SELECT event_id AS prior_id, user_id, ts AS prior_ts FROM events
+            WHERE event_type = 'click'
+        ), j AS (
+            SELECT p.event_id, c.prior_id, p.ts, c.prior_ts,
+                   ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                      ORDER BY c.prior_ts DESC, c.prior_id DESC) AS rn
+            FROM p LEFT JOIN c
+              ON p.user_id = c.user_id AND c.prior_ts <= p.ts
         )
         SELECT event_id, prior_id,
                epoch_us(ts) // 1000000 - epoch_us(prior_ts) // 1000000 AS gap_s
-        FROM j WHERE rn = 1 AND prior_id <> event_id
+        FROM j WHERE rn = 1
         ORDER BY event_id
     """,
     "regex_tokens": """
