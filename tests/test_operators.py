@@ -57,6 +57,56 @@ def test_dag_facade_union_group(spark):
     assert out.count() == n_o + n_c
 
 
+def test_dag_mixed_broadcast_and_one_to_one(spark):
+    """Both movement kinds composed in ONE DAG
+    (BroadcastAndOneToOneExample.java:58 shape): a one-to-one narrow
+    pipeline into the joiner plus a broadcast dim edge into the same
+    joiner. Asserts the broadcast edge becomes a BroadcastHashJoin and the
+    result matches the plain declarative equivalent."""
+    from tez_spark.plans import DAGBuilder, DataMovement
+    from tez_spark.sources.catalog import load_table
+
+    dag = DAGBuilder("bcast_one_to_one")
+    dag.add_vertex(
+        "suppliers",
+        source=lambda s: load_table(s, SF_DIR, "supplier"),
+    )
+    # ONE_TO_ONE consumer: narrow per-partition transform, no exchange
+    dag.add_vertex(
+        "normalize",
+        processor=lambda dfs: dfs[0].select(
+            "s_suppkey", "s_nationkey", F.upper(F.col("s_name")).alias("s_name_u")
+        ),
+    )
+    dag.add_vertex(
+        "nations",
+        source=lambda s: load_table(s, SF_DIR, "nation").select(
+            "n_nationkey", "n_name"
+        ),
+    )
+    dag.add_vertex(
+        "joiner",
+        processor=lambda dfs: dfs[0].join(
+            dfs[1], dfs[0].s_nationkey == dfs[1].n_nationkey
+        ).select("s_suppkey", "s_name_u", "n_name"),
+    )
+    dag.add_edge("suppliers", "normalize", DataMovement.ONE_TO_ONE)
+    dag.add_edge("normalize", "joiner", DataMovement.ONE_TO_ONE)
+    dag.add_edge("nations", "joiner", DataMovement.BROADCAST)
+    got = dag.build(spark)["joiner"]
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # 1-1 edges stay narrow
+
+    sup = load_table(spark, SF_DIR, "supplier")
+    nation = load_table(spark, SF_DIR, "nation")
+    want = sup.join(nation, sup.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey", F.upper(F.col("s_name")).alias("s_name_u"), "n_name"
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
 def test_dag_cycle_detection(spark):
     from tez_spark.plans import DAGBuilder, DataMovement
 

@@ -52,6 +52,44 @@ def test_text_scan(spark):
         assert df.count() == 2
 
 
+def test_sequencefile_roundtrip(spark):
+    """SequenceFile write->scan round-trip (the literal MRInput.java:87
+    contract: Hadoop container formats beyond the DataSource set)."""
+    from tez_spark.sources import scan_sequencefile, write_sequencefile
+    from tez_spark.sources.catalog import load_table
+
+    nation = load_table(spark, SF_DIR, "nation").select(
+        F.col("n_nationkey").cast("long"), F.col("n_name")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "nation_seq")
+        write_sequencefile(nation, p)
+        back = scan_sequencefile(spark, p, key_col="k", value_col="v")
+        assert back.columns == ["k", "v"]
+        assert {(r.k, r.v) for r in back.collect()} == {
+            tuple(r) for r in nation.collect()
+        }
+
+
+def test_generic_hadoop_inputformat_scan(spark):
+    """newAPIHadoopFile bridge over TextInputFormat — the any-InputFormat
+    escape hatch; (key=byte offset, value=line)."""
+    from tez_spark.sources import scan_hadoop_file
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "lines.txt")
+        with open(p, "w") as f:
+            f.write("alpha\nbeta\n")
+        df = scan_hadoop_file(
+            spark,
+            p,
+            "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+            "org.apache.hadoop.io.LongWritable",
+            "org.apache.hadoop.io.Text",
+        )
+        assert sorted(r.value for r in df.collect()) == ["alpha", "beta"]
+
+
 def test_multiple_committed_outputs(spark):
     """One plan, several committed sinks (MultipleCommitsExample.java;
     DAG-level commit ≙ independent df.write actions sharing lineage)."""

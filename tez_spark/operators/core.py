@@ -405,6 +405,59 @@ def top_k_per_group(
 
 
 # ---------------------------------------------------------------------------
+# Test/load utilities (reference tier-3 test corpus parity)
+# ---------------------------------------------------------------------------
+
+def sleep_map(df: DataFrame, seconds: float) -> DataFrame:
+    """Synthetic per-task load: pass rows through after sleeping once per
+    task (SleepProcessor parity, tez-runtime-library/.../processor/
+    SleepProcessor.java:47 — Tez's utility for scheduling/speculation
+    experiments). Use in fault-tolerance/speculation tests and bench
+    calibration; never in a real pipeline."""
+    import time
+
+    schema = df.schema
+
+    def fn(batches):
+        time.sleep(seconds)
+        yield from batches
+
+    return df.mapInPandas(fn, schema)
+
+
+def flaky_once(df: DataFrame, marker_dir: str, fail_partition: int = 0) -> DataFrame:
+    """Fault-injection passthrough: the task for `fail_partition` raises on
+    its FIRST attempt and succeeds on retry — the Spark translation of the
+    reference's failure-injecting TestProcessor/TestInput corpus
+    (tez-tests/src/test/java/org/apache/tez/test/TestFaultTolerance.java:67,
+    TestProcessor.java). Requires a master with task retries
+    (local[N,F], F>=2, or any real cluster where spark.task.maxFailures
+    defaults to 4). Each attempt drops a marker file p{partition}_a{attempt}
+    in marker_dir so tests can assert a retry actually happened.
+
+    Determinism-under-retry is the property being verified: every operator
+    in this engine recomputes identical partitions on retry (no
+    monotonically_increasing_id / rand in any declared query path)."""
+    import os as _os
+
+    schema = df.schema
+
+    def fn(batches):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid, att = ctx.partitionId(), ctx.attemptNumber()
+        _os.makedirs(marker_dir, exist_ok=True)
+        with open(_os.path.join(marker_dir, f"p{pid}_a{att}"), "w"):
+            pass
+        if pid == fail_partition and att == 0:
+            raise RuntimeError("injected fault (TestFaultTolerance parity)")
+        yield from batches
+
+    return df.mapInPandas(fn, schema)
+
+
+# ---------------------------------------------------------------------------
 # Processor escape hatch
 # ---------------------------------------------------------------------------
 

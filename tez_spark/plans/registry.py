@@ -51,6 +51,7 @@ def _extension_modules():
         "tez_spark.functions.text_queries",
         "tez_spark.operators.multimodal",
         "tez_spark.streaming.windows",
+        "tez_spark.observability",
     ):
         try:
             mods.append(__import__(name, fromlist=["QUERIES"]))

@@ -57,19 +57,21 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_confs: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Create (or get) the engine session.
 
     local[N] for tests/bench; on a real cluster, master/resource configs
-    come from spark-submit and everything here still applies.
-    """
+    come from spark-submit and everything here still applies. Pass
+    master='local[N,F]' to allow F task attempts (fault-tolerance tests;
+    plain local mode fails the job on first task failure)."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 4)
 
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # local mode: driver heap is the only memory knob; undersizing it

@@ -20,9 +20,12 @@ from tez_spark.sources.catalog import (  # noqa: F401
 )
 from tez_spark.sources.io import (  # noqa: F401
     scan_csv,
+    scan_hadoop_file,
     scan_json,
     scan_parquet,
+    scan_sequencefile,
     scan_text,
     write_parquet,
     write_partitioned,
+    write_sequencefile,
 )

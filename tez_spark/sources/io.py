@@ -50,6 +50,52 @@ def scan_json(spark: SparkSession, path: str, schema: T.StructType | None = None
     return reader.json(path)
 
 
+def scan_sequencefile(
+    spark: SparkSession,
+    path: str,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """SequenceFile scan — the literal MRInput contract beyond the
+    DataSource formats (MRInput.java:87 reads any InputFormat;
+    SequenceFileInputFormat is the classic Hadoop container). Writables
+    are converted to Python types by sc.sequenceFile, then promoted to a
+    DataFrame. Split generation/packing is the Hadoop InputFormat's —
+    the same machinery MRInputAMSplitGenerator drives.
+
+    RDD-based by necessity (no DataSourceV2 for SequenceFile in OSS
+    Spark); convert to DataFrame immediately so everything downstream is
+    Catalyst-optimized."""
+    rdd = spark.sparkContext.sequenceFile(path)
+    return spark.createDataFrame(rdd, [key_col, value_col])
+
+
+def scan_hadoop_file(
+    spark: SparkSession,
+    path: str,
+    input_format_class: str,
+    key_class: str,
+    value_class: str,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Generic InputFormat bridge (newAPIHadoopFile) — arbitrary
+    mapreduce InputFormats, the full MRInput.java:87 surface. Use for
+    formats with no Spark DataSource; expect Writable->Python conversion
+    cost, and prefer a columnar format at scale."""
+    rdd = spark.sparkContext.newAPIHadoopFile(
+        path, input_format_class, key_class, value_class
+    )
+    return spark.createDataFrame(rdd, [key_col, value_col])
+
+
+def write_sequencefile(df: DataFrame, path: str) -> None:
+    """SequenceFile sink: first two columns become (key, value)
+    Writables (MROutput over SequenceFileOutputFormat)."""
+    cols = df.columns[:2]
+    df.select(*cols).rdd.map(tuple).saveAsSequenceFile(path)
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Leaf output + commit (MROutput; two-phase commit handled by the
     Hadoop committer inside df.write — MROutputCommitter.java:99)."""
