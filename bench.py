@@ -51,27 +51,33 @@ def main() -> None:
     except Exception:
         pass
 
-    # BASELINE.md convention: run each query 3x, report the median — the
-    # first pass pays JVM JIT + codegen compilation per plan shape and is
-    # not representative of warm-session throughput (Tez's paper makes the
-    # same cold-AM vs warm-session split).
-    # the host shows heavy external CPU steal (load 10-40 with zero local
-    # processes); under observed steal, time each query once instead of
-    # best-of-2 so the whole bench fits any reasonable driver timeout.
-    try:
-        load1 = os.getloadavg()[0]
-    except OSError:
-        load1 = 0.0
-    default_runs = "1" if load1 > max(4, cpus / 4) else "2"
+    # Steal-aware sampling protocol (BASELINE.md convention is 3x-median;
+    # this host shows external CPU steal spikes of 10-40x with zero local
+    # processes, so the sample count adapts to the load the box is under
+    # when the bench starts, and the JSON records per-query sample counts
+    # + the loadavg window so a contaminated run is visible as data):
+    # - idle (load1 < 4): 3 samples, median.
+    # - moderate: 2 samples, best (min) — the less-contaminated one.
+    # - heavy steal: 1 sample; the loadavg field flags the number as dirty.
+    # A query whose FIRST sample exceeds the slow cutoff gets at most one
+    # repeat, and once the global budget is spent everything runs once —
+    # bounds total wall-clock against any driver timeout.
+    def _load1() -> float:
+        try:
+            return os.getloadavg()[0]
+        except OSError:
+            return 0.0
+
+    load_start = _load1()
+    default_runs = "1" if load_start > max(8, cpus / 2) else (
+        "2" if load_start > 4 else "3"
+    )
     runs = int(os.environ.get("TEZ_SPARK_BENCH_RUNS", default_runs))
-    # queries whose first run exceeds this get no repeats, and once the
-    # whole bench exceeds its budget everything runs once — bounds total
-    # wall-clock on a box with heavy external CPU steal (observed load
-    # spikes of 10-40x with zero local processes).
     slow_cutoff = float(os.environ.get("TEZ_SPARK_BENCH_SLOW_CUTOFF", "5.0"))
     budget_s = float(os.environ.get("TEZ_SPARK_BENCH_BUDGET", "360"))
     bench_start = time.monotonic()
     timings: dict[str, float] = {}
+    n_samples: dict[str, int] = {}
 
     def emit(partial: bool = False) -> None:
         total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -82,6 +88,9 @@ def main() -> None:
             "queries": {
                 n: timings.get(n, -1.0) for n in sorted(queries)
             },
+            "samples": {n: n_samples.get(n, 0) for n in sorted(queries)},
+            "loadavg": [round(load_start, 2), round(_load1(), 2)],
+            "runs_policy": runs,
             "sf": sf,
         }
         if partial:
@@ -99,22 +108,23 @@ def main() -> None:
         fn = queries[name]
         samples: list[float] = []
         try:
-            for _ in range(runs):
+            for i in range(runs):
+                if i > 0 and time.monotonic() - bench_start > budget_s:
+                    break
+                if i > 1 and samples[0] > slow_cutoff:
+                    break  # slow query: cap at 2 samples
                 t0 = time.monotonic()
                 _digest_action(fn(spark, sf_dir))
                 samples.append(time.monotonic() - t0)
-                if samples[0] > slow_cutoff:
-                    break
-                if time.monotonic() - bench_start > budget_s:
-                    break
-            # best-of-N: least contaminated by external load; with 3+
-            # samples the median is the conventional pick.
+            # median for 3+, best-of-2 otherwise (least steal-contaminated)
             samples.sort()
             timings[name] = round(
                 samples[0] if len(samples) <= 2 else samples[len(samples) // 2], 3
             )
+            n_samples[name] = len(samples)
         except Exception as exc:  # never let one query kill the bench line
             timings[name] = -1.0
+            n_samples[name] = len(samples)
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
 
     emit()

@@ -51,8 +51,7 @@ def _status_store(spark: SparkSession):
     return spark.sparkContext._jsc.sc().statusStore()
 
 
-def _stage_list(spark: SparkSession) -> list[dict[str, Any]]:
-    """All stages the application has run, as plain dicts."""
+def _iter_stages(spark: SparkSession):
     sc = spark.sparkContext
     jvm = sc._jvm
     store = _status_store(spark)
@@ -60,38 +59,49 @@ def _stage_list(spark: SparkSession) -> list[dict[str, Any]]:
     stages = store.stageList(
         jvm.java.util.ArrayList(), False, False, quantiles, jvm.java.util.ArrayList()
     )
-    out = []
     it = stages.iterator()
     while it.hasNext():
-        sd = it.next()
-        row: dict[str, Any] = {
-            "stage_id": sd.stageId(),
-            "attempt_id": sd.attemptId(),
-            "status": str(sd.status()),
-            "name": sd.name(),
-        }
+        yield it.next()
+
+
+def _stage_row(sd, with_fields: bool = True) -> dict[str, Any]:
+    row: dict[str, Any] = {
+        "stage_id": sd.stageId(),
+        "attempt_id": sd.attemptId(),
+        "status": str(sd.status()),
+        "name": sd.name(),
+    }
+    if with_fields:
         for field, counter in _COUNTER_FIELDS:
             row[counter] = int(getattr(sd, field)())
-        out.append(row)
-    return out
+    return row
+
+
+def _stage_list(spark: SparkSession) -> list[dict[str, Any]]:
+    """All stages the application has run, as plain dicts."""
+    return [_stage_row(sd) for sd in _iter_stages(spark)]
 
 
 def capture(spark: SparkSession, fn: Callable[[], Any]) -> tuple[Any, dict[str, int]]:
     """Run fn() and return (result, counters) where counters aggregates
     the TaskCounter-flavored metrics over exactly the stages fn executed
-    (stage ids are append-only, so a before/after id diff is exact)."""
-    before = {(s["stage_id"], s["attempt_id"]) for s in _stage_list(spark)}
+    (stage ids are append-only, so a before/after id diff is exact).
+
+    Py4J round-trips are the cost here, so the before-snapshot reads only
+    stage ids and the after-pass extracts metric fields for NEW stages
+    only — capture stays cheap in a long-lived session with a large
+    retained-stage history."""
+    before = {(sd.stageId(), sd.attemptId()) for sd in _iter_stages(spark)}
     result = fn()
     counters: dict[str, int] = {name: 0 for _, name in _COUNTER_FIELDS}
-    stages = [
-        s
-        for s in _stage_list(spark)
-        if (s["stage_id"], s["attempt_id"]) not in before
-    ]
-    for s in stages:
-        for _, name in _COUNTER_FIELDS:
-            counters[name] += s[name]
-    counters["NUM_STAGES"] = len(stages)
+    n_new = 0
+    for sd in _iter_stages(spark):
+        if (sd.stageId(), sd.attemptId()) in before:
+            continue
+        n_new += 1
+        for field, name in _COUNTER_FIELDS:
+            counters[name] += int(getattr(sd, field)())
+    counters["NUM_STAGES"] = n_new
     return result, counters
 
 

@@ -30,7 +30,13 @@ from tez_spark.sources.catalog import load_table
 # ---------------------------------------------------------------------------
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, sh).
+    """Distinct word n-gram shingles per document: (id, sh) with sh a
+    64-bit xxhash of the n-gram string — 8 bytes instead of ~25 through
+    every downstream shuffle/join (distinct, minhash agg, verification
+    equijoins). Collision risk at 100TB: ~(total shingles)²/2⁶⁵ pairwise —
+    one spurious shared shingle per ~6×10⁹ shingles changes a Jaccard
+    count by 1; acceptable for dedup semantics (and the exact DuckDB
+    oracle over raw strings still hash-matches at fixture scale).
 
     fan_out first: shingling is compute-heavy per row and the local fixture
     arrives as one split. The distinct is a shuffle on (id, sh) — at scale
@@ -48,7 +54,7 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     )
     sh = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")),
     )
     return (
         base.filter(F.size(toks) >= n)
@@ -83,7 +89,19 @@ def _pair_jaccard(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def _verify_pairs(cand: DataFrame, sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Exact Jaccard for candidate pairs only — the LSH verification stage.
-    Cost is O(candidates × shingles-per-doc), never all-pairs."""
+    Cost is O(candidates × shingles-per-doc), never all-pairs.
+
+    The shingle table is semi-filtered to candidate documents FIRST: the
+    candidate set is LSH-pruned (≪ corpus), so the intersection equijoins
+    below touch only the shingles of docs that can appear in the output —
+    without this the first join shuffles the whole corpus shingle table to
+    match a tiny candidate list."""
+    cand_ids = (
+        cand.select(F.col("da").alias(id_col))
+        .union(cand.select(F.col("db").alias(id_col)))
+        .distinct()
+    )
+    sh = sh.join(cand_ids, id_col, "left_semi")
     sa = sh.select(F.col(id_col).alias("da"), F.col("sh").alias("sha"))
     sb = sh.select(F.col(id_col).alias("db_r"), F.col("sh").alias("shb"))
     inter = (
@@ -234,7 +252,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_caches()
     docs = load_table(spark, sf_dir, "documents")
     sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))  # reused 4x below
-    cand = lsh_candidates(minhash_signatures(sh))
+    # candidate set is consumed twice by verification (id semi-filter +
+    # intersection join) — persist the tiny (da, db) table so the band
+    # self-join runs once.
+    cand = tracked_persist(lsh_candidates(minhash_signatures(sh)))
     return _verify_pairs(cand, sh).filter(F.col("j") >= 0.8).orderBy("da", "db")
 
 
