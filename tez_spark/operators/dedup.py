@@ -56,10 +56,18 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")),
     )
+    # Repartition by doc id after the distinct: every consumer aggregates
+    # or semi-joins on the id (signatures, sizes, verification), so the
+    # persisted table being hash-partitioned on it turns those groupBys
+    # into shuffle-free partition-local aggs (InMemoryRelation preserves
+    # outputPartitioning). Without this, the 128-state minhash partial
+    # aggregation ships every doc's partial row from every map task —
+    # measured 92MB of shuffle for a 4MB table at sf0.1.
     return (
         base.filter(F.size(toks) >= n)
         .select(F.col(id_col), F.explode(sh).alias("sh"))
         .distinct()
+        .repartition(id_col)
     )
 
 
@@ -101,11 +109,15 @@ def _verify_pairs(cand: DataFrame, sh: DataFrame, id_col: str = "doc_id") -> Dat
         .union(cand.select(F.col("db").alias(id_col)))
         .distinct()
     )
-    sh = sh.join(cand_ids, id_col, "left_semi")
+    # Everything derived from `cand` is candidate-bounded (LSH-pruned,
+    # ≪ corpus) — broadcast each small side explicitly rather than letting
+    # AQE discover it one shuffle-stage at a time; at sf0.1 the unhinted
+    # plan ran 38 stages / 424 tasks for ~400 surviving docs.
+    sh = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
     sa = sh.select(F.col(id_col).alias("da"), F.col("sh").alias("sha"))
     sb = sh.select(F.col(id_col).alias("db_r"), F.col("sh").alias("shb"))
     inter = (
-        cand.join(sa, "da")
+        sa.join(F.broadcast(cand), "da")
         .join(sb, (F.col("db") == F.col("db_r")) & (F.col("sha") == F.col("shb")))
         .groupBy("da", "db")
         .agg(F.count(F.lit(1)).alias("i"))
@@ -114,8 +126,8 @@ def _verify_pairs(cand: DataFrame, sh: DataFrame, id_col: str = "doc_id") -> Dat
     na = sizes.select(F.col(id_col).alias("da"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("db"), F.col("n").alias("nb"))
     return (
-        inter.join(na, "da")
-        .join(nb, "db")
+        inter.join(F.broadcast(na), "da")
+        .join(F.broadcast(nb), "db")
         .select(
             "da",
             "db",
@@ -193,14 +205,23 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """128 minhashes per doc — one aggregation, no row blowup (h_i is MIN
     over shingles per seed); single xxhash64 per shingle + cheap long
     arithmetic for the family."""
-    base = F.pmod(F.xxhash64(F.col("sh")), F.lit(_MERSENNE_P))
+    # Hash once per row in a projection; the 128 agg expressions then do
+    # only long arithmetic on `_base` (no cross-aggregate subexpression
+    # elimination in codegen — inlining the hash would xxhash64 every
+    # shingle 128x, measured ~2.5x the CPU of the whole stage).
+    hashed = sh.select(
+        F.col(id_col),
+        F.pmod(F.xxhash64(F.col("sh")), F.lit(_MERSENNE_P)).alias("_base"),
+    )
     # the trailing mod is essential: without it a*h+b is monotonic in h and
     # every "hash function" would select the same min shingle.
     aggs = [
-        F.min(F.pmod(base * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(f"h{i}")
+        F.min(
+            F.pmod(F.col("_base") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
+        ).alias(f"h{i}")
         for i, (a, b) in enumerate(_hash_family())
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidates(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -37,6 +37,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Wide-aggregate plans (the 128-column MinHash signature agg) exceed
+    # the default 100-field codegen cutoff and silently fall back to
+    # interpreted evaluation — raise it so they stay in whole-stage
+    # codegen. 200 fields is still far below the 64KB JVM method limit
+    # for min/pmod-shaped expressions.
+    "spark.sql.codegen.maxFields": "200",
 }
 
 
