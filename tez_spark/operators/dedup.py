@@ -339,6 +339,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = banded.alias("a")
     b = banded.alias("b")
+    # A pair sharing k bands comes out of the equijoin k times. Instead of
+    # a distinct (a full shuffle of the candidate set — the fixtures are
+    # templated, so candidates run to millions of rows at sf0.1), keep a
+    # pair only in its FIRST matching band: both full fingerprints ride
+    # along in the join row, so "some earlier band also matches" is a pure
+    # map-side xor/byte test and the join output is exactly one row per
+    # pair with no dedup stage at all.
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    earlier_band_matches = F.lit(False)
+    for bp in range(SIMHASH_BANDS):
+        band_eq = (
+            F.shiftrightunsigned(xor, bp * _BAND_WIDTH) % F.lit(2**_BAND_WIDTH)
+        ) == 0
+        earlier_band_matches = earlier_band_matches | (
+            (F.lit(bp) < F.col("a.band")) & band_eq
+        )
     pairs = (
         a.join(
             b,
@@ -346,14 +362,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(~earlier_band_matches)
         .select(
             F.col("a.doc_id").alias("da"),
             F.col("b.doc_id").alias("db"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).cast("long").alias("hamming"),
+            F.bit_count(xor).cast("long").alias("hamming"),
         )
-        .distinct()
     )
     return pairs.filter(F.col("hamming") <= HAMMING_MAX).orderBy("da", "db")
 

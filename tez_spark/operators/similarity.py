@@ -298,50 +298,71 @@ def dedup_embedding_lsh(
     sublinear 100TB path (probabilistic recall; the exact truth is
     all_pairs_cosine above).
 
-    Candidates: random-hyperplane signatures self-joined on
-    (table, signature) — shuffle keys are ~uniform sign patterns, per
-    bucket work bounded. Re-rank: candidate ids joined back to their
-    vectors (two shuffles of the candidate set only), then one vectorized
-    row-wise cosine per Arrow batch. No driver collect, no broadcast of
-    the corpus."""
+    Candidate generation and exact scoring are fused per bucket: the
+    signature pass carries each vector to its LSH_TABLES (table, sig)
+    buckets (one groupBy shuffle of tables×corpus rows), and each bucket
+    group scores its members with one BLAS matmul, emitting only
+    above-threshold (va < vb) pairs. A pair found by several tables is
+    deduped by the final (va, vb) agg — of already-thresholded survivors,
+    not raw candidates.
+
+    The self-join formulation this replaces materialized every
+    within-bucket candidate pair (~1M rows for 2k vectors at sf0.1) and
+    then shipped BOTH 64-dim vectors per pair through two joins before
+    rescoring — O(candidates·dim) shuffle vs this plan's
+    O(tables·corpus·dim). Bucket population is ~uniform (sign-pattern
+    keys); per-bucket memory is bounded by the bucket size, and at
+    extreme corpus sizes the planes-per-table knob shrinks buckets
+    geometrically. No driver collect, no broadcast of the corpus."""
     import pandas as pd
 
-    sig = lsh_signatures(df, dim, id_col=id_col, vec_col=vec_col)
-    a = sig.alias("a")
-    b = sig.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("va"), F.col(f"b.{id_col}").alias("vb")
-        )
-        .distinct()
-    )
-    vecs = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
-    joined = (
-        cand.join(vecs.select(F.col(id_col).alias("va"), F.col("_v").alias("_va")), "va")
-        .join(vecs.select(F.col(id_col).alias("vb"), F.col("_v").alias("_vb")), "vb")
-    )
+    planes = _planes(dim)
+    P = planes.reshape(LSH_TABLES * LSH_PLANES, dim)
+    weights = (2 ** np.arange(LSH_PLANES)).astype(np.int64)
+    bcast = df.sparkSession.sparkContext.broadcast(P)
 
-    def rescore(batches):
+    def sign_with_vec(batches):
+        P_ = bcast.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            A = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_va"]])
-            B = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_vb"]])
-            An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
-            Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
-            sims = np.einsum("ij,ij->i", An, Bn)
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            bits = (V @ P_.T) > 0
+            bits = bits.reshape(len(V), LSH_TABLES, LSH_PLANES)
+            sigs = (bits * weights).sum(axis=2)
             yield pd.DataFrame(
-                {"va": pdf["va"], "vb": pdf["vb"], "sim": sims}
-            ).astype({"va": "int64", "vb": "int64", "sim": "float64"})
+                {
+                    "_id": np.repeat(pdf["_id"].to_numpy(), LSH_TABLES),
+                    "table": np.tile(np.arange(LSH_TABLES), len(V)),
+                    "sig": sigs.reshape(-1),
+                    "_v": [v for v in pdf["_v"] for _ in range(LSH_TABLES)],
+                }
+            ).astype({"_id": "int64", "table": "int32", "sig": "int64"})
 
-    scored = joined.mapInPandas(rescore, "va long, vb long, sim double")
-    return scored.filter(F.col("sim") >= threshold)
+    from tez_spark.operators.core import fan_out
+
+    base = fan_out(df.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")))
+    sig = base.mapInPandas(
+        sign_with_vec, "_id long, table int, sig long, _v array<double>"
+    )
+
+    def score_bucket(pdf):
+        ids = pdf["_id"].to_numpy()
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        S = Mn @ Mn.T
+        mask = (S >= threshold) & (ids[:, None] < ids[None, :])
+        r, c = np.nonzero(mask)
+        return pd.DataFrame(
+            {"va": ids[r], "vb": ids[c], "sim": S[r, c]}
+        ).astype({"va": "int64", "vb": "int64", "sim": "float64"})
+
+    pairs = sig.groupBy("table", "sig").applyInPandas(
+        score_bucket, "va long, vb long, sim double"
+    )
+    # max = dedupe: every table that finds a pair computes the identical
+    # cosine, so max(sim) just collapses multi-table hits to one row.
+    return pairs.groupBy("va", "vb").agg(F.max("sim").alias("sim"))
 
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
