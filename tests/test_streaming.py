@@ -63,6 +63,37 @@ def test_stateful_running_totals(spark):
     assert g == w and len(g) > 0
 
 
+def test_dedup_stream_drops_replays(spark, tmp_path):
+    """Streaming dedup over a source with planted duplicate event_ids:
+    the append-mode output holds exactly one row per distinct id, equal to
+    the batch dropDuplicates answer."""
+    from tez_spark.streaming.events import EVENTS_RAW_SCHEMA, dedup_stream
+
+    rows = []
+    for i in range(200):
+        rows.append((i, 1_700_000_000_000_000_000 + i * 10**9, i % 7, "click", float(i), "{}"))
+    rows += rows[:50]  # replay the first 50 events
+    src = str(tmp_path / "dup_events")
+    spark.createDataFrame(rows, EVENTS_RAW_SCHEMA).repartition(4).write.parquet(src)
+
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(src)
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT event_id FROM t_dedup")
+    assert got.count() == 200
+    assert got.distinct().count() == 200
+
+
 def test_session_window_stream_runs(spark):
     from tez_spark.streaming.events import (
         run_to_completion,

@@ -205,6 +205,128 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF config: ~sqrt(corpus) cells at fixture scale; at 100TB raise
+# IVF_CELLS so cells stay executor-sized and lower IVF_NPROBE/IVF_CELLS
+# for sharper pruning (clustered real embeddings concentrate neighbors in
+# few cells; the uniform-random fixtures are IVF's worst case, so nprobe
+# is set for recall there).
+IVF_CELLS = 64
+IVF_NPROBE = 16
+
+
+def ivf_assign(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = IVF_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: (assignments, centroids).
+
+    Centroids are a deterministic sample — the n_cells corpus vectors with
+    the smallest xxhash64(id) (TakeOrdered: one scan, only n_cells rows
+    reach the driver; the corpus itself is never collected). Sampled
+    centroids are the standard cheap IVF bootstrap; swap in k-means
+    refinement without changing any downstream plumbing.
+
+    Assignment is map-side: each Arrow batch does one matmul against the
+    broadcast normalized centroid matrix and takes argmax — no shuffle;
+    the returned assignment table carries the vector so probing needs no
+    join back to the corpus."""
+    import pandas as pd
+
+    cent_rows = (
+        df.select(F.col(id_col), as_double(vec_col).alias("v"))
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(_MERSENNE_P_IVF)))
+        .limit(n_cells)
+        .collect()
+    )
+    C = np.array([list(r["v"]) for r in cent_rows], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    bcast = df.sparkSession.sparkContext.broadcast(Cn)
+
+    def assign(batches):
+        Cn_ = bcast.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            cells = np.argmax(Vn @ Cn_.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"cell": cells, "_id": pdf["_id"], "_v": pdf["_v"]}
+            )
+
+    from tez_spark.operators.core import fan_out
+
+    base = fan_out(
+        df.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_v"))
+    )
+    assigned = base.mapInPandas(assign, "cell int, _id long, _v array<double>")
+    return assigned, Cn
+
+
+_MERSENNE_P_IVF = (1 << 31) - 1
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned ANN: probe the IVF_NPROBE nearest cells per query, exact
+    cosine re-rank of their members to top-5. Rows-only check (pruning is
+    lossy by design; recall vs brute force asserted in tests).
+
+    Scale shape: the only shuffle is the broadcast-join of the assignment
+    table against the tiny (q_id, cell) probe list — the corpus is scanned
+    once for assignment and once for probing, never repartitioned."""
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    assigned, Cn = ivf_assign(emb, dim=64)
+
+    q_rows = queries.select("vec_id", as_double("embedding").alias("v")).collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r["v"]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    # nearest nprobe cells per query, computed driver-side on the tiny
+    # query x centroid matrix
+    cell_sims = Qn @ Cn.T
+    nprobe = min(IVF_NPROBE, Cn.shape[0])
+    probe = spark.createDataFrame(
+        [
+            (int(q), int(c))
+            for j, q in enumerate(q_ids)
+            for c in np.argsort(-cell_sims[j])[:nprobe]
+        ],
+        "q_id long, cell int",
+    )
+    cand = assigned.join(F.broadcast(probe), "cell").filter(
+        F.col("_id") != F.col("q_id")
+    )
+
+    bq = spark.sparkContext.broadcast({int(i): Qn[j] for j, i in enumerate(q_ids)})
+
+    def rescore(batches):
+        qmap = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            Cn_ = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+            qvs = np.stack([qmap[int(q)] for q in pdf["q_id"]])
+            sims = np.einsum("ij,ij->i", Cn_, qvs)
+            yield pd.DataFrame(
+                {"q_id": pdf["q_id"], "vec_id": pdf["_id"], "sim": sims}
+            ).astype({"q_id": "int64", "vec_id": "int64", "sim": "float64"})
+
+    scored = cand.mapInPandas(rescore, "q_id long, vec_id long, sim double")
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= K)
+        .orderBy("q_id", "rn")
+    )
+
+
 def all_pairs_cosine(
     df: DataFrame,
     threshold: float,
@@ -402,5 +524,6 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
 }

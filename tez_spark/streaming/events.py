@@ -79,6 +79,25 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, dropping
+    replays that land within the watermark horizon.
+
+    The training-pipeline use: at-least-once upstream delivery (kafka
+    replays, retried file commits) re-emits events; dedup state must not
+    grow without bound. dropDuplicatesWithinWatermark keeps per-key state
+    only until the watermark passes the key's event time — state is
+    O(keys per watermark window), independent of stream length, and the
+    shuffle key is the dedup key itself (one hash exchange, same shape as
+    the batch dropDuplicates)."""
+    keys = keys or ["event_id"]
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_to_completion(result: DataFrame, name: str, spark: SparkSession) -> DataFrame:
     """Drive a streaming plan over the (finite) fixture to completion via
     the memory sink; returns the final result as a batch DataFrame."""
