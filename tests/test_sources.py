@@ -119,3 +119,31 @@ def test_approx_distinct_accuracy(spark):
     )
     assert abs(row.approx_parts - exact) / exact < 0.05
     assert row.p50_est > 0
+
+
+def test_connector_gating_probe_both_ways(spark):
+    """ext.py connectors: the classpath probe detects present classes
+    (parquet's DataSource is always there) and absent ones (delta/iceberg
+    jars are not in this container), and the scan helpers raise
+    ConnectorUnavailable with an actionable message instead of an opaque
+    ClassNotFoundException mid-plan."""
+    import pytest
+
+    from tez_spark.sources.ext import (
+        ConnectorUnavailable,
+        _format_available,
+        scan_delta,
+        scan_iceberg,
+    )
+
+    # positive probe: a class that ships with Spark itself
+    assert _format_available(
+        spark, "parquet", "org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat"
+    )
+    delta_here = _format_available(spark, "delta", "org.apache.spark.sql.delta.DeltaLog")
+    if delta_here:
+        pytest.skip("delta jars present in this runtime; gate not exercisable")
+    with pytest.raises(ConnectorUnavailable, match="delta-spark"):
+        scan_delta(spark, "/tmp/nonexistent")
+    with pytest.raises(ConnectorUnavailable, match="iceberg"):
+        scan_iceberg(spark, "db.tbl")
