@@ -147,3 +147,45 @@ def test_connector_gating_probe_both_ways(spark):
         scan_delta(spark, "/tmp/nonexistent")
     with pytest.raises(ConnectorUnavailable, match="iceberg"):
         scan_iceberg(spark, "db.tbl")
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Co-located join via bucketing: both sides written bucketBy(8, key)
+    + sortBy(key); the join plan must contain NO shuffle exchange on
+    either side (and no sort for the sorted case) — the 100TB strategy of
+    paying the exchange once at write time."""
+    from tez_spark.sources.catalog import load_table
+    from tez_spark.sources.io import write_bucketed
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    write_bucketed(
+        orders, "b_orders", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"], path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed(
+        li, "b_lineitem", ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"], path=str(tmp_path / "b_lineitem"),
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("b_orders").join(
+                spark.table("b_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert j.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

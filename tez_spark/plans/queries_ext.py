@@ -273,6 +273,59 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_pairs_cosine(emb, threshold=0.45).orderBy("va", "vb")
 
 
+# --- correlated subqueries (EXISTS / NOT EXISTS as semi/anti joins) --------
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one URGENT order and no LOW-priority order.
+    Declared as semi + anti join — exactly how Catalyst decorrelates
+    EXISTS/NOT EXISTS, made explicit: two shuffles on the correlation key,
+    no per-row subquery execution anywhere (the 100TB shape)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    out = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .join(low, cust.c_custkey == low.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+    return out.orderBy("c_custkey")
+
+
+# --- exact percentiles (distribution stats for data curation) --------------
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag price distribution: exact continuous median/p90 and
+    discrete p50 pick. Exact percentile is a sort-based aggregate — one
+    shuffle on the group key; at 100TB prefer approx_percentile (t-digest
+    sketch, mergeable map-side) unless exactness is contractual.
+    Continuous quantiles rounded to 4dp on both sides: Spark and DuckDB
+    use the same linear interpolation but may differ in the last ulp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_cont"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_cont"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return out.orderBy("l_returnflag")
+
+
+# --- ordered string aggregation (listagg) ----------------------------------
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation names per region as one ordered CSV string: collect_list →
+    array_sort → array_join (deterministic regardless of partitioning —
+    collect_list order is NOT stable, so the sort is load-bearing)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    j = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    out = j.groupBy("r_name").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.countDistinct("n_name").alias("n_nations"),
+    )
+    return out.orderBy("r_name")
+
+
 ORACLE: dict[str, str] = {
     "window_funcs": """
         SELECT o_custkey, o_orderkey, o_totalprice,
@@ -397,6 +450,30 @@ ORACLE: dict[str, str] = {
                SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f
         FROM lineitem GROUP BY 1 ORDER BY 1
     """,
+    "exists_subquery": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '5-LOW')
+        ORDER BY c_custkey
+    """,
+    "percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_cont,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_cont,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+    "string_agg": """
+        SELECT r_name,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               COUNT(DISTINCT n_name) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1 ORDER BY 1
+    """,
     # approx_distinct: intentionally no oracle (sketches are engine-specific)
 }
 
@@ -415,4 +492,7 @@ QUERIES = {
     "star_join": q_star_join,
     "pivot": q_pivot,
     "dedup_embedding": q_dedup_embedding,
+    "exists_subquery": q_exists_subquery,
+    "percentiles": q_percentiles,
+    "string_agg": q_string_agg,
 }

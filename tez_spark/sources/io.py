@@ -96,6 +96,33 @@ def write_sequencefile(df: DataFrame, path: str) -> None:
     df.select(*cols).rdd.map(tuple).saveAsSequenceFile(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Bucketed table sink — the co-located-join strategy for 100TB:
+    both sides of a recurring equijoin written with the same (bucket
+    columns, bucket count) join WITHOUT a shuffle on either side (the
+    exchange already happened once, at write time). sortBy additionally
+    pre-orders within buckets so sort-merge join skips its sort.
+
+    This is the persistent analog of Tez's scatter-gather edge: the
+    partitioning lives in the table layout instead of being re-done per
+    DAG. Spark requires saveAsTable for bucketing metadata (the catalog
+    records bucket spec; plain parquet paths can't carry it)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)  # external table location
+    writer.format("parquet").saveAsTable(table)
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Leaf output + commit (MROutput; two-phase commit handled by the
     Hadoop committer inside df.write — MROutputCommitter.java:99)."""
