@@ -94,6 +94,48 @@ def test_dedup_stream_drops_replays(spark, tmp_path):
     assert got.distinct().count() == 200
 
 
+def test_stream_stream_join_matches_batch(spark):
+    """Stream-stream interval join (purchases x same-user clicks within
+    1h lookback) produces exactly the batch join's pairs on the finite
+    fixture."""
+    from tez_spark.sources.catalog import load_table
+    from tez_spark.streaming.events import purchase_click_join, stream_events
+
+    stream = stream_events(spark, SF_DIR)
+    q = (
+        purchase_click_join(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ssjoin")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.p_id, r.c_id) for r in spark.sql("SELECT * FROM t_ssjoin").collect()}
+
+    ev = load_table(spark, SF_DIR, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = {
+        (r.p_id, r.c_id)
+        for r in p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_session_window_stream_runs(spark):
     from tez_spark.streaming.events import (
         run_to_completion,

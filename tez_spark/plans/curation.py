@@ -1,0 +1,138 @@
+"""End-to-end training-data curation pass — the flagship composition.
+
+One query that runs the whole curation pipeline a 100TB corpus needs:
+per-document quality metrics + language ID + token counts (pure codegen
+projections / one broadcast join), near-dup removal (drop the larger id
+of every Jaccard>=0.8 pair), threshold filters, and a per-language
+summary of the kept corpus.
+
+Scale design: every stage is a declared plan over the same scan —
+metrics are map-side, language ID is explode + broadcast join, dedup
+pairs here use the exact shingle-intersection path (the DuckDB-checkable
+truth; at 100TB swap `_pair_jaccard` for the MinHash-LSH candidate path
+in operators/dedup.py — the drop/anti-join plumbing is identical), and
+the final agg is one shuffle on pred_lang. No collects, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUALITY_MIN = 0.68
+TOKENS_MIN = 30
+JACCARD_MIN = 0.8
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept-corpus summary after quality/length filters and near-dup
+    removal: (pred_lang, n_docs, sum_tokens, avg_quality)."""
+    from tez_spark.functions.text_queries import text_langid, text_metrics
+    from tez_spark.operators.core import release_caches, tracked_persist
+    from tez_spark.operators.dedup import _pair_jaccard, shingles
+    from tez_spark.sources.catalog import load_table
+
+    release_caches()
+    docs = load_table(spark, sf_dir, "documents")
+    metrics = text_metrics(spark, sf_dir).select("doc_id", "n_tokens", "quality")
+    lang = text_langid(spark, sf_dir).select("doc_id", "pred_lang")
+
+    sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))
+    pairs = _pair_jaccard(sh).filter(F.col("j") >= JACCARD_MIN)
+    # deterministic near-dup drop: any doc that is the LARGER id of a
+    # qualifying pair is dropped (keep-first-by-id; not transitive-minimal
+    # but order-free and engine-agnostic).
+    drops = pairs.select(F.col("db").alias("doc_id")).distinct()
+
+    kept = (
+        metrics.join(lang, "doc_id")
+        .join(drops, "doc_id", "left_anti")
+        .filter(
+            (F.col("quality") >= QUALITY_MIN) & (F.col("n_tokens") >= TOKENS_MIN)
+        )
+    )
+    out = kept.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+    return out.orderBy("pred_lang")
+
+
+def _oracle_sql() -> str:
+    from tez_spark.functions.text import STOPWORDS
+    from tez_spark.functions.text_queries import _markers_values_sql
+
+    stop_sql = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+               text
+        FROM documents
+    ), metrics AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) / length(text)
+                    ELSE 0.0 END AS alpha_r,
+               CASE WHEN len(toks) > 0
+                    THEN len(list_filter(toks, t -> t IN ({stop_sql}))) / len(toks)
+                    ELSE 0.0 END AS stop_r,
+               CASE WHEN len(toks) > 0
+                    THEN list_sum(list_transform(toks, t -> length(t))) / len(toks)
+                    ELSE 0.0 END AS avg_tok_len
+        FROM base
+    ), quality AS (
+        SELECT doc_id, n_tokens,
+               least(stop_r * 4.0, 1.0) * 0.4 + alpha_r * 0.4 +
+               CASE WHEN avg_tok_len >= 3 AND avg_tok_len <= 10 THEN 0.2 ELSE 0.0 END
+                   AS quality
+        FROM metrics
+    ), words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), hits AS (
+        SELECT w.doc_id, m.pred_lang, COUNT(*) AS hits
+        FROM words w JOIN {_markers_values_sql()} ON w.word = m.word
+        GROUP BY 1, 2
+    ), lang AS (
+        SELECT d.doc_id, COALESCE(b.pred_lang, 'und') AS pred_lang
+        FROM documents d LEFT JOIN (
+            SELECT doc_id, pred_lang,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY hits DESC, pred_lang) AS rn
+            FROM hits) b
+          ON d.doc_id = b.doc_id AND b.rn = 1
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS sh
+        FROM base, unnest(range(len(toks) - 2)) AS u(i)
+        WHERE len(toks) >= 3
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), drops AS (
+        SELECT DISTINCT db AS doc_id
+        FROM inter JOIN sizes sa ON da = sa.doc_id
+                   JOIN sizes sb ON db = sb.doc_id
+        WHERE i / (sa.n + sb.n - i) >= {JACCARD_MIN}
+    ), kept AS (
+        SELECT q.doc_id, q.n_tokens, q.quality, l.pred_lang
+        FROM quality q
+        JOIN lang l ON q.doc_id = l.doc_id
+        WHERE q.doc_id NOT IN (SELECT doc_id FROM drops)
+          AND q.quality >= {QUALITY_MIN}
+          AND q.n_tokens >= {TOKENS_MIN}
+    )
+    SELECT pred_lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           round(AVG(quality), 6) AS avg_quality
+    FROM kept GROUP BY 1 ORDER BY 1
+    """
+
+
+QUERIES = {"curation_pipeline": q_curation_pipeline}
+ORACLE = {"curation_pipeline": _oracle_sql()}

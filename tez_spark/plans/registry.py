@@ -52,6 +52,7 @@ def _extension_modules():
         "tez_spark.operators.multimodal",
         "tez_spark.streaming.windows",
         "tez_spark.observability",
+        "tez_spark.plans.curation",
     ):
         try:
             mods.append(__import__(name, fromlist=["QUERIES"]))

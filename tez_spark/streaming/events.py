@@ -98,6 +98,46 @@ def dedup_stream(
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def purchase_click_join(
+    stream: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding `lookback` window.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both ends — that pair is what lets Spark expire join state: a
+    click is held only until the purchase-side watermark passes
+    click_ts + lookback, so state is O(events per lookback window per
+    user), not the whole stream. The shuffle key is user_id on both
+    sides (one co-partitioned exchange each, same as the batch join)."""
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}")),
+    ).select("p_id", "c_id", "user_id", "p_ts", "c_ts")
+
+
 def run_to_completion(result: DataFrame, name: str, spark: SparkSession) -> DataFrame:
     """Drive a streaming plan over the (finite) fixture to completion via
     the memory sink; returns the final result as a batch DataFrame."""
