@@ -26,8 +26,11 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token/char counts and quality signals.
+def metrics_of(docs: DataFrame) -> DataFrame:
+    """Unordered per-document metrics — the composable core (the ordered
+    declared query wraps this; compositions like curation_pipeline join
+    it directly, and an orderBy here would just be a wasted sort feeding
+    a join).
 
     Staged projections: the token array is materialized ONCE, every count
     derives from it, every ratio derives from the counts, and the quality
@@ -36,7 +39,6 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing is recomputed — one split + one stopword filter per document
     (the round-1 version split each document ~10x; see functions/text.py).
     """
-    docs = load_table(spark, sf_dir, "documents")
     toks = F.col("_toks")
     base = docs.select("doc_id", "text", X.tokens("text").alias("_toks"))
     counts = base.select(
@@ -56,7 +58,7 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.ratio_of(F.col("_n_stop"), n).alias("stop_r"),
         X.ratio_of(F.col("_tok_chars"), n).alias("avg_tok_len"),
     )
-    out = ratios.select(
+    return ratios.select(
         "doc_id",
         "n_tokens",
         "n_chars_m",
@@ -67,7 +69,11 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("stop_r"), F.col("alpha_r"), F.col("avg_tok_len")
         ).alias("quality"),
     )
-    return out.orderBy("doc_id")
+
+
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: per-document metrics, ordered for the oracle."""
+    return metrics_of(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,15 +82,17 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", X.fingerprint("text").alias("fp")).orderBy("doc_id")
 
 
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram/marker-word language ID: count marker hits per language,
-    argmax with lexicographic tie-break, 'und' when no marker matches.
+def langid_of(docs: DataFrame) -> DataFrame:
+    """Unordered language-ID core (see metrics_of for the ordered-wrapper
+    rationale): count marker hits per language, argmax with lexicographic
+    tie-break, 'und' when no marker matches.
 
     Plan shape: explode tokens -> broadcast join against the (tiny) marker
-    table -> two-level agg -> window argmax. The explode blowup is linear
-    in corpus size and the join side is broadcast — scales to any corpus.
+    table -> two-level agg -> struct-MIN argmax. The explode blowup is
+    linear in corpus size and the join side is broadcast — scales to any
+    corpus.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    spark = docs.sparkSession
     markers = spark.createDataFrame(
         [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws],
         "pred_lang string, word string",
@@ -115,13 +123,17 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("b.nh")).cast("long").alias("hits"),
         )
     )
-    out = docs.select("doc_id", "lang").join(best, "doc_id", "left").select(
+    return docs.select("doc_id", "lang").join(best, "doc_id", "left").select(
         "doc_id",
         "lang",
         F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
         F.coalesce("hits", F.lit(0)).alias("hits"),
     )
-    return out.orderBy("doc_id")
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: language ID per document, ordered for the oracle."""
+    return langid_of(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 def _markers_values_sql() -> str:

@@ -27,15 +27,15 @@ JACCARD_MIN = 0.8
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kept-corpus summary after quality/length filters and near-dup
     removal: (pred_lang, n_docs, sum_tokens, avg_quality)."""
-    from tez_spark.functions.text_queries import text_langid, text_metrics
+    from tez_spark.functions.text_queries import langid_of, metrics_of
     from tez_spark.operators.core import release_caches, tracked_persist
     from tez_spark.operators.dedup import _pair_jaccard, shingles
     from tez_spark.sources.catalog import load_table
 
     release_caches()
     docs = load_table(spark, sf_dir, "documents")
-    metrics = text_metrics(spark, sf_dir).select("doc_id", "n_tokens", "quality")
-    lang = text_langid(spark, sf_dir).select("doc_id", "pred_lang")
+    metrics = metrics_of(docs).select("doc_id", "n_tokens", "quality")
+    lang = langid_of(docs).select("doc_id", "pred_lang")
 
     sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))
     pairs = _pair_jaccard(sh).filter(F.col("j") >= JACCARD_MIN)
