@@ -1,0 +1,53 @@
+"""Property: MinHash-LSH dedup output equals the exact Jaccard truth on
+generated corpora with planted near-dups (the 32x4 banding's per-pair
+miss probability at j>=0.8 is ~5e-8, so exact equality is a stable
+assertion at test scale — a recall regression in shingling, the hash
+family, banding, or verification breaks this immediately)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def _corpus(seed: int, n_base: int = 50, n_dups: int = 12):
+    rng = random.Random(seed)
+    vocab = [f"w{i:03d}" for i in range(200)]
+    rows = []
+    for i in range(n_base):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(30))))
+    for k in range(n_dups):
+        base_id, text = rows[k]
+        words = text.split()
+        # one word substitution: 3-gram jaccard stays well above 0.8
+        words[rng.randrange(len(words))] = rng.choice(vocab)
+        rows.append((1000 + base_id, " ".join(words)))
+    return rows
+
+
+def test_minhash_lsh_equals_exact_on_random_corpora(spark):
+    from tez_spark.operators.core import release_caches, tracked_persist
+    from tez_spark.operators.dedup import (
+        _pair_jaccard,
+        _verify_pairs,
+        lsh_candidates,
+        minhash_signatures,
+        shingles,
+    )
+
+    for seed in (3, 17):
+        release_caches()
+        docs = spark.createDataFrame(_corpus(seed), "doc_id long, text string")
+        sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))
+        exact = {
+            (r.da, r.db, round(r.j, 9))
+            for r in _pair_jaccard(sh).filter(F.col("j") >= 0.8).collect()
+        }
+        cand = tracked_persist(lsh_candidates(minhash_signatures(sh)))
+        got = {
+            (r.da, r.db, round(r.j, 9))
+            for r in _verify_pairs(cand, sh).filter(F.col("j") >= 0.8).collect()
+        }
+        assert exact, f"seed {seed}: corpus generated no near-dup pairs"
+        assert got == exact, f"seed {seed}: LSH {got ^ exact} differs"

@@ -4,11 +4,15 @@ tez-examples/.../TezExampleBase.java:230 local-mode entry). Here:
 
     python -m tez_spark.cli list
     python -m tez_spark.cli run q05 --sf-dir /root/testdata/sf0.01 --show 10
+    python -m tez_spark.cli run q08 --counters          # TaskCounter dump
     python -m tez_spark.cli explain q08 --sf-dir /root/testdata/sf0.001
+    python -m tez_spark.cli report q08                  # skew + stage report
 
 One long-lived session per invocation (session mode, SURVEY.md §3.3);
-`run` prints rows, `explain` prints the formatted physical plan for
-shuffle/pushdown inspection.
+`run` prints rows (--counters adds the TaskCounter-flavored totals),
+`explain` prints the formatted physical plan for shuffle/pushdown
+inspection, and `report` is the tez-tools analyzer analog (SkewAnalyzer /
+CriticalPathAnalyzer as a post-hoc report over the query's stages).
 """
 
 from __future__ import annotations
@@ -23,13 +27,17 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("list", help="list declared queries")
 
-    for cmd in ("run", "explain"):
+    for cmd in ("run", "explain", "report"):
         p = sub.add_parser(cmd)
         p.add_argument("query", help="query name from the registry")
         p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
         p.add_argument("--cpus", type=int, default=None)
         if cmd == "run":
             p.add_argument("--show", type=int, default=20)
+            p.add_argument(
+                "--counters", action="store_true",
+                help="print TaskCounter-flavored totals for the run",
+            )
 
     args = ap.parse_args(argv)
 
@@ -48,11 +56,33 @@ def main(argv: list[str] | None = None) -> int:
     from tez_spark.session import get_spark
 
     spark = get_spark(app_name=f"tez_spark:{args.query}", cpus=args.cpus)
-    df = queries[args.query](spark, args.sf_dir)
     if args.cmd == "explain":
-        df.explain("formatted")
+        queries[args.query](spark, args.sf_dir).explain("formatted")
+    elif args.cmd == "report":
+        import json
+
+        from tez_spark.observability import capture, skew_report, stage_report
+
+        _, counters = capture(
+            spark, lambda: queries[args.query](spark, args.sf_dir).collect()
+        )
+        print(json.dumps({
+            "counters": counters,
+            "skew": skew_report(spark)[:10],
+            "stages": stage_report(spark, top=10),
+        }, indent=2))
     else:
-        df.show(args.show, truncate=False)
+        df = queries[args.query](spark, args.sf_dir)
+        if args.counters:
+            from tez_spark.observability import capture
+
+            rows, counters = capture(spark, lambda: df.collect())
+            for r in rows[: args.show]:
+                print(r)
+            for k in sorted(counters):
+                print(f"{k}={counters[k]}")
+        else:
+            df.show(args.show, truncate=False)
     return 0
 
 
