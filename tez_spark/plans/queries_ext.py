@@ -326,6 +326,71 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("r_name")
 
 
+# --- batch interval join (the stream-stream join's oracle-checked twin) ----
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases matched to same-user clicks within a 1h lookback — the
+    batch twin of streaming.events.purchase_click_join, summarized per
+    purchase. The range predicate rides on the user_id equijoin (one
+    shuffle per side, then a per-key time filter — never a time-only
+    range join, which would cross-product hot windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 hour")),
+        "left",
+    )
+    out = j.groupBy("p_id").agg(
+        F.count(F.col("c_ts")).alias("n_clicks"),
+        # epoch micros, not a timestamp: DuckDB reads the fixture as
+        # TIMESTAMP_NS and Spark as µs — compare integers both truncate to
+        F.unix_micros(F.max("c_ts")).alias("last_click_us"),
+    )
+    return out.orderBy("p_id")
+
+
+# --- unpivot / melt (reverse reshaping of q_pivot) -------------------------
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long: per-returnflag (qty_o, qty_f) columns melted back to
+    (status, qty) rows via stack — map-side only, no shuffle beyond the
+    pivot agg it consumes."""
+    wide = q_pivot(spark, sf_dir)
+    out = wide.select(
+        "l_returnflag",
+        F.expr("stack(2, 'O', qty_o, 'F', qty_f) AS (status, qty)"),
+    )
+    return out.orderBy("l_returnflag", "status")
+
+
+# --- argmax/conditional aggregates (max_by / min_by / count_if) ------------
+
+def q_argmax_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment: the customer holding the max account balance
+    (max_by), the min-balance customer (min_by), and a conditional count
+    — single partial-aggregable pass, no window/sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    # tie-break key: exact integer (cents * 1e7 + custkey) — DuckDB's
+    # arg_max has no struct overload, and float keys would tie on equal
+    # balances; cents are exact in both engines after round().
+    key = "CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey"
+    out = cust.groupBy("c_mktsegment").agg(
+        F.expr(f"max_by(c_name, {key})").alias("top_cust"),
+        F.expr(f"min_by(c_name, {key})").alias("bottom_cust"),
+        F.expr("count_if(c_acctbal > 0)").alias("n_positive"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return out.orderBy("c_mktsegment")
+
+
 ORACLE: dict[str, str] = {
     "window_funcs": """
         SELECT o_custkey, o_orderkey, o_totalprice,
@@ -450,6 +515,42 @@ ORACLE: dict[str, str] = {
                SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f
         FROM lineitem GROUP BY 1 ORDER BY 1
     """,
+    "interval_join": """
+        WITH p AS (
+            SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+            WHERE event_type = 'purchase'
+        ), c AS (
+            SELECT user_id AS c_user, ts AS c_ts FROM events
+            WHERE event_type = 'click'
+        )
+        SELECT p_id, COUNT(c_ts) AS n_clicks,
+               epoch_us(MAX(c_ts)) AS last_click_us
+        FROM p LEFT JOIN c
+          ON user_id = c_user AND c_ts <= p_ts
+         AND c_ts >= p_ts - INTERVAL 1 HOUR
+        GROUP BY 1 ORDER BY 1
+    """,
+    "unpivot": """
+        WITH wide AS (
+            SELECT l_returnflag,
+                   SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o,
+                   SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_returnflag, status, qty FROM (
+            SELECT l_returnflag, 'O' AS status, qty_o AS qty FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'F' AS status, qty_f AS qty FROM wide
+        ) ORDER BY l_returnflag, status
+    """,
+    "argmax_funcs": """
+        SELECT c_mktsegment,
+               arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS top_cust,
+               arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS bottom_cust,
+               CAST(count_if(c_acctbal > 0) AS BIGINT) AS n_positive,
+               COUNT(*) AS n
+        FROM customer GROUP BY 1 ORDER BY 1
+    """,
     "exists_subquery": """
         SELECT c_custkey, c_name FROM customer c
         WHERE EXISTS (SELECT 1 FROM orders o
@@ -495,4 +596,7 @@ QUERIES = {
     "exists_subquery": q_exists_subquery,
     "percentiles": q_percentiles,
     "string_agg": q_string_agg,
+    "interval_join": q_interval_join,
+    "unpivot": q_unpivot,
+    "argmax_funcs": q_argmax_funcs,
 }
