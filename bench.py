@@ -109,14 +109,20 @@ def main() -> None:
         samples: list[float] = []
         try:
             for i in range(runs):
-                if i > 0 and time.monotonic() - bench_start > budget_s:
+                elapsed = time.monotonic() - bench_start
+                if i > 0 and elapsed > budget_s:
                     break
-                if i > 1 and samples[0] > slow_cutoff:
-                    break  # slow query: cap at 2 samples
+                # Cap slow queries at 2 samples ONLY once half the budget
+                # is spent: a slow FIRST sample is usually codegen compile
+                # or a steal spike, and those queries are exactly the ones
+                # that need a de-noising third sample when time allows.
+                if i > 1 and samples[0] > slow_cutoff and elapsed > budget_s / 2:
+                    break
                 t0 = time.monotonic()
                 _digest_action(fn(spark, sf_dir))
                 samples.append(time.monotonic() - t0)
-            # median for 3+, best-of-2 otherwise (least steal-contaminated)
+            # median for 3+ (rejects the one cold/contaminated sample),
+            # best-of-2 otherwise (least steal-contaminated)
             samples.sort()
             timings[name] = round(
                 samples[0] if len(samples) <= 2 else samples[len(samples) // 2], 3
