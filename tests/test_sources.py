@@ -189,3 +189,18 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_orc_roundtrip(spark):
+    from tez_spark.sources import scan_orc, write_orc
+    from tez_spark.sources.catalog import load_table
+
+    supplier = load_table(spark, SF_DIR, "supplier")
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "supplier_orc")
+        write_orc(supplier, p)
+        back = scan_orc(spark, p)
+        assert back.schema == supplier.schema
+        assert {tuple(r) for r in back.collect()} == {
+            tuple(r) for r in supplier.collect()
+        }

@@ -22,9 +22,12 @@ from tez_spark.sources.io import (  # noqa: F401
     scan_csv,
     scan_hadoop_file,
     scan_json,
+    scan_orc,
     scan_parquet,
     scan_sequencefile,
     scan_text,
+    write_bucketed,
+    write_orc,
     write_parquet,
     write_partitioned,
     write_sequencefile,

@@ -50,6 +50,20 @@ def scan_json(spark: SparkSession, path: str, schema: T.StructType | None = None
     return reader.json(path)
 
 
+def scan_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC scan — the other columnar format MRInput covers via
+    OrcInputFormat; native DataSource in Spark (pushdown/pruning apply
+    exactly as for parquet)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def scan_sequencefile(
     spark: SparkSession,
     path: str,
