@@ -154,55 +154,78 @@ def lsh_signatures(
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: candidates share a (table, signature) bucket with
     the query, then exact cosine re-rank to top-5. Rows-only check (recall
-    asserted against brute force in tests/test_similarity.py)."""
+    asserted against brute force in tests/test_similarity.py).
+
+    One Python pass over the corpus, total: the signature stage carries
+    each vector alongside its bucket keys and scores bucket-matched rows
+    against the broadcast query matrix in the same task — query
+    signatures come from the same numpy planes driver-side (the query set
+    is already collected for the re-rank matrix), so there is no second
+    signature job, no join back to the corpus for vectors, and the only
+    shuffle is scalar (q_id, vec_id, sim) rows into the dedup/top-k."""
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
     dim = 64
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-
-    c_sig = lsh_signatures(emb, dim)
-    q_sig = lsh_signatures(queries, dim).select(
-        F.col("vec_id").alias("q_id"), "table", "sig"
-    )
-    cand = (
-        c_sig.join(F.broadcast(q_sig), ["table", "sig"])
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id")
-        .distinct()
-    )
-    # vectorized exact re-rank on candidates only: join candidate ids back
-    # to their vectors (one shuffle of the candidate set), score each Arrow
-    # batch against the broadcast normalized query matrix.
-    import pandas as pd
 
     q_rows = queries.select("vec_id", as_double("embedding").alias("v")).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
-    bq = spark.sparkContext.broadcast({int(i): Qn[j] for j, i in enumerate(q_ids)})
 
-    c_vecs = emb.select("vec_id", as_double("embedding").alias("v"))
-    joined = cand.join(c_vecs, "vec_id")
+    planes = _planes(dim)
+    P = planes.reshape(LSH_TABLES * LSH_PLANES, dim)
+    weights = (2 ** np.arange(LSH_PLANES)).astype(np.int64)
+    # query signatures, driver-side: (table, sig) -> [query row indices]
+    q_bits = (Q @ P.T) > 0
+    q_sigs = (q_bits.reshape(len(Q), LSH_TABLES, LSH_PLANES) * weights).sum(axis=2)
+    bucket_to_qrows: dict[tuple[int, int], list[int]] = {}
+    for j in range(len(q_ids)):
+        for t in range(LSH_TABLES):
+            bucket_to_qrows.setdefault((t, int(q_sigs[j, t])), []).append(j)
+    bc = spark.sparkContext.broadcast((P, bucket_to_qrows, q_ids, Qn))
 
-    def rescore(batches):
-        qmap = bq.value
+    def sign_and_score(batches):
+        P_, b2q, q_ids_, Qn_ = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            C = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
-            qvs = np.stack([qmap[int(q)] for q in pdf["q_id"]])
-            sims = np.einsum("ij,ij->i", Cn, qvs)
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            bits = (V @ P_.T) > 0
+            sigs = (bits.reshape(len(V), LSH_TABLES, LSH_PLANES) * weights).sum(axis=2)
+            ids = pdf["vec_id"].to_numpy()
+            rows_c, rows_q = [], []
+            for r in range(len(V)):
+                hit = set()
+                for t in range(LSH_TABLES):
+                    for j in b2q.get((t, int(sigs[r, t])), ()):
+                        if q_ids_[j] != ids[r]:
+                            hit.add(j)
+                rows_c.extend([r] * len(hit))
+                rows_q.extend(hit)
+            if not rows_c:
+                continue
+            sims = np.einsum("ij,ij->i", Vn[rows_c], Qn_[rows_q])
             yield pd.DataFrame(
-                {"q_id": pdf["q_id"], "vec_id": pdf["vec_id"], "sim": sims}
+                {"q_id": q_ids_[rows_q], "vec_id": ids[rows_c], "sim": sims}
             ).astype({"q_id": "int64", "vec_id": "int64", "sim": "float64"})
 
-    scored = joined.mapInPandas(rescore, "q_id long, vec_id long, sim double")
+    base = fan_out_vectors(emb)
+    scored = base.mapInPandas(sign_and_score, "q_id long, vec_id long, sim double")
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= K)
         .orderBy("q_id", "rn")
     )
+
+
+def fan_out_vectors(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    from tez_spark.operators.core import fan_out
+
+    return fan_out(df.select(F.col(id_col), as_double(vec_col).alias("v")))
 
 
 # IVF config: ~sqrt(corpus) cells at fixture scale; at 100TB raise
