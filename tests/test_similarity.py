@@ -36,6 +36,23 @@ def test_ivf_recall_vs_brute_force(spark):
     assert len(got) == len(truth)
 
 
+def test_ivf_assign_builds_reusable_index(spark):
+    """ivf_assign is the persistent-index path (write the assignment
+    table once, probe many query batches): every corpus vector lands in
+    exactly one valid cell and carries its vector for probe-time
+    scoring."""
+    from tez_spark.operators.similarity import IVF_CELLS, ivf_assign
+    from tez_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assigned, Cn = ivf_assign(emb, dim=64)
+    assert Cn.shape == (min(IVF_CELLS, emb.count()), 64)
+    rows = assigned.collect()
+    assert len(rows) == emb.count()
+    assert all(0 <= r.cell < Cn.shape[0] for r in rows)
+    assert all(len(r._v) == 64 for r in rows)
+
+
 def test_all_pairs_cosine_matches_numpy(spark):
     """Block-pair matmul (multiple blocks forced) vs a local numpy
     all-pairs truth — exactness of the distributed exact path."""

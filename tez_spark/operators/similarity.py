@@ -297,51 +297,64 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine re-rank of their members to top-5. Rows-only check (pruning is
     lossy by design; recall vs brute force asserted in tests).
 
-    Scale shape: the only shuffle is the broadcast-join of the assignment
-    table against the tiny (q_id, cell) probe list — the corpus is scanned
-    once for assignment and once for probing, never repartitioned."""
+    Fused like q_ann_lsh: the query->probed-cells map is computed
+    driver-side on the tiny query x centroid matrix and broadcast; each
+    Arrow batch assigns its vectors to cells (one matmul against the
+    centroid matrix) and exactly scores them against the probing queries
+    in the same task. One corpus scan beyond the TakeOrdered centroid
+    sample; the only shuffle is scalar (q_id, vec_id, sim) rows into
+    top-k."""
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    assigned, Cn = ivf_assign(emb, dim=64)
+
+    cent_rows = (
+        emb.select("vec_id", as_double("embedding").alias("v"))
+        .orderBy(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(_MERSENNE_P_IVF)))
+        .limit(IVF_CELLS)
+        .collect()
+    )
+    C = np.array([list(r["v"]) for r in cent_rows], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
 
     q_rows = queries.select("vec_id", as_double("embedding").alias("v")).collect()
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r["v"]) for r in q_rows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
-    # nearest nprobe cells per query, computed driver-side on the tiny
-    # query x centroid matrix
     cell_sims = Qn @ Cn.T
     nprobe = min(IVF_NPROBE, Cn.shape[0])
-    probe = spark.createDataFrame(
-        [
-            (int(q), int(c))
-            for j, q in enumerate(q_ids)
-            for c in np.argsort(-cell_sims[j])[:nprobe]
-        ],
-        "q_id long, cell int",
-    )
-    cand = assigned.join(F.broadcast(probe), "cell").filter(
-        F.col("_id") != F.col("q_id")
-    )
+    cell_to_qrows: dict[int, list[int]] = {}
+    for j in range(len(q_ids)):
+        for c in np.argsort(-cell_sims[j])[:nprobe]:
+            cell_to_qrows.setdefault(int(c), []).append(j)
+    bc = spark.sparkContext.broadcast((Cn, cell_to_qrows, q_ids, Qn))
 
-    bq = spark.sparkContext.broadcast({int(i): Qn[j] for j, i in enumerate(q_ids)})
-
-    def rescore(batches):
-        qmap = bq.value
+    def assign_and_score(batches):
+        Cn_, c2q, q_ids_, Qn_ = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            C = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-            Cn_ = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
-            qvs = np.stack([qmap[int(q)] for q in pdf["q_id"]])
-            sims = np.einsum("ij,ij->i", Cn_, qvs)
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            cells = np.argmax(Vn @ Cn_.T, axis=1)
+            ids = pdf["vec_id"].to_numpy()
+            rows_c, rows_q = [], []
+            for r in range(len(V)):
+                for j in c2q.get(int(cells[r]), ()):
+                    if q_ids_[j] != ids[r]:
+                        rows_c.append(r)
+                        rows_q.append(j)
+            if not rows_c:
+                continue
+            sims = np.einsum("ij,ij->i", Vn[rows_c], Qn_[rows_q])
             yield pd.DataFrame(
-                {"q_id": pdf["q_id"], "vec_id": pdf["_id"], "sim": sims}
+                {"q_id": q_ids_[rows_q], "vec_id": ids[rows_c], "sim": sims}
             ).astype({"q_id": "int64", "vec_id": "int64", "sim": "float64"})
 
-    scored = cand.mapInPandas(rescore, "q_id long, vec_id long, sim double")
+    base = fan_out_vectors(emb)
+    scored = base.mapInPandas(assign_and_score, "q_id long, vec_id long, sim double")
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
