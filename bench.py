@@ -39,6 +39,13 @@ def main() -> None:
     from tez_spark.plans.registry import all_queries
 
     queries = all_queries()
+    # debug aid: TEZ_SPARK_BENCH_ONLY=q08,dedup_minhash_lsh restricts the
+    # run (the emitted JSON then covers only those queries — never ship it
+    # as the round number).
+    only = os.environ.get("TEZ_SPARK_BENCH_ONLY")
+    if only:
+        keep = {k.strip() for k in only.split(",")}
+        queries = {k: v for k, v in queries.items() if k in keep}
 
     # warm the JVM/session once (container-reuse analog) on the flagship,
     # plus one trivial Python stage so the first Pandas-UDF query doesn't
