@@ -59,6 +59,47 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("pred_lang")
 
 
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/10 train/holdout split by content-independent
+    hash bucket: split(doc) = md5(doc_id) hex prefix < 'e6' (230/256 ≈
+    89.8% train).
+
+    This is the reproducible-split primitive a training pipeline needs:
+    membership is a pure function of the id — stable across runs,
+    partitionings, cluster sizes, and engines (randomSplit is NOT: it
+    samples per-partition and reshuffling reassigns rows). Map-side only;
+    the summary agg is the single shuffle."""
+    from tez_spark.functions.text import tokens
+    from tez_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    out = (
+        docs.select(
+            F.when(F.substring(h, 1, 2) < "e6", "train")
+            .otherwise("holdout")
+            .alias("split"),
+            F.size(tokens("text")).cast("long").alias("_n_tokens"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n_tokens").alias("sum_tokens"),
+        )
+    )
+    return out.orderBy("split")
+
+
+_TRAIN_SPLIT_SQL = """
+    SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'train' ELSE 'holdout' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT)
+               AS sum_tokens
+    FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 def _oracle_sql() -> str:
     from tez_spark.functions.text import STOPWORDS
     from tez_spark.functions.text_queries import _markers_values_sql
@@ -134,5 +175,11 @@ def _oracle_sql() -> str:
     """
 
 
-QUERIES = {"curation_pipeline": q_curation_pipeline}
-ORACLE = {"curation_pipeline": _oracle_sql()}
+QUERIES = {
+    "curation_pipeline": q_curation_pipeline,
+    "train_split": q_train_split,
+}
+ORACLE = {
+    "curation_pipeline": _oracle_sql(),
+    "train_split": _TRAIN_SPLIT_SQL,
+}
