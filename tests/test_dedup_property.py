@@ -51,3 +51,14 @@ def test_minhash_lsh_equals_exact_on_random_corpora(spark):
         }
         assert exact, f"seed {seed}: corpus generated no near-dup pairs"
         assert got == exact, f"seed {seed}: LSH {got ^ exact} differs"
+
+
+def test_connected_components_known_graph(spark):
+    from tez_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # {1,2,3,4} as a chain, {7,9}, and 5 isolated-by-absence
+        [(1, 2), (2, 3), (3, 4), (7, 9)], "da long, db long"
+    )
+    got = {(r.component, r.doc_id) for r in connected_components(pairs).collect()}
+    assert got == {(1, 1), (1, 2), (1, 3), (1, 4), (7, 7), (7, 9)}

@@ -281,6 +281,79 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "da", b_col: str = "db", max_iter: int = 20
+) -> DataFrame:
+    """(doc_id, component) with component = min doc id reachable through
+    the undirected pair graph — turns pairwise near-dup hits into
+    duplicate CLUSTERS so a pipeline keeps exactly one canonical doc per
+    group (the pairwise drop-larger rule is not transitive).
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; converges in O(cluster diameter)
+    rounds (dup clusters are shallow — near-dups of a common source).
+    This is the iterative-DAG pattern (Tez reuses its session to submit
+    successive DAGs; here each round is a join+agg over the SAME
+    persisted edge table, and the driver only checks a scalar
+    convergence count). Each round's labels are persisted and the
+    previous round's released, so lineage stays one round deep — at
+    100TB swap persist for localCheckpoint and replace min-label with
+    the large-star/small-star variant if diameters grow."""
+    from tez_spark.operators.core import tracked_persist
+
+    edges = tracked_persist(
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = tracked_persist(
+        edges.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = tracked_persist(
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("label").alias("component"), F.col("node").alias("doc_id"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters at exact Jaccard >= 0.8: every clustered doc
+    with its component id (= min doc id in the cluster)."""
+    from tez_spark.operators.core import release_caches, tracked_persist
+
+    release_caches()
+    docs = load_table(spark, sf_dir, "documents")
+    sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))
+    pairs = _pair_jaccard(sh).filter(F.col("j") >= 0.8)
+    return connected_components(pairs).orderBy("component", "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # SimHash (32-bit, md5-nibble bits so the oracle is cross-engine exact)
 # ---------------------------------------------------------------------------
 
@@ -428,10 +501,30 @@ def _simhash_sum_bits_sql() -> str:
     return " + ".join(terms)
 
 
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT da, db FROM ({_SH_CTE}) WHERE j >= 0.8
+    ), nodes AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT da AS doc_id FROM pairs UNION SELECT db FROM pairs)
+    ), edges AS (
+        SELECT da AS src, db AS dst FROM pairs
+        UNION SELECT db, da FROM pairs
+    ), reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT MIN(dst) AS component, src AS doc_id
+    FROM reach GROUP BY src ORDER BY 1, 2
+"""
+
+
 ORACLE: dict[str, str] = {
     "dedup_exact": """
         SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique FROM documents
     """,
+    "dedup_clusters": _CLUSTERS_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
     # LSH output == exact output up to a ~5e-8 per-pair miss probability;
     # declared against the exact oracle deliberately (recall is part of
@@ -445,4 +538,5 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
 }
