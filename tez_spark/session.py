@@ -87,6 +87,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # TezSplitGrouper max 1GB/min 50MB per group -> Spark file packing.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Bound the AppStatusStore history: observability.capture iterates
+        # retained stages through Py4J, and a long-lived session otherwise
+        # accumulates thousands of stage rows (~3 gateway calls each) —
+        # the capture cost grows with session age instead of query size.
+        .config("spark.ui.retainedStages", "250")
+        .config("spark.ui.retainedJobs", "250")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
