@@ -204,3 +204,17 @@ def test_orc_roundtrip(spark):
         assert {tuple(r) for r in back.collect()} == {
             tuple(r) for r in supplier.collect()
         }
+
+
+def test_register_views_sql_entry(spark):
+    """Entry point 3 (Hive-style SQL session): every fixture table is
+    queryable by name, including events (whose TIMESTAMP(NANOS) needs
+    the load_table handling — a raw scan throws)."""
+    from tez_spark.sources.catalog import register_views
+
+    register_views(spark, SF_DIR)
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM events JOIN customer ON user_id = c_custkey"
+    ).first().n
+    assert n > 0
+    assert spark.sql("SELECT MAX(ts) FROM events").first()[0] is not None

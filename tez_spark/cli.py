@@ -7,6 +7,7 @@ tez-examples/.../TezExampleBase.java:230 local-mode entry). Here:
     python -m tez_spark.cli run q08 --counters          # TaskCounter dump
     python -m tez_spark.cli explain q08 --sf-dir /root/testdata/sf0.001
     python -m tez_spark.cli report q08                  # skew + stage report
+    python -m tez_spark.cli sql "SELECT COUNT(*) FROM orders"
 
 One long-lived session per invocation (session mode, SURVEY.md §3.3);
 `run` prints rows (--counters adds the TaskCounter-flavored totals),
@@ -39,6 +40,15 @@ def main(argv: list[str] | None = None) -> int:
                 help="print TaskCounter-flavored totals for the run",
             )
 
+    p = sub.add_parser(
+        "sql", help="ad-hoc SQL over the fixture tables (Tez entry point 3 "
+        "— Hive-style session, SURVEY.md §3.3)"
+    )
+    p.add_argument("statement")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--cpus", type=int, default=None)
+    p.add_argument("--show", type=int, default=20)
+
     args = ap.parse_args(argv)
 
     from tez_spark.plans.registry import all_queries
@@ -47,6 +57,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "list":
         for name in sorted(queries):
             print(name)
+        return 0
+
+    if args.cmd == "sql":
+        from tez_spark.session import get_spark
+        from tez_spark.sources.catalog import register_views
+
+        spark = get_spark(app_name="tez_spark:sql", cpus=args.cpus)
+        register_views(spark, args.sf_dir)
+        spark.sql(args.statement).show(args.show, truncate=False)
         return 0
 
     if args.query not in queries:

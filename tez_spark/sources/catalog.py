@@ -53,13 +53,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Scan every fixture table present in sf_dir."""
-    apply_runtime_confs(spark)
+    """Scan every fixture table present in sf_dir — through load_table,
+    so the events nanos handling applies (a raw spark.read.parquet of
+    events throws PARQUET_TYPE_ILLEGAL and its ts would surface as long
+    rather than timestamp)."""
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = load_table(spark, sf_dir, name)
     return out
 
 
