@@ -53,6 +53,7 @@ def _extension_modules():
         "tez_spark.streaming.windows",
         "tez_spark.observability",
         "tez_spark.plans.curation",
+        "tez_spark.plans.tpch",
     ):
         try:
             mods.append(__import__(name, fromlist=["QUERIES"]))
