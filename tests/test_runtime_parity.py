@@ -84,3 +84,25 @@ def test_session_defaults(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_concurrent_query_submission(spark):
+    """Session-mode parity: Tez sessions accept concurrent DAGs
+    (TezClient.submitDAG on a shared session); a shared SparkSession with
+    FAIR scheduling runs concurrently submitted queries to completion
+    with correct, independent results."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tests.conftest import SF_DIR
+    from tez_spark.plans.queries import QUERIES
+
+    names = ["q03", "q05", "q07", "q13"]
+
+    def run(name):
+        return name, QUERIES[name](spark, SF_DIR).count()
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        got = dict(pool.map(run, names))
+    want = {n: QUERIES[n](spark, SF_DIR).count() for n in names}
+    assert got == want
+    assert spark.sparkContext.getConf().get("spark.scheduler.mode") == "FAIR"

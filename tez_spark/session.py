@@ -93,6 +93,11 @@ def get_spark(
         # the capture cost grows with session age instead of query size.
         .config("spark.ui.retainedStages", "250")
         .config("spark.ui.retainedJobs", "250")
+        # Tez session mode accepts concurrent DAGs (TezClient.submitDAG on
+        # a shared session); FAIR scheduling is the Spark analog — round-
+        # robins tasks across concurrently submitted jobs instead of FIFO
+        # head-of-line blocking a short query behind a long one.
+        .config("spark.scheduler.mode", "FAIR")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
