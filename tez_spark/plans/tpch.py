@@ -1,6 +1,6 @@
 """Adapted TPC-H workload — the canonical analytics suite Tez actually
 runs in production (Hive-on-Tez's benchmark and the Tez paper's workload,
-SIGMOD 2015). Twelve queries re-expressed DataFrame-first over the
+SIGMOD 2015). Fourteen queries re-expressed DataFrame-first over the
 driver fixtures.
 
 Adaptations, forced by the fixture schema (a TPC-H subset — no partsupp
@@ -34,6 +34,28 @@ from tez_spark.sources.catalog import load_table
 
 def _ts(s: str):
     return F.to_timestamp(F.lit(s))
+
+
+def q_tpch01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report — the literal Q1 aggregate set (one scan,
+    map-side partial agg on two low-cardinality keys)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (
+        li.filter(F.col("l_shipdate") <= _ts("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc).alias("sum_disc_price"),
+            F.sum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return out.orderBy("l_returnflag", "l_linestatus")
 
 
 def q_tpch03(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,6 +267,39 @@ def q_tpch14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (the view + scalar-max form;
+    the one-row max is a broadcast join, output rounded to 4dp — each
+    engine's max-selection is self-consistent, and rounding removes
+    summation-order ulp noise from the surfaced value)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    out = (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 4).alias("total_revenue"),
+        )
+    )
+    return out.orderBy("s_suppkey")
+
+
 def q_tpch17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-quantity-order revenue: lineitems under 20% of their part's
     average quantity. The correlated scalar subquery decorrelates to a
@@ -334,6 +389,36 @@ def q_tpch22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "tpch01": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               SUM(l_extendedprice) AS sum_base_price,
+               SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+               SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+               round(AVG(l_quantity), 6) AS avg_qty,
+               round(AVG(l_extendedprice), 6) AS avg_price,
+               round(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "tpch15": """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
     "tpch03": """
         SELECT l_orderkey, SUM(l_extendedprice * (1 - l_discount)) AS revenue,
                o_orderdate, o_orderpriority
@@ -470,6 +555,8 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "tpch01": q_tpch01,
+    "tpch15": q_tpch15,
     "tpch03": q_tpch03,
     "tpch05": q_tpch05,
     "tpch06": q_tpch06,
