@@ -1,6 +1,6 @@
 """Adapted TPC-H workload — the canonical analytics suite Tez actually
 runs in production (Hive-on-Tez's benchmark and the Tez paper's workload,
-SIGMOD 2015). Fourteen queries re-expressed DataFrame-first over the
+SIGMOD 2015). Sixteen queries re-expressed DataFrame-first over the
 driver fixtures.
 
 Adaptations, forced by the fixture schema (a TPC-H subset — no partsupp
@@ -13,9 +13,11 @@ columns):
   single-word domains; Q17/Q19 drop the p_container clause.
 - Q13: the o_comment NOT LIKE filter becomes an o_orderpriority filter.
 - Q22: country code = c_custkey % 7 (no phone column).
-- Q4/Q12/Q21 depend on commitdate/receiptdate/shipmode — omitted rather
-  than distorted beyond recognition (their shapes — exists-semi-join,
-  conditional agg — are covered by exists_subquery / argmax_funcs / Q13).
+- Q4/Q21: "late" is l_shipdate > o_orderdate + 90/60 days (no
+  commitdate/receiptdate columns); the EXISTS / EXISTS+NOT-EXISTS
+  correlation structure is unchanged.
+- Q12 depends on l_shipmode — omitted (its conditional-agg shape is
+  covered by Q14/argmax_funcs).
 
 Every query carries the equivalent DuckDB SQL as its oracle. Plans:
 fact-to-dim joins broadcast the dims (Catalyst/AQE does this from
@@ -76,6 +78,31 @@ def q_tpch03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.desc("revenue"), "o_orderdate", "l_orderkey"
     ).limit(10).select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+
+
+def q_tpch04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order priority checking: orders with at least one late lineitem
+    (shipped >90 days after the order date), counted by priority — the
+    EXISTS decorrelates to a semi join on the order key."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        li.select(F.col("l_orderkey").alias("lk"), "l_shipdate")
+        .join(
+            orders.select("o_orderkey", F.col("o_orderdate").alias("od")),
+            F.col("lk") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("od") + F.expr("INTERVAL 90 DAYS"))
+        .select("lk")
+    )
+    j = (
+        orders.filter(
+            (F.col("o_orderdate") >= _ts("1996-07-01"))
+            & (F.col("o_orderdate") < _ts("1996-10-01"))
+        ).join(late, orders.o_orderkey == late.lk, "left_semi")
+    )
+    out = j.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+    return out.orderBy("o_orderpriority")
 
 
 def q_tpch05(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,6 +390,53 @@ def q_tpch19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting: late lineitems (shipped >60
+    days after order date) in multi-supplier finished orders where NO
+    other supplier was late. The EXISTS / NOT-EXISTS pair decorrelates
+    to one per-(order, supplier) aggregate plus one per-order aggregate —
+    two shuffles on the order key instead of two correlated subqueries
+    (all suppliers, no nation filter — fixture nations are uniform and
+    tiny)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    lo = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).cast("long").alias("late"),
+        )
+    )
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("late").alias("n_late_rows")
+    )
+    per_o = per_os.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.expr("count_if(n_late_rows > 0)").alias("n_late_supp"),
+    )
+    qual = (
+        per_os.filter(F.col("n_late_rows") > 0)
+        .join(per_o, per_os.l_orderkey == F.col("ok"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    out = (
+        qual.join(F.broadcast(supp), qual.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_late_rows").alias("numwait"))
+    )
+    return out.orderBy(F.desc("numwait"), "s_name").limit(100)
+
+
 def q_tpch22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global sales opportunity: rich-but-inactive customers grouped by
     country code (custkey % 7 stands in for the phone prefix;
@@ -539,6 +613,42 @@ ORACLE: dict[str, str] = {
            OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#9'  AND l_quantity BETWEEN 20 AND 30))
     """,
+    "tpch04": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "tpch21": """
+        SELECT s_name, CAST(SUM(n_late_rows) AS BIGINT) AS numwait FROM (
+            SELECT l_orderkey, l_suppkey,
+                   SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END) AS n_late_rows
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY l_orderkey, l_suppkey
+        ) per_os
+        JOIN (
+            SELECT l_orderkey AS ok, COUNT(*) AS n_supp,
+                   count_if(n_late_rows > 0) AS n_late_supp
+            FROM (
+                SELECT l_orderkey, l_suppkey,
+                       SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                                THEN 1 ELSE 0 END) AS n_late_rows
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+                GROUP BY l_orderkey, l_suppkey
+            ) GROUP BY 1
+        ) per_o ON l_orderkey = ok
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE n_late_rows > 0 AND n_supp >= 2 AND n_late_supp = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name LIMIT 100
+    """,
     "tpch22": """
         SELECT cntrycode, COUNT(*) AS numcust,
                round(SUM(c_acctbal), 4) AS totacctbal
@@ -556,7 +666,9 @@ ORACLE: dict[str, str] = {
 
 QUERIES = {
     "tpch01": q_tpch01,
+    "tpch04": q_tpch04,
     "tpch15": q_tpch15,
+    "tpch21": q_tpch21,
     "tpch03": q_tpch03,
     "tpch05": q_tpch05,
     "tpch06": q_tpch06,
