@@ -62,8 +62,12 @@ def main() -> None:
     except Exception:
         pass
     warm_dir = os.environ.get("TEZ_SPARK_BENCH_WARM_SF", "/root/testdata/sf0.001")
+    warm_budget = float(os.environ.get("TEZ_SPARK_BENCH_WARM_BUDGET", "90"))
     if os.path.isdir(warm_dir):
+        warm_t0 = time.monotonic()
         for fn in queries.values():
+            if time.monotonic() - warm_t0 > warm_budget:
+                break  # never let warm-up starve the timing loop
             try:
                 _digest_action(fn(spark, warm_dir))
             except Exception:
