@@ -147,6 +147,10 @@ def test_connector_gating_probe_both_ways(spark):
         scan_delta(spark, "/tmp/nonexistent")
     with pytest.raises(ConnectorUnavailable, match="iceberg"):
         scan_iceberg(spark, "db.tbl")
+    from tez_spark.sources.ext import scan_avro
+
+    with pytest.raises(ConnectorUnavailable, match="spark-avro module"):
+        scan_avro(spark, "/tmp/nonexistent")
 
 
 def test_bucketed_join_no_shuffle(spark, tmp_path):

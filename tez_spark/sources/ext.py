@@ -41,6 +41,22 @@ def scan_iceberg(spark: SparkSession, table: str) -> DataFrame:
     return spark.read.format("iceberg").load(table)
 
 
+def scan_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan — built into Spark but shipped as the external
+    spark-avro module. A classpath probe is unreliable here (some avro
+    classes ship in spark-sql without the DataSource being registered),
+    so the gate converts the lookup failure itself."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:
+        if "Failed to find data source" in str(exc):
+            raise ConnectorUnavailable(
+                "spark-avro module not deployed; add "
+                "org.apache.spark:spark-avro via spark.jars.packages"
+            ) from exc
+        raise
+
+
 def scan_jdbc(spark: SparkSession, url: str, table: str, **options: str) -> DataFrame:
     """JDBC scan (driver jar must be on the classpath). Partition options
     (partitionColumn/lowerBound/upperBound/numPartitions) are mandatory at
