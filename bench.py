@@ -90,6 +90,16 @@ def main() -> None:
         except OSError:
             return 0.0
 
+    # Settle before deciding the policy: the 1-minute loadavg decays
+    # slowly, so a just-finished local job (the warm-up above, or the
+    # driver's own prior work) reads as "busy host" and would demote a
+    # genuinely idle run to fewer samples. Wait briefly for load1 < 4
+    # before sampling; give up after the settle budget (real steal).
+    settle_s = float(os.environ.get("TEZ_SPARK_BENCH_SETTLE", "45"))
+    settle_t0 = time.monotonic()
+    while _load1() >= 4 and time.monotonic() - settle_t0 < settle_s:
+        time.sleep(5)
+
     load_start = _load1()
     default_runs = "1" if load_start > max(8, cpus / 2) else (
         "2" if load_start > 4 else "3"
