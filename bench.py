@@ -81,9 +81,11 @@ def main() -> None:
     # - idle (load1 < 4): 3 samples, median.
     # - moderate: 2 samples, best (min) — the less-contaminated one.
     # - heavy steal: 1 sample; the loadavg field flags the number as dirty.
-    # A query whose FIRST sample exceeds the slow cutoff gets at most one
-    # repeat, and once the global budget is spent everything runs once —
-    # bounds total wall-clock against any driver timeout.
+    # Slow queries keep their full sample count until HALF the global
+    # budget is spent (a slow first sample is usually steal and needs the
+    # de-noising repeats most), then drop to 2 samples; once the whole
+    # budget is spent everything runs once — bounds total wall-clock
+    # against any driver timeout.
     def _load1() -> float:
         try:
             return os.getloadavg()[0]

@@ -79,3 +79,23 @@ def test_asof_no_join_blowup_plan(spark):
     plan = asof_join(ldf, rdf, on="k", left_ts="lts", right_ts="rts")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_asof_join_null_right_ts_and_null_keys(spark):
+    """Right rows with null right_ts or a null key are never matches: a
+    null ts cannot satisfy rts <= lts and null keys never join. Inner
+    must drop the unmatched left; left must null-fill it."""
+    from tez_spark.operators.core import asof_join
+
+    left = spark.createDataFrame(
+        [(0, 1, 10), (1, None, 10)], "lid long, k long, lts long"
+    )
+    right = spark.createDataFrame(
+        [(100, 1, None), (101, None, 5)], "rid long, k long, rts long"
+    )
+    l = left.withColumnRenamed("k", "k")
+    out_left = asof_join(l, right, on="k", left_ts="lts", right_ts="rts", how="left")
+    rows = {r.lid: (r.rts, r.rid) for r in out_left.collect()}
+    assert rows == {0: (None, None), 1: (None, None)}
+    out_inner = asof_join(l, right, on="k", left_ts="lts", right_ts="rts", how="inner")
+    assert out_inner.count() == 0

@@ -70,3 +70,33 @@ def test_observability_query_registered(spark):
     df = all_queries()["observability_counters"](spark, SF_DIR)
     vals = {r.counter: r.value for r in df.collect()}
     assert vals["SHUFFLE_BYTES"] > 0
+
+
+def test_capture_isolates_concurrent_work(spark):
+    """Job-group attribution: a shuffle-heavy query running CONCURRENTLY
+    (session mode, FAIR scheduler) must not leak into the captured
+    counters of a no-shuffle scan."""
+    import threading
+
+    from tez_spark.observability import capture
+
+    stop = threading.Event()
+
+    def background():
+        while not stop.is_set():
+            spark.range(0, 200000, 1, 8).selectExpr("id % 13 AS k").groupBy(
+                "k"
+            ).count().collect()
+
+    t = threading.Thread(target=background, daemon=True)
+    t.start()
+    try:
+        _, counters = capture(
+            spark,
+            lambda: spark.range(0, 1000, 1, 2).selectExpr("id * 2 AS x").collect(),
+        )
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert counters["SHUFFLE_BYTES_WRITTEN"] == 0, counters
+    assert counters["NUM_STAGES"] >= 1

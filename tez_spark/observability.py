@@ -84,24 +84,38 @@ def _stage_list(spark: SparkSession) -> list[dict[str, Any]]:
 
 def capture(spark: SparkSession, fn: Callable[[], Any]) -> tuple[Any, dict[str, int]]:
     """Run fn() and return (result, counters) where counters aggregates
-    the TaskCounter-flavored metrics over exactly the stages fn executed
-    (stage ids are append-only, so a before/after id diff is exact).
+    the TaskCounter-flavored metrics over exactly the stages fn executed.
 
-    Py4J round-trips are the cost here, so the before-snapshot reads only
-    stage ids and the after-pass extracts metric fields for NEW stages
-    only — capture stays cheap in a long-lived session with a large
-    retained-stage history."""
-    before = {(sd.stageId(), sd.attemptId()) for sd in _iter_stages(spark)}
-    result = fn()
+    Attribution is by JOB GROUP, not a before/after stage diff: fn runs
+    under a unique group id and only stages belonging to that group's
+    jobs are counted, so work submitted concurrently from other threads
+    (the FAIR-scheduler session-mode pattern) never leaks into the
+    captured totals. Py4J round-trips stay bounded: metric fields are
+    extracted only for the group's stages."""
+    import uuid
+
+    sc = spark.sparkContext
+    group = f"tezspark-capture-{uuid.uuid4().hex[:8]}"
+    sc.setJobGroup(group, "tez_spark observability capture")
+    try:
+        result = fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    tracker = sc.statusTracker()
+    stage_ids: set[int] = set()
+    for jid in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(jid)
+        if info is not None:
+            stage_ids.update(int(s) for s in info.stageIds)
     counters: dict[str, int] = {name: 0 for _, name in _COUNTER_FIELDS}
-    n_new = 0
+    n_seen = 0
     for sd in _iter_stages(spark):
-        if (sd.stageId(), sd.attemptId()) in before:
+        if sd.stageId() not in stage_ids:
             continue
-        n_new += 1
+        n_seen += 1
         for field, name in _COUNTER_FIELDS:
             counters[name] += int(getattr(sd, field)())
-    counters["NUM_STAGES"] = n_new
+    counters["NUM_STAGES"] = n_seen
     return result, counters
 
 

@@ -308,6 +308,12 @@ def asof_join(
         raise ValueError(f"rename right columns colliding with left: {sorted(clash)}")
     payload = F.struct(F.col(right_ts), *[F.col(c) for c in carried if c != right_ts])
     payload_type = right.select(payload.alias("_p")).schema["_p"].dataType
+    # Rows that can never be a match must not enter the merge: a right
+    # row with null right_ts would sort nulls-FIRST with a non-null
+    # payload struct and be carried as the "earliest" match for every
+    # left row; a null join key never matches under SQL semantics (and
+    # partitionBy would happily group null keys together).
+    right = right.filter(F.col(right_ts).isNotNull() & F.col(on).isNotNull())
 
     l_cols = [c for c in left.columns]
     l_sel = left.select(

@@ -141,10 +141,20 @@ def pair_jaccard_at(sh: DataFrame, t: float, id_col: str = "doc_id") -> DataFram
         .select("da", "db")
         .distinct()
     )
-    return _verify_pairs(cand, sh, id_col=id_col).filter(F.col("j") >= t)
+    # broadcast_small=False: on dense corpora the prefix-filtered
+    # candidate set can approach all co-shingled pairs — let AQE size the
+    # joins instead of forcing a driver-side collect via broadcast hints.
+    return _verify_pairs(
+        cand, sh, id_col=id_col, broadcast_small=False
+    ).filter(F.col("j") >= t)
 
 
-def _verify_pairs(cand: DataFrame, sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def _verify_pairs(
+    cand: DataFrame,
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    broadcast_small: bool = True,
+) -> DataFrame:
     """Exact Jaccard for candidate pairs only — the LSH verification stage.
     Cost is O(candidates × shingles-per-doc), never all-pairs.
 
@@ -152,21 +162,27 @@ def _verify_pairs(cand: DataFrame, sh: DataFrame, id_col: str = "doc_id") -> Dat
     candidate set is LSH-pruned (≪ corpus), so the intersection equijoins
     below touch only the shingles of docs that can appear in the output —
     without this the first join shuffles the whole corpus shingle table to
-    match a tiny candidate list."""
+    match a tiny candidate list.
+
+    broadcast_small: when the candidate set is known to be pruned-small
+    (the MinHash-LSH path), broadcast every candidate-bounded side
+    explicitly rather than letting AQE discover it one shuffle-stage at
+    a time (at sf0.1 the unhinted plan ran 38 stages / 424 tasks for
+    ~400 surviving docs). Callers whose candidate set can be LARGE
+    (prefix filtering on a dense corpus) must pass False — an explicit
+    broadcast hint overrides size thresholds and would collect the whole
+    candidate table to the driver."""
+    maybe_b = F.broadcast if broadcast_small else (lambda df: df)
     cand_ids = (
         cand.select(F.col("da").alias(id_col))
         .union(cand.select(F.col("db").alias(id_col)))
         .distinct()
     )
-    # Everything derived from `cand` is candidate-bounded (LSH-pruned,
-    # ≪ corpus) — broadcast each small side explicitly rather than letting
-    # AQE discover it one shuffle-stage at a time; at sf0.1 the unhinted
-    # plan ran 38 stages / 424 tasks for ~400 surviving docs.
-    sh = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sh = sh.join(maybe_b(cand_ids), id_col, "left_semi")
     sa = sh.select(F.col(id_col).alias("da"), F.col("sh").alias("sha"))
     sb = sh.select(F.col(id_col).alias("db_r"), F.col("sh").alias("shb"))
     inter = (
-        sa.join(F.broadcast(cand), "da")
+        sa.join(maybe_b(cand), "da")
         .join(sb, (F.col("db") == F.col("db_r")) & (F.col("sha") == F.col("shb")))
         .groupBy("da", "db")
         .agg(F.count(F.lit(1)).alias("i"))
@@ -175,8 +191,8 @@ def _verify_pairs(cand: DataFrame, sh: DataFrame, id_col: str = "doc_id") -> Dat
     na = sizes.select(F.col(id_col).alias("da"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("db"), F.col("n").alias("nb"))
     return (
-        inter.join(F.broadcast(na), "da")
-        .join(F.broadcast(nb), "db")
+        inter.join(maybe_b(na), "da")
+        .join(maybe_b(nb), "db")
         .select(
             "da",
             "db",
@@ -365,6 +381,7 @@ def connected_components(
         edges.select(F.col("src").alias("node")).distinct()
         .select("node", F.col("node").alias("label"))
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -389,7 +406,16 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silently returning non-minimal labels would be a WRONG answer
+        # (components split); a >max_iter diameter means the caller should
+        # raise max_iter or switch to large-star/small-star.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter)"
+        )
     return labels.select(F.col("label").alias("component"), F.col("node").alias("doc_id"))
 
 

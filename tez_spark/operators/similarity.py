@@ -114,43 +114,6 @@ def _planes(dim: int) -> np.ndarray:
     return rng.standard_normal((LSH_TABLES, LSH_PLANES, dim))
 
 
-def lsh_signatures(
-    df: DataFrame, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """(id, table, sig): one LSH_PLANES-bit signature per hash table.
-
-    All table signatures come from ONE numpy matmul per Arrow batch
-    (vectors x all hyperplanes), then sign-bits are packed per table.
-    The zip_with/aggregate formulation this replaces evaluated the dot
-    products interpreted per element — ~10x slower end to end."""
-    import pandas as pd
-
-    from tez_spark.operators.core import fan_out
-
-    planes = _planes(dim)  # (tables, planes, dim)
-    P = planes.reshape(LSH_TABLES * LSH_PLANES, dim)
-    weights = (2 ** np.arange(LSH_PLANES)).astype(np.int64)
-    bcast = df.sparkSession.sparkContext.broadcast(P)
-
-    def sign_sigs(batches):
-        P_ = bcast.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-            bits = (V @ P_.T) > 0  # rows x (tables*planes)
-            bits = bits.reshape(len(V), LSH_TABLES, LSH_PLANES)
-            sigs = (bits * weights).sum(axis=2)  # rows x tables
-            ids = np.repeat(pdf[id_col].to_numpy(), LSH_TABLES)
-            tables = np.tile(np.arange(LSH_TABLES), len(V))
-            yield pd.DataFrame(
-                {id_col: ids, "table": tables, "sig": sigs.reshape(-1)}
-            ).astype({id_col: "int64", "table": "int32", "sig": "int64"})
-
-    base = fan_out(df.select(F.col(id_col), as_double(vec_col).alias("v")))
-    return base.mapInPandas(sign_sigs, f"{id_col} long, table int, sig long")
-
-
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: candidates share a (table, signature) bucket with
     the query, then exact cosine re-rank to top-5. Rows-only check (recall
@@ -237,6 +200,25 @@ IVF_CELLS = 64
 IVF_NPROBE = 16
 
 
+def _sample_centroids(
+    df: DataFrame, n_cells: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> np.ndarray:
+    """Deterministic IVF centroid sample, normalized: the n_cells corpus
+    vectors with the smallest hashed id (TakeOrdered: one scan, only
+    n_cells rows reach the driver; the corpus itself is never collected).
+    Single definition shared by the index-build path (ivf_assign) and the
+    declared query (q_ann_ivf) so they can never drift apart; swap in
+    k-means refinement HERE and both paths follow."""
+    cent_rows = (
+        df.select(F.col(id_col), as_double(vec_col).alias("v"))
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(_MERSENNE_P_IVF)))
+        .limit(n_cells)
+        .collect()
+    )
+    C = np.array([list(r["v"]) for r in cent_rows], dtype=np.float64)
+    return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+
 def ivf_assign(
     df: DataFrame,
     dim: int,
@@ -246,26 +228,13 @@ def ivf_assign(
 ) -> tuple[DataFrame, np.ndarray]:
     """IVF coarse quantizer: (assignments, centroids).
 
-    Centroids are a deterministic sample — the n_cells corpus vectors with
-    the smallest xxhash64(id) (TakeOrdered: one scan, only n_cells rows
-    reach the driver; the corpus itself is never collected). Sampled
-    centroids are the standard cheap IVF bootstrap; swap in k-means
-    refinement without changing any downstream plumbing.
-
     Assignment is map-side: each Arrow batch does one matmul against the
     broadcast normalized centroid matrix and takes argmax — no shuffle;
     the returned assignment table carries the vector so probing needs no
     join back to the corpus."""
     import pandas as pd
 
-    cent_rows = (
-        df.select(F.col(id_col), as_double(vec_col).alias("v"))
-        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(_MERSENNE_P_IVF)))
-        .limit(n_cells)
-        .collect()
-    )
-    C = np.array([list(r["v"]) for r in cent_rows], dtype=np.float64)
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    Cn = _sample_centroids(df, n_cells, id_col=id_col, vec_col=vec_col)
     bcast = df.sparkSession.sparkContext.broadcast(Cn)
 
     def assign(batches):
@@ -310,14 +279,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = 64
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
 
-    cent_rows = (
-        emb.select("vec_id", as_double("embedding").alias("v"))
-        .orderBy(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(_MERSENNE_P_IVF)))
-        .limit(IVF_CELLS)
-        .collect()
-    )
-    C = np.array([list(r["v"]) for r in cent_rows], dtype=np.float64)
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    Cn = _sample_centroids(emb, IVF_CELLS)
 
     q_rows = queries.select("vec_id", as_double("embedding").alias("v")).collect()
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
@@ -419,7 +381,12 @@ def all_pairs_cosine(
 
     def score_pair(key, pdf):
         i, j = int(key[0]), int(key[1])
+        empty = pd.DataFrame({"va": [], "vb": [], "sim": []}).astype(
+            {"va": "int64", "vb": "int64", "sim": "float64"}
+        )
         a_pdf = pdf[pdf["_b"] == i]
+        if not len(a_pdf):
+            return empty  # hash block got no rows (small n vs block count)
         ids_a = a_pdf["_id"].to_numpy()
         An = _norm_rows(a_pdf)
         if i == j:
@@ -429,6 +396,8 @@ def all_pairs_cosine(
             va, vb, sim = ids_a[r], ids_a[c], S[r, c]
         else:
             b_pdf = pdf[pdf["_b"] == j]
+            if not len(b_pdf):
+                return empty
             ids_b = b_pdf["_id"].to_numpy()
             Bn = _norm_rows(b_pdf)
             S = An @ Bn.T
