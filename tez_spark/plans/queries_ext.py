@@ -391,7 +391,100 @@ def q_argmax_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("c_mktsegment")
 
 
+# --- grouped vector aggregation (per-label centroids) ----------------------
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid statistics: element-wise mean vector per label
+    (the class-prototype / k-means-step building block), summarized as
+    the centroid L2 norm. posexplode turns the vector column into
+    (label, pos, x) rows so the element-wise mean is an ordinary
+    two-key aggregation — all JVM-side, no UDF; the explode is a linear
+    row blowup of dim x, partial-aggregated map-side."""
+    from tez_spark.functions.vectors import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pe = emb.select(
+        "label", F.posexplode(as_double("embedding")).alias("pos", "x")
+    )
+    dims = pe.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    norms = dims.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"),
+        F.count(F.lit(1)).alias("n_dims"),
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        counts.join(norms, "label")
+        .select("label", "n_vecs", "n_dims", "centroid_norm")
+        .orderBy("label")
+    )
+
+
+# --- per-source corpus profiling -------------------------------------------
+
+def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality/token profile per document source — the per-provider
+    report a curation pipeline reviews before adjusting mix weights.
+    Metrics come from the shared metrics_of core (one scan, map-side);
+    the summary is one shuffle on source."""
+    from tez_spark.functions.text_queries import metrics_of
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = metrics_of(docs).select("doc_id", "n_tokens", "quality")
+    j = docs.select("doc_id", "source").join(m, "doc_id")
+    out = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+    return out.orderBy("source")
+
+
 ORACLE: dict[str, str] = {
+    "embedding_centroids": """
+        WITH pe AS (
+            -- positional explode (DuckDB has no WITH ORDINALITY):
+            -- index the list by a generated 1-based range
+            SELECT label, t.i AS pos, (embedding::DOUBLE[])[t.i] AS x
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        ), dims AS (
+            SELECT label, pos, AVG(x) AS m FROM pe GROUP BY 1, 2
+        ), norms AS (
+            SELECT label,
+                   round(sqrt(SUM(m * m)), 6) AS centroid_norm,
+                   COUNT(*) AS n_dims
+            FROM dims GROUP BY 1
+        )
+        SELECT e.label, COUNT(*) AS n_vecs, n.n_dims, n.centroid_norm
+        FROM embeddings e JOIN norms n ON e.label = n.label
+        GROUP BY 1, 3, 4 ORDER BY 1
+    """,
+    "source_quality": f"""
+        WITH base AS (
+            SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+                   text
+            FROM documents
+        ), m AS (
+            SELECT doc_id, source,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) / length(text)
+                        ELSE 0.0 END AS alpha_r,
+                   CASE WHEN len(toks) > 0
+                        THEN len(list_filter(toks, t -> t IN ({{STOP}}))) / len(toks)
+                        ELSE 0.0 END AS stop_r,
+                   CASE WHEN len(toks) > 0
+                        THEN list_sum(list_transform(toks, t -> length(t))) / len(toks)
+                        ELSE 0.0 END AS avg_tok_len
+            FROM base
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               round(AVG(least(stop_r * 4.0, 1.0) * 0.4 + alpha_r * 0.4 +
+                     CASE WHEN avg_tok_len >= 3 AND avg_tok_len <= 10
+                          THEN 0.2 ELSE 0.0 END), 6) AS avg_quality
+        FROM m GROUP BY 1 ORDER BY 1
+    """,
     "window_funcs": """
         SELECT o_custkey, o_orderkey, o_totalprice,
                CAST(RANK() OVER w AS BIGINT) AS rk,
@@ -599,4 +692,13 @@ QUERIES = {
     "interval_join": q_interval_join,
     "unpivot": q_unpivot,
     "argmax_funcs": q_argmax_funcs,
+    "embedding_centroids": q_embedding_centroids,
+    "source_quality": q_source_quality,
 }
+
+# the source_quality oracle shares the engine's stopword list verbatim
+from tez_spark.functions.text import STOPWORDS as _STOPWORDS  # noqa: E402
+
+ORACLE["source_quality"] = ORACLE["source_quality"].replace(
+    "{STOP}", ", ".join(f"'{s}'" for s in _STOPWORDS)
+)
