@@ -106,3 +106,20 @@ def test_concurrent_query_submission(spark):
     want = {n: QUERIES[n](spark, SF_DIR).count() for n in names}
     assert got == want
     assert spark.sparkContext.getConf().get("spark.scheduler.mode") == "FAIR"
+
+
+def test_tpch_plan_shapes(spark):
+    """Scale-design evidence for the TPC-H suite: tpch06's filters reach
+    the parquet scan (pushdown + pruned schema), and tpch05's dim chain
+    broadcasts rather than shuffling the small sides."""
+    from tests.conftest import SF_DIR
+    from tez_spark.plans.tpch import q_tpch05, q_tpch06
+
+    p6 = q_tpch06(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in p6 and "l_shipdate" in p6.split("PushedFilters:")[1][:300]
+    # projection pruning: the scan must not read revenue-irrelevant cols
+    read = p6.split("ReadSchema:")[1][:300]
+    assert "l_returnflag" not in read and "l_extendedprice" in read
+
+    p5 = q_tpch05(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in p5 or "BroadcastHashJoin" in p5
