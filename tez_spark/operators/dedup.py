@@ -377,10 +377,11 @@ def connected_components(
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
-    labels = tracked_persist(
+    persisted = tracked_persist(
         edges.select(F.col("src").alias("node")).distinct()
         .select("node", F.col("node").alias("label"))
     )
+    labels = persisted
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
@@ -388,23 +389,24 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        new_min = F.least(F.col("label"), F.coalesce("nmin", F.col("label")))
+        # carry the changed flag in the same projection: the convergence
+        # check is then one count over the persisted frame instead of a
+        # join back against the previous round's labels.
         new_labels = tracked_persist(
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
-                    "label"
-                ),
+                new_min.alias("label"),
+                (new_min != F.col("label")).alias("_changed"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).count()
+        # unpersist the FRAME THAT WAS PERSISTED — calling it on a
+        # derived .drop() lineage would be a silent no-op leak.
+        persisted.unpersist()
+        persisted = new_labels
+        labels = new_labels.drop("_changed")
         if changed == 0:
             converged = True
             break
