@@ -114,22 +114,34 @@ def main() -> None:
     n_samples: dict[str, int] = {}
 
     def emit(partial: bool = False) -> None:
+        # Two lines, diagnostics FIRST and the headline line LAST: the
+        # driver keeps a bounded tail of stdout, and round 2's single
+        # giant line (timings + sample counts for 74 queries) outgrew it,
+        # truncating the head (BENCH_r02 parsed: null). The final line
+        # carries everything the driver's contract needs and is kept
+        # compact (separators strip whitespace) so the tail always holds
+        # it whole.
         total = round(sum(t for t in timings.values() if t >= 0), 3)
+        diag = {
+            "bench_diagnostics": {
+                "samples": {n: n_samples.get(n, 0) for n in sorted(queries)},
+                "loadavg": [round(load_start, 2), round(_load1(), 2)],
+                "runs_policy": runs,
+            }
+        }
+        print(json.dumps(diag, separators=(",", ":")), flush=True)
         line = {
             "metric": "tez_spark_total_wall_clock",
             "value": total,
             "unit": "sec",
-            "queries": {
-                n: timings.get(n, -1.0) for n in sorted(queries)
-            },
-            "samples": {n: n_samples.get(n, 0) for n in sorted(queries)},
+            "queries": {n: timings.get(n, -1.0) for n in sorted(queries)},
+            "sf": sf,
             "loadavg": [round(load_start, 2), round(_load1(), 2)],
             "runs_policy": runs,
-            "sf": sf,
         }
         if partial:
             line["partial"] = True
-        print(json.dumps(line), flush=True)
+        print(json.dumps(line, separators=(",", ":")), flush=True)
 
     def on_term(signum, frame):  # killed by a driver timeout: still emit
         emit(partial=True)

@@ -31,3 +31,22 @@ def test_query_matches_oracle(spark, oracle, name):
 def test_every_oracle_has_query():
     missing = set(ORACLES) - set(QUERIES)
     assert not missing, f"oracles without queries: {missing}"
+
+
+def test_driver_window_ordering():
+    """The driver's correctness gate reads the first 50 registry entries.
+
+    Guard the ordering policy (registry._PRIORITY): every entry in the
+    window is oracled, and the high-value suites (TPC-H, curation, text,
+    streaming, multimodal) all land inside it.
+    """
+    window = list(QUERIES)[:50]
+    assert all(k in ORACLES for k in window), [k for k in window if k not in ORACLES]
+    required = {k for k in QUERIES if k.startswith("tpch")} | {
+        "curation_pipeline", "train_split", "text_metrics", "text_langid",
+        "text_fingerprint", "sessionize", "window_sliding", "multimodal_decode",
+    }
+    assert required <= set(window), required - set(window)
+    # rows-only entries must sit at the very end
+    tail = list(QUERIES)[len(ORACLES):]
+    assert all(k not in ORACLES for k in tail), [k for k in tail if k in ORACLES]
