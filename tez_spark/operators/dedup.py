@@ -475,6 +475,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs at hamming distance ≤ 3 over 32-bit SimHash.
     Candidates from 4x8-bit band equijoin (guaranteed recall for d≤3),
     then exact bit_count(xor) filter."""
+    from tez_spark.operators.core import release_caches, tracked_persist
+
+    release_caches()
     docs = load_table(spark, sf_dir, "documents")
     fp = simhash_fingerprints(docs)
     bands = F.array(
@@ -487,8 +490,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(SIMHASH_BANDS)
         ]
     )
-    banded = fp.select("doc_id", "simhash", F.explode(bands).alias("bs")).select(
-        "doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    # Both sides of the self-join read this frame; without the persist the
+    # md5-explode + 32-term fingerprint aggregation (the heaviest stage)
+    # executes twice — Catalyst does not CSE across a self-join.
+    banded = tracked_persist(
+        fp.select("doc_id", "simhash", F.explode(bands).alias("bs")).select(
+            "doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+        )
     )
     a = banded.alias("a")
     b = banded.alias("b")

@@ -299,9 +299,16 @@ def q_tpch15(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-row max is a broadcast join, output rounded to 4dp — each
     engine's max-selection is self-consistent, and rounding removes
     summation-order ulp noise from the surfaced value)."""
+    from tez_spark.operators.core import release_caches, tracked_persist
+
+    release_caches()
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
-    revenue = (
+    # The per-supplier aggregate feeds both the scalar max and the final
+    # join; Catalyst does not CSE across the join, so without the persist
+    # the filtered lineitem scan + aggregation runs twice. The aggregate
+    # is |suppliers|-sized — tiny at any SF relative to lineitem.
+    revenue = tracked_persist(
         li.filter(
             (F.col("l_shipdate") >= _ts("1996-01-01"))
             & (F.col("l_shipdate") < _ts("1996-04-01"))
