@@ -3,6 +3,7 @@ this engine deliberately delegates to AQE, asserted at the plan level."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
@@ -106,6 +107,43 @@ def test_concurrent_query_submission(spark):
     want = {n: QUERIES[n](spark, SF_DIR).count() for n in names}
     assert got == want
     assert spark.sparkContext.getConf().get("spark.scheduler.mode") == "FAIR"
+
+
+def _registry_names():
+    from tez_spark.plans.registry import all_queries
+
+    return sorted(all_queries())
+
+
+@pytest.mark.parametrize("name", _registry_names())
+def test_plan_shape_guard(spark, name):
+    """Scale-guard walk of every registry query's physical plan.
+
+    Catches two failure classes at plan-build time, before any driver run:
+    (1) analysis errors — a fixture-encoding change (like round 3's
+    TIMESTAMP_NTZ regeneration) surfaces here as an AnalysisException the
+    moment the plan is built; (2) scale anti-patterns — a CartesianProduct
+    outside the declared cross-join queries, or monotonically_increasing_id
+    / rand() sneaking into a declared-deterministic query path.
+
+    BroadcastNestedLoopJoin is allowed: it only appears for sub-threshold
+    broadcast sides (e.g. tpch15's one-row scalar-max join), which is the
+    intended plan, not an accident."""
+    from tez_spark.plans.registry import all_queries
+
+    df = all_queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    # q11 is the declared theta/cartesian query (Tez CartesianProduct
+    # edge parity); everything else must never cross-product.
+    if name != "q11":
+        assert "CartesianProduct" not in plan, f"{name}: unplanned cartesian"
+    assert "monotonically_increasing_id" not in plan, (
+        f"{name}: nondeterministic id generator in a declared query"
+    )
+    assert " rand(" not in plan.lower(), (
+        f"{name}: rand() in a declared-deterministic query"
+    )
 
 
 def test_tpch_plan_shapes(spark):

@@ -67,17 +67,21 @@ def test_dedup_stream_drops_replays(spark, tmp_path):
     """Streaming dedup over a source with planted duplicate event_ids:
     the append-mode output holds exactly one row per distinct id, equal to
     the batch dropDuplicates answer."""
-    from tez_spark.streaming.events import EVENTS_RAW_SCHEMA, dedup_stream
+    from tez_spark.sources.catalog import normalize_event_ts
+    from tez_spark.streaming.events import dedup_stream
 
+    # ts planted as int64 nanos — exercises the LongType branch of the
+    # type-adaptive ingestion contract (normalize_event_ts).
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
     rows = []
     for i in range(200):
         rows.append((i, 1_700_000_000_000_000_000 + i * 10**9, i % 7, "click", float(i), "{}"))
     rows += rows[:50]  # replay the first 50 events
     src = str(tmp_path / "dup_events")
-    spark.createDataFrame(rows, EVENTS_RAW_SCHEMA).repartition(4).write.parquet(src)
+    spark.createDataFrame(rows, schema).repartition(4).write.parquet(src)
 
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(src)
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = spark.readStream.schema(schema).parquet(src)
+    stream = normalize_event_ts(raw)
     q = (
         dedup_stream(stream)
         .writeStream.outputMode("append")
@@ -136,7 +140,11 @@ def test_stream_stream_join_matches_batch(spark):
     assert got == want and len(got) > 0
 
 
-def test_session_window_stream_runs(spark):
+def test_session_window_stream_matches_batch(spark):
+    """Value-level assertion against the batch session_window twin — a
+    rows>0 smoke check previously let silently-wrong (epoch-1970) window
+    boundaries pass."""
+    from tez_spark.sources.catalog import load_table
     from tez_spark.streaming.events import (
         run_to_completion,
         session_counts,
@@ -145,10 +153,22 @@ def test_session_window_stream_runs(spark):
 
     stream = stream_events(spark, SF_DIR)
     got = run_to_completion(session_counts(stream), "t_sess", spark)
-    rows = got.collect()
-    assert len(rows) > 0
-    # sessions are disjoint per user and each holds >=1 event
-    assert all(r.n_events >= 1 for r in rows)
+
+    ev = load_table(spark, SF_DIR, "events")
+    want = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("t_start"),
+            F.col("w.end").alias("t_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+    g = {(r.t_start, r.t_end, r.user_id, r.n_events, round(r.sum_value, 6)) for r in got.collect()}
+    w = {(r.t_start, r.t_end, r.user_id, r.n_events, round(r.sum_value, 6)) for r in want.collect()}
+    assert g == w and len(g) > 0
 
 
 def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):

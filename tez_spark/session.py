@@ -33,6 +33,14 @@ from pyspark.sql import SparkSession
 # Arrow for the Pandas-UDF slow path.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # Parquet TIMESTAMP without timezone (timestamp[us]) would otherwise
+    # infer as TIMESTAMP_NTZ in Spark 4, which rejects unix_micros /
+    # cast-to-long and silently diverges from the TIMESTAMP arithmetic the
+    # time-based operators use. Session TZ is pinned UTC, so loading it as
+    # plain TIMESTAMP is value-identical; catalog.load_table additionally
+    # normalizes by ACTUAL column type for sessions where this conf can't
+    # apply.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

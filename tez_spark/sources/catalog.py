@@ -33,22 +33,45 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to plain TIMESTAMP by its ACTUAL type.
+
+    The ingestion contract (FIXTURES.md): fixture regenerations have shipped
+    events.ts as parquet TIMESTAMP(NANOS) (loads as int64 nanos under
+    nanosAsLong), as timestamp[us] without timezone (loads as TIMESTAMP_NTZ
+    when inferTimestampNTZ is on), and as plain TIMESTAMP. Every time-based
+    operator (sessionize, interval/as-of joins, streaming windows) assumes
+    TIMESTAMP, so adapt here — once, at the source — rather than per query.
+
+    - LongType: nanos → truncate to micros with integer division (the same
+      ns→us truncation DuckDB applies; a double intermediate would lose
+      precision at 2^63-scale nanosecond values).
+    - TimestampNTZType: cast to TIMESTAMP. Session TZ is pinned UTC, so the
+      wall-clock values are identical.
+    - TimestampType: already the contract type; no-op.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Columnar parquet scan: filters/projections
     applied downstream reach the scan (PushedFilters/ReadSchema)."""
     apply_runtime_confs(spark)
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    # rejects outright; read nanos as int64 and truncate to micros (same
-    # ns->us truncation DuckDB applies when it surfaces the column as
-    # TIMESTAMP). Integer division — a double intermediate would lose
-    # precision at 2^63-scale nanosecond values.
+    # Tolerate a TIMESTAMP(NANOS) events.ts (one historical fixture
+    # encoding): Spark's vectorized reader rejects it outright unless it is
+    # surfaced as int64; normalize_event_ts then restores TIMESTAMP.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

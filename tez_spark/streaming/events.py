@@ -17,37 +17,33 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from tez_spark.session import apply_runtime_confs
-
-# events schema with ts as long (TIMESTAMP(NANOS) read via nanosAsLong —
-# same handling as the batch catalog).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from tez_spark.sources.catalog import normalize_event_ts
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events as an unbounded stream (file source over the fixture dir)."""
+    """events as an unbounded stream (file source over the fixture dir).
+
+    readStream requires an explicit schema; derive it from a batch footer
+    read of the same file so the stream always sees the fixture's ACTUAL
+    encoding (ts has shipped as int64 nanos, TIMESTAMP_NTZ micros, and
+    plain TIMESTAMP across regenerations), then normalize ts to TIMESTAMP
+    identically to the batch catalog — the streaming plans must window the
+    same event-time values the batch twins aggregate."""
     apply_runtime_confs(spark)
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema  # footer-only read
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir if sf_dir.endswith("/") else sf_dir + "/")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(raw)
 
 
 def tumbling_counts(stream: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
