@@ -229,9 +229,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs join — measured faster than prefix filtering on these
     dense fixtures; see pair_jaccard_at for the sparse-corpus
     alternative)."""
-    from tez_spark.operators.core import release_caches, tracked_persist
+    from tez_spark.operators.core import tracked_persist
 
-    release_caches()
     docs = load_table(spark, sf_dir, "documents")
     # persist: the shingle table feeds the self-join twice plus sizes —
     # without it Spark recomputes the explode+distinct per branch. At
@@ -336,9 +335,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses nothing; with 32x4 banding the per-pair miss probability at the
     0.8 threshold is ~5e-8 — the declared oracle is the exact computation.
     """
-    from tez_spark.operators.core import release_caches, tracked_persist
+    from tez_spark.operators.core import tracked_persist
 
-    release_caches()
     docs = load_table(spark, sf_dir, "documents")
     sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))  # reused 4x below
     # candidate set is consumed twice by verification (id semi-filter +
@@ -424,9 +422,8 @@ def connected_components(
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters at exact Jaccard >= 0.8: every clustered doc
     with its component id (= min doc id in the cluster)."""
-    from tez_spark.operators.core import release_caches, tracked_persist
+    from tez_spark.operators.core import tracked_persist
 
-    release_caches()
     docs = load_table(spark, sf_dir, "documents")
     sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))
     pairs = _pair_jaccard(sh).filter(F.col("j") >= 0.8)
@@ -475,9 +472,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs at hamming distance ≤ 3 over 32-bit SimHash.
     Candidates from 4x8-bit band equijoin (guaranteed recall for d≤3),
     then exact bit_count(xor) filter."""
-    from tez_spark.operators.core import release_caches, tracked_persist
+    from tez_spark.operators.core import tracked_persist
 
-    release_caches()
     docs = load_table(spark, sf_dir, "documents")
     fp = simhash_fingerprints(docs)
     bands = F.array(

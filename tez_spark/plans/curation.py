@@ -28,11 +28,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kept-corpus summary after quality/length filters and near-dup
     removal: (pred_lang, n_docs, sum_tokens, avg_quality)."""
     from tez_spark.functions.text_queries import langid_of, metrics_of
-    from tez_spark.operators.core import release_caches, tracked_persist
+    from tez_spark.operators.core import tracked_persist
     from tez_spark.operators.dedup import _pair_jaccard, shingles
     from tez_spark.sources.catalog import load_table
 
-    release_caches()
     docs = load_table(spark, sf_dir, "documents")
     metrics = metrics_of(docs).select("doc_id", "n_tokens", "quality")
     lang = langid_of(docs).select("doc_id", "pred_lang")

@@ -59,10 +59,34 @@ def _ordered(entries: dict[str, QueryFn]) -> dict[str, QueryFn]:
     return {k: entries[k] for k in order}
 
 
+def _cache_scoped(fn: QueryFn) -> QueryFn:
+    """Release intermediates persisted by PREVIOUS registry queries before
+    building this one.
+
+    Contract (build-then-execute): registry consumers — the driver, bench,
+    the oracle tests — build one query, execute it, then build the next.
+    Under that loop, releasing here keeps a long-lived session from
+    accumulating tracked persists (shingle/band tables) across queries.
+    Interleaved build-build-execute only costs a recompute: unpersist
+    never invalidates a plan that references the DataFrame. Centralized
+    here so individual query builders don't each couple construction
+    order to cache lifetime."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from tez_spark.operators.core import release_caches
+
+        release_caches()
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = dict(core_q.QUERIES)
     out.update(_extension_queries())
-    return _ordered(out)
+    return {k: _cache_scoped(fn) for k, fn in _ordered(out).items()}
 
 
 def all_oracles() -> dict[str, str]:

@@ -28,7 +28,7 @@ automatically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tez_spark.sources.catalog import load_table
@@ -295,20 +295,23 @@ def q_tpch14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tpch15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top supplier by quarterly revenue (the view + scalar-max form;
-    the one-row max is a broadcast join, output rounded to 4dp — each
-    engine's max-selection is self-consistent, and rounding removes
-    summation-order ulp noise from the surfaced value)."""
-    from tez_spark.operators.core import release_caches, tracked_persist
+    """Top supplier by quarterly revenue (the view + scalar-max form,
+    output rounded to 4dp — each engine's max-selection is
+    self-consistent, and rounding removes summation-order ulp noise).
 
-    release_caches()
+    Shape history (PERF.md): r2 ran the scalar-max as a second aggregate
+    over the same view — Catalyst doesn't CSE across the join, so the
+    filtered lineitem scan + aggregation ran TWICE (wrong at 100TB). r3
+    persisted the view — one lineitem pass, but the materialization
+    barrier serialized the pipeline and measured 2.1x slower at sf0.1.
+    Current: max-over-empty-window on the aggregate — one lineitem pass,
+    no barrier, and the only extra exchange moves the |suppliers|-sized
+    aggregate (tiny relative to lineitem at any SF) to a single partition
+    for the global max. A/B at sf0.1 idle: window 1.10s median vs persist
+    2.31s vs double-agg 1.17s."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
-    # The per-supplier aggregate feeds both the scalar max and the final
-    # join; Catalyst does not CSE across the join, so without the persist
-    # the filtered lineitem scan + aggregation runs twice. The aggregate
-    # is |suppliers|-sized — tiny at any SF relative to lineitem.
-    revenue = tracked_persist(
+    revenue = (
         li.filter(
             (F.col("l_shipdate") >= _ts("1996-01-01"))
             & (F.col("l_shipdate") < _ts("1996-04-01"))
@@ -320,9 +323,10 @@ def q_tpch15(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    mx = revenue.agg(F.max("total_revenue").alias("mx"))
     out = (
-        revenue.join(F.broadcast(mx))
+        revenue.withColumn(
+            "mx", F.max("total_revenue").over(Window.partitionBy())
+        )
         .filter(F.col("total_revenue") == F.col("mx"))
         .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select(
