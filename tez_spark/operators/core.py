@@ -431,6 +431,37 @@ def sleep_map(df: DataFrame, seconds: float) -> DataFrame:
     return df.mapInPandas(fn, schema)
 
 
+def straggler_map(
+    df: DataFrame,
+    slow_partition: int = 0,
+    slow_seconds: float = 10.0,
+    fast_seconds: float = 0.3,
+) -> DataFrame:
+    """Synthetic straggler: every task sleeps `fast_seconds`, except the
+    FIRST attempt of `slow_partition` which sleeps `slow_seconds`. A retry
+    or speculative copy of the slow task (attemptNumber > 0) runs fast —
+    the canonical speculative-execution experiment (SleepProcessor parity,
+    tez-runtime-library/.../processor/SleepProcessor.java:47, as driven by
+    the reference's speculation tests,
+    tez-dag/.../dag/app/dag/speculation/legacy/LegacySpeculator.java).
+    Test/calibration utility; never in a real pipeline."""
+    import time
+
+    schema = df.schema
+
+    def fn(batches):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx.partitionId() == slow_partition and ctx.attemptNumber() == 0:
+            time.sleep(slow_seconds)
+        else:
+            time.sleep(fast_seconds)
+        yield from batches
+
+    return df.mapInPandas(fn, schema)
+
+
 def flaky_once(df: DataFrame, marker_dir: str, fail_partition: int = 0) -> DataFrame:
     """Fault-injection passthrough: the task for `fail_partition` raises on
     its FIRST attempt and succeeds on retry — the Spark translation of the
