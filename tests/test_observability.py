@@ -72,6 +72,62 @@ def test_observability_query_registered(spark):
     assert vals["SHUFFLE_BYTES"] > 0
 
 
+def test_posthoc_reports_from_closed_session_log(tmp_path):
+    """tez-tools job-analyzer parity, offline half: a subprocess runs a
+    shuffle query with the event log enabled and STOPS its session; the
+    parent then produces skew/stage reports from the persisted log with
+    no SparkSession at all (load_history is pure Python)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    log_dir = str(tmp_path / "eventlog")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    script = f"""
+import json
+from tez_spark.session import get_spark
+spark = get_spark(app_name="tez_posthoc", cpus=4, shuffle_partitions=8,
+                  event_log_dir={log_dir!r})
+n = (spark.range(0, 200000, 1, 8).selectExpr("id % 13 AS k")
+     .groupBy("k").count().count())
+print(json.dumps({{"groups": n}}))
+spark.stop()
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        env=env, capture_output=True, text=True, timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert json.loads(proc.stdout.strip().splitlines()[-1])["groups"] == 13
+
+    from tez_spark.observability import (
+        load_history,
+        skew_report_from_history,
+        stage_report_from_history,
+    )
+
+    history = load_history(log_dir)
+    assert history["stages"], "no stages parsed from the event log"
+
+    skew = skew_report_from_history(history)
+    assert skew, "no multi-task stages in the post-hoc skew report"
+    for row in skew:
+        assert row["skew_ratio"] >= 1.0 and row["num_tasks"] >= 2
+
+    ranked = stage_report_from_history(history)
+    assert ranked
+    times = [r["run_time_ms"] for r in ranked]
+    assert times == sorted(times, reverse=True)
+    assert abs(sum(r["share"] for r in ranked) - 1.0) < 1e-6
+    # the groupBy shuffled: some stage must show shuffle write
+    assert any(r["SHUFFLE_BYTES"] > 0 for r in ranked) or any(
+        s["SHUFFLE_BYTES_WRITTEN"] > 0 for s in history["stages"]
+    )
+
+
 def test_capture_isolates_concurrent_work(spark):
     """Job-group attribution: a shuffle-heavy query running CONCURRENTLY
     (session mode, FAIR scheduler) must not leak into the captured

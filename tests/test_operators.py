@@ -57,6 +57,83 @@ def test_dag_facade_union_group(spark):
     assert out.count() == n_o + n_c
 
 
+def _two_sink_dag(spark, out_a: str, out_b: str, fail_b: bool):
+    """Two-output DAG (MultipleCommitsExample.java shape): one source
+    fans into two sinks; the second sink's vertex optionally fails AT
+    EXECUTION TIME (raise_error evaluates on the executors, after sink A
+    has already been written by the sequential committer)."""
+    from tez_spark.plans import DAGBuilder
+
+    dag = DAGBuilder("multi_commit")
+    dag.add_vertex("src", source=lambda s: s.range(0, 1000, 1, 4))
+    dag.add_vertex("a", processor=lambda dfs: dfs[0].selectExpr("id * 2 AS x"))
+    b_proc = (
+        (lambda dfs: dfs[0].select(
+            F.when(F.col("id") >= 0, F.raise_error(F.lit("injected sink-b failure")))
+            .otherwise(F.lit(1)).alias("x")))
+        if fail_b
+        else (lambda dfs: dfs[0].selectExpr("id + 1 AS x"))
+    )
+    dag.add_vertex("b", processor=b_proc)
+    dag.add_edge("src", "a")
+    dag.add_edge("src", "b")
+    dag.add_data_sink("a", out_a)
+    dag.add_data_sink("b", out_b)
+    return dag
+
+
+def _has_committed_parquet(path: str) -> bool:
+    """Committed output = top-level part files (an aborted Spark write
+    still creates the directory, holding only _temporary debris)."""
+    import os
+
+    return os.path.isdir(path) and any(
+        f.startswith("part-") and f.endswith(".parquet")
+        for f in os.listdir(path)
+    )
+
+
+def test_commit_scope_vertex_leaves_partial_output(spark, tmp_path):
+    """VERTEX scope = commit-on-vertex-success: sink A is visible even
+    though sink B's vertex failed afterwards."""
+    import pytest as _pytest
+
+    from tez_spark.plans import CommitScope
+
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    dag = _two_sink_dag(spark, out_a, out_b, fail_b=True)
+    with _pytest.raises(Exception, match="injected sink-b failure"):
+        dag.run_committed(spark, CommitScope.VERTEX)
+    assert spark.read.parquet(out_a).count() == 1000  # committed
+    assert not _has_committed_parquet(out_b)
+
+
+def test_commit_scope_dag_is_all_or_nothing(spark, tmp_path):
+    """DAG scope = commit-on-DAG-success: the same failure leaves NO
+    final path (sink A's staged output is discarded), and the success
+    case commits both."""
+    import os
+
+    import pytest as _pytest
+
+    from tez_spark.plans import CommitScope
+
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    dag = _two_sink_dag(spark, out_a, out_b, fail_b=True)
+    with _pytest.raises(Exception, match="injected sink-b failure"):
+        dag.run_committed(spark, CommitScope.DAG)
+    assert not os.path.exists(out_a) and not os.path.exists(out_b)
+    assert not [p for p in os.listdir(tmp_path) if "__staging__" in p], (
+        "staging debris left after a failed DAG-scoped commit"
+    )
+
+    ok = _two_sink_dag(spark, out_a, out_b, fail_b=False)
+    ok.run_committed(spark, CommitScope.DAG)
+    assert spark.read.parquet(out_a).count() == 1000
+    assert spark.read.parquet(out_b).count() == 1000
+    assert not [p for p in os.listdir(tmp_path) if "__staging__" in p]
+
+
 def test_dag_mixed_broadcast_and_one_to_one(spark):
     """Both movement kinds composed in ONE DAG
     (BroadcastAndOneToOneExample.java:58 shape): a one-to-one narrow

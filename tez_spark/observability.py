@@ -133,15 +133,18 @@ def task_durations(spark: SparkSession, stage_id: int, attempt_id: int = 0,
     return out
 
 
-def skew_report(spark: SparkSession, min_tasks: int = 2) -> list[dict[str, Any]]:
-    """SkewAnalyzer parity: per stage, max vs median task duration.
-    Ratios ≫ 1 mean one task dominated — a hot shuffle key (salt it or
-    let AQE skew-split) or an unsplittable input."""
+def _skew_rows(
+    stage_rows: list[dict[str, Any]],
+    get_durations: Callable[[int, int], list[int]],
+    min_tasks: int,
+) -> list[dict[str, Any]]:
+    """Shared skew computation: live store and offline history feed the
+    same report shape through this."""
     out = []
-    for s in _stage_list(spark):
+    for s in stage_rows:
         if s["status"] != "COMPLETE" or s["NUM_COMPLETED_TASKS"] < min_tasks:
             continue
-        durs = sorted(task_durations(spark, s["stage_id"], s["attempt_id"]))
+        durs = sorted(get_durations(s["stage_id"], s["attempt_id"]))
         if len(durs) < min_tasks:
             continue
         median = durs[len(durs) // 2] or 1
@@ -158,11 +161,10 @@ def skew_report(spark: SparkSession, min_tasks: int = 2) -> list[dict[str, Any]]
     return sorted(out, key=lambda r: -r["skew_ratio"])
 
 
-def stage_report(spark: SparkSession, top: int = 20) -> list[dict[str, Any]]:
-    """CriticalPathAnalyzer (simplified, single-DAG): stages ranked by
-    executor run time with their share of the app total — where the wall
-    clock went, and the first place to look for a scale bottleneck."""
-    stages = [s for s in _stage_list(spark) if s["status"] == "COMPLETE"]
+def _stage_rank_rows(
+    stage_rows: list[dict[str, Any]], top: int
+) -> list[dict[str, Any]]:
+    stages = [s for s in stage_rows if s["status"] == "COMPLETE"]
     total = sum(s["EXECUTOR_RUN_TIME_MS"] for s in stages) or 1
     ranked = sorted(stages, key=lambda s: -s["EXECUTOR_RUN_TIME_MS"])[:top]
     return [
@@ -176,6 +178,174 @@ def stage_report(spark: SparkSession, top: int = 20) -> list[dict[str, Any]]:
         }
         for s in ranked
     ]
+
+
+def skew_report(spark: SparkSession, min_tasks: int = 2) -> list[dict[str, Any]]:
+    """SkewAnalyzer parity: per stage, max vs median task duration.
+    Ratios ≫ 1 mean one task dominated — a hot shuffle key (salt it or
+    let AQE skew-split) or an unsplittable input."""
+    return _skew_rows(
+        _stage_list(spark),
+        lambda sid, att: task_durations(spark, sid, att),
+        min_tasks,
+    )
+
+
+def stage_report(spark: SparkSession, top: int = 20) -> list[dict[str, Any]]:
+    """CriticalPathAnalyzer (simplified, single-DAG): stages ranked by
+    executor run time with their share of the app total — where the wall
+    clock went, and the first place to look for a scale bottleneck."""
+    return _stage_rank_rows(_stage_list(spark), top)
+
+
+# ---------------------------------------------------------------------------
+# Post-hoc (history-file) analyzer path — tez-tools job-analyzer parity
+# ---------------------------------------------------------------------------
+
+# Event-log TaskMetrics JSON key -> TaskCounter-flavored name, mirroring
+# _COUNTER_FIELDS for the live AppStatusStore path. Nested keys join on '.'.
+_HISTORY_METRIC_FIELDS: tuple[tuple[str, str], ...] = (
+    ("Input Metrics.Bytes Read", "INPUT_BYTES"),
+    ("Input Metrics.Records Read", "INPUT_RECORDS_PROCESSED"),
+    ("Output Metrics.Bytes Written", "OUTPUT_BYTES"),
+    ("Output Metrics.Records Written", "OUTPUT_RECORDS"),
+    ("Shuffle Read Metrics.Remote Bytes Read", "SHUFFLE_BYTES"),
+    ("Shuffle Read Metrics.Local Bytes Read", "SHUFFLE_BYTES"),
+    ("Shuffle Read Metrics.Total Records Read", "SHUFFLE_RECORDS_READ"),
+    ("Shuffle Write Metrics.Shuffle Bytes Written", "SHUFFLE_BYTES_WRITTEN"),
+    ("Shuffle Write Metrics.Shuffle Records Written", "SHUFFLE_RECORDS_WRITTEN"),
+    ("Memory Bytes Spilled", "SPILLED_BYTES_MEMORY"),
+    ("Disk Bytes Spilled", "SPILLED_BYTES_DISK"),
+    ("Executor Run Time", "EXECUTOR_RUN_TIME_MS"),
+    ("Executor CPU Time", "EXECUTOR_CPU_TIME_NS"),
+    ("JVM GC Time", "GC_TIME_MS"),
+)
+
+
+def _history_files(path: str) -> list[str]:
+    """Resolve an event-log path: a single log file, or a rolling log
+    directory (eventlog_v2_*) whose events_* parts are read in order."""
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isdir(path):
+        parts = sorted(_glob.glob(_os.path.join(path, "events_*")))
+        if not parts:
+            subdirs = sorted(_glob.glob(_os.path.join(path, "eventlog_v2_*")))
+            if subdirs:
+                return [f for d in subdirs for f in _history_files(d)]
+            parts = sorted(
+                f
+                for f in _glob.glob(_os.path.join(path, "*"))
+                if _os.path.isfile(f) and not f.endswith("appstatus")
+            )
+        return parts
+    return [path]
+
+
+def load_history(path: str) -> dict[str, Any]:
+    """Parse a persisted Spark event log (spark.eventLog.enabled=true)
+    into the same stage/task shape the live AppStatusStore path uses.
+
+    This is the offline half of the analyzer surface (tez-tools
+    job-analyzer parses DAG history into DagInfo and runs plugins over
+    it — tez-tools/analyzers/job-analyzer/.../plugins/SkewAnalyzer.java,
+    CriticalPathAnalyzer.java; here the persisted history is Spark's
+    JSON event log and the plugins are skew/stage reports). Pure Python —
+    no SparkSession needed, so a closed or remote application's log is
+    analyzable anywhere.
+
+    Reads uncompressed logs (get_spark(event_log_dir=...) writes them
+    that way); .inprogress suffixes are tolerated. Compressed (.zstd/.lz4)
+    logs raise with the conf to flip."""
+    import json as _json
+
+    stages: dict[tuple[int, int], dict[str, Any]] = {}
+    durations: dict[tuple[int, int], list[int]] = {}
+    for f in _history_files(path):
+        if any(f.endswith(s) for s in (".zstd", ".lz4", ".snappy")):
+            raise ValueError(
+                f"compressed event log {f}: set spark.eventLog.compress=false "
+                "(get_spark(event_log_dir=...) does) or decompress first"
+            )
+        with open(f, encoding="utf-8") as fh:
+            for line in fh:
+                try:
+                    ev = _json.loads(line)
+                except ValueError:
+                    continue
+                kind = ev.get("Event")
+                if kind == "SparkListenerStageCompleted":
+                    si = ev["Stage Info"]
+                    key = (si["Stage ID"], si["Stage Attempt ID"])
+                    row = stages.setdefault(
+                        key,
+                        {
+                            "stage_id": key[0],
+                            "attempt_id": key[1],
+                            "name": si.get("Stage Name", ""),
+                            "status": "COMPLETE",
+                            "NUM_COMPLETED_TASKS": 0,
+                            **{n: 0 for _, n in _HISTORY_METRIC_FIELDS},
+                        },
+                    )
+                    if si.get("Failure Reason"):
+                        row["status"] = "FAILED"
+                elif kind == "SparkListenerTaskEnd":
+                    key = (ev["Stage ID"], ev["Stage Attempt ID"])
+                    info = ev.get("Task Info") or {}
+                    if (
+                        ev.get("Task End Reason", {}).get("Reason") != "Success"
+                        or info.get("Failed")
+                        or info.get("Killed")
+                    ):
+                        continue
+                    row = stages.setdefault(
+                        key,
+                        {
+                            "stage_id": key[0],
+                            "attempt_id": key[1],
+                            "name": "",
+                            "status": "COMPLETE",
+                            "NUM_COMPLETED_TASKS": 0,
+                            **{n: 0 for _, n in _HISTORY_METRIC_FIELDS},
+                        },
+                    )
+                    row["NUM_COMPLETED_TASKS"] += 1
+                    dur = int(info.get("Finish Time", 0)) - int(
+                        info.get("Launch Time", 0)
+                    )
+                    if dur >= 0:
+                        durations.setdefault(key, []).append(dur)
+                    metrics = ev.get("Task Metrics") or {}
+                    for dotted, name in _HISTORY_METRIC_FIELDS:
+                        node: Any = metrics
+                        for part in dotted.split("."):
+                            node = node.get(part) if isinstance(node, dict) else None
+                            if node is None:
+                                break
+                        if node is not None:
+                            row[name] += int(node)
+    return {"stages": list(stages.values()), "durations": durations}
+
+
+def skew_report_from_history(
+    history: dict[str, Any] | str, min_tasks: int = 2
+) -> list[dict[str, Any]]:
+    """skew_report over a persisted event log (path or load_history dict)."""
+    h = load_history(history) if isinstance(history, str) else history
+    durs = h["durations"]
+    return _skew_rows(
+        h["stages"], lambda sid, att: durs.get((sid, att), []), min_tasks
+    )
+
+
+def stage_report_from_history(
+    history: dict[str, Any] | str, top: int = 20
+) -> list[dict[str, Any]]:
+    """stage_report over a persisted event log (path or load_history dict)."""
+    h = load_history(history) if isinstance(history, str) else history
+    return _stage_rank_rows(h["stages"], top)
 
 
 def q_observability_counters(spark: SparkSession, sf_dir: str) -> DataFrame:

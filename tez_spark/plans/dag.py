@@ -41,6 +41,23 @@ class DataMovement(enum.Enum):
     SCATTER_GATHER = "scatter_gather"  # hash exchange on declared keys
 
 
+class CommitScope(enum.Enum):
+    """When a multi-output DAG's sinks become visible (DAG.java commit
+    options — Vertex.addDataSink outputs commit either per-vertex or at
+    DAG success; exercised by the reference's MultipleCommitsExample,
+    tez-tests/.../examples/MultipleCommitsExample.java).
+
+    VERTEX: each output commits the moment its vertex succeeds — a later
+    vertex failure leaves earlier outputs visible (cheaper, fine when
+    outputs are independently consumable).
+    DAG: all-or-nothing — every output is staged and made visible only
+    after the ENTIRE dag succeeds; any failure leaves no final path
+    touched."""
+
+    VERTEX = "vertex"
+    DAG = "dag"
+
+
 @dataclass
 class _Vertex:
     name: str
@@ -66,6 +83,7 @@ class DAGBuilder:
         self.name = name
         self._vertices: dict[str, _Vertex] = {}
         self._edges: list[_Edge] = []
+        self._data_sinks: list[tuple[str, str, str]] = []  # (vertex, path, fmt)
 
     # -- graph construction (DAG.addVertex / addEdge / createVertexGroup) --
 
@@ -166,4 +184,64 @@ class DAGBuilder:
             if v.sink is not None:
                 v.sink(out)
             results[name] = out
+        return results
+
+    # -- committed execution (DAG.java commit options / MROutputCommitter) --
+
+    def add_data_sink(
+        self, vertex: str, path: str, fmt: str = "parquet"
+    ) -> "DAGBuilder":
+        """Declare a committable file sink for a vertex
+        (Vertex.addDataSink + MROutputCommitter analog). Unlike the raw
+        ``sink`` callable (which runs inline during build), these sinks
+        execute under ``run_committed``'s declared CommitScope."""
+        if vertex not in self._vertices:
+            raise ValueError(f"unknown vertex {vertex!r}")
+        self._data_sinks.append((vertex, path, fmt))
+        return self
+
+    def run_committed(
+        self, spark: SparkSession, scope: CommitScope = CommitScope.DAG
+    ) -> dict[str, DataFrame]:
+        """Execute every declared data sink under the commit scope.
+
+        VERTEX scope writes each output directly as its vertex completes
+        (commit-on-vertex-success: a later failure leaves earlier outputs
+        committed). DAG scope stages every output in a sibling temp dir
+        and promotes ALL of them with filesystem renames only after every
+        write has succeeded — any failure cleans the staging dirs and
+        leaves no final path in existence (commit-on-DAG-success,
+        MultipleCommitsExample.java parity).
+
+        The local implementation promotes via os.rename (atomic per
+        output on a POSIX fs); on a real cluster the same two-phase shape
+        is what Spark's committer protocol (or a table format's atomic
+        metadata swap) provides per output — the scope logic here decides
+        only WHEN each output's commit is allowed to happen."""
+        import os
+        import shutil
+        import uuid
+
+        results = self.build(spark)
+        if scope is CommitScope.VERTEX:
+            for vertex, path, fmt in self._data_sinks:
+                results[vertex].write.format(fmt).mode("overwrite").save(path)
+            return results
+
+        staged: list[tuple[str, str]] = []  # (staging, final)
+        try:
+            for vertex, path, fmt in self._data_sinks:
+                staging = f"{path.rstrip('/')}.__staging__{uuid.uuid4().hex[:8]}"
+                # registered BEFORE the write so an aborted job's staging
+                # debris (Spark creates the dir even on failure) is cleaned
+                staged.append((staging, path))
+                results[vertex].write.format(fmt).mode("overwrite").save(staging)
+        except Exception:
+            for staging, _ in staged:
+                shutil.rmtree(staging, ignore_errors=True)
+            raise
+        for staging, path in staged:
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.rename(staging, path)
         return results

@@ -72,13 +72,20 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_confs: dict[str, str] | None = None,
     master: str | None = None,
+    event_log_dir: str | None = None,
 ) -> SparkSession:
     """Create (or get) the engine session.
 
     local[N] for tests/bench; on a real cluster, master/resource configs
     come from spark-submit and everything here still applies. Pass
     master='local[N,F]' to allow F task attempts (fault-tolerance tests;
-    plain local mode fails the job on first task failure)."""
+    plain local mode fails the job on first task failure).
+
+    event_log_dir enables the persisted history file (Tez keeps DAG
+    history for tez-tools' offline job-analyzer; Spark's equivalent is
+    the JSON event log) — written uncompressed and unrolled so
+    observability.load_history / *_report_from_history can parse it
+    without a running session."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
     if shuffle_partitions is None:
@@ -107,6 +114,14 @@ def get_spark(
         # head-of-line blocking a short query behind a long one.
         .config("spark.scheduler.mode", "FAIR")
     )
+    if event_log_dir is not None:
+        os.makedirs(event_log_dir, exist_ok=True)
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", event_log_dir)
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.rolling.enabled", "false")
+        )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     for k, v in (extra_confs or {}).items():
