@@ -133,8 +133,8 @@ def pair_jaccard_at(sh: DataFrame, t: float, id_col: str = "doc_id") -> DataFram
     b = prefix.select(F.col(id_col).alias("db"), "sh")
     from tez_spark.operators.core import tracked_persist
 
-    # verification consumes the candidate set twice (id semi-filter +
-    # intersection join) — persist so the prefix join runs once.
+    # verification consumes the candidate set twice (the pair join on da
+    # + the b-side id filter) — persist so the prefix join runs once.
     cand = tracked_persist(
         a.join(b, "sh")
         .filter(F.col("da") < F.col("db"))
@@ -158,11 +158,18 @@ def _verify_pairs(
     """Exact Jaccard for candidate pairs only — the LSH verification stage.
     Cost is O(candidates × shingles-per-doc), never all-pairs.
 
-    The shingle table is semi-filtered to candidate documents FIRST: the
-    candidate set is LSH-pruned (≪ corpus), so the intersection equijoins
-    below touch only the shingles of docs that can appear in the output —
-    without this the first join shuffles the whole corpus shingle table to
-    match a tiny candidate list.
+    Plan shape (round-4 fold of the former candidate-id semi-filter):
+    - A side: the shingle table joins the candidate PAIRS directly on
+      doc_id = da — that one join both restricts to candidate docs and
+      attaches the pair, so the old union(da,db)+distinct semi-filter
+      stage and its extra pass over the shingle table are gone. Per-pair
+      |A| (na) falls out of the same intermediate (shingles are distinct
+      per doc), which also folds away the A half of the separate sizes
+      aggregation + join.
+    - B side keeps a semi-filter: it must shrink BEFORE the (id, shingle)
+      intersection equijoin — at scale an unfiltered corpus would shuffle
+      on (db, sh) to match a pruned candidate list. |B| (nb) is a
+      partition-local agg over the filtered, still-co-partitioned table.
 
     broadcast_small: when the candidate set is known to be pruned-small
     (the MinHash-LSH path), broadcast every candidate-bounded side
@@ -173,26 +180,24 @@ def _verify_pairs(
     broadcast hint overrides size thresholds and would collect the whole
     candidate table to the driver."""
     maybe_b = F.broadcast if broadcast_small else (lambda df: df)
-    cand_ids = (
-        cand.select(F.col("da").alias(id_col))
-        .union(cand.select(F.col("db").alias(id_col)))
-        .distinct()
+    a_sh = sh.join(maybe_b(cand), F.col(id_col) == F.col("da")).select(
+        "da", "db", "sh"
     )
-    sh = sh.join(maybe_b(cand_ids), id_col, "left_semi")
-    sa = sh.select(F.col(id_col).alias("da"), F.col("sh").alias("sha"))
-    sb = sh.select(F.col(id_col).alias("db_r"), F.col("sh").alias("shb"))
+    na = a_sh.groupBy("da", "db").agg(F.count(F.lit(1)).alias("na"))
+    b_ids = cand.select(F.col("db").alias(id_col)).distinct()
+    b_sh = sh.join(maybe_b(b_ids), id_col, "left_semi")
+    nb = b_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nb"))
     inter = (
-        sa.join(maybe_b(cand), "da")
-        .join(sb, (F.col("db") == F.col("db_r")) & (F.col("sha") == F.col("shb")))
+        a_sh.join(
+            b_sh.select(F.col(id_col).alias("db_r"), F.col("sh").alias("shb")),
+            (F.col("db") == F.col("db_r")) & (F.col("sh") == F.col("shb")),
+        )
         .groupBy("da", "db")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    na = sizes.select(F.col(id_col).alias("da"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("db"), F.col("n").alias("nb"))
     return (
-        inter.join(maybe_b(na), "da")
-        .join(maybe_b(nb), "db")
+        inter.join(maybe_b(na), ["da", "db"])
+        .join(maybe_b(nb.select(F.col(id_col).alias("db"), "nb")), "db")
         .select(
             "da",
             "db",
@@ -339,9 +344,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))  # reused 4x below
-    # candidate set is consumed twice by verification (id semi-filter +
-    # intersection join) — persist the tiny (da, db) table so the band
-    # self-join runs once.
+    # candidate set is consumed twice by verification (the pair join on
+    # da + the b-side id filter) — persist the tiny (da, db) table so the
+    # band self-join runs once.
     cand = tracked_persist(lsh_candidates(minhash_signatures(sh)))
     return _verify_pairs(cand, sh).filter(F.col("j") >= 0.8).orderBy("da", "db")
 
