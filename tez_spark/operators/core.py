@@ -103,9 +103,52 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     would serialize every downstream map-side operator. At 100TB the scan
     has thousands of natural splits and this is a no-op decision — call it
     only in front of compute-heavy per-row work (hashing, Python decode),
-    never before pushdown-sensitive filters."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    never before pushdown-sensitive filters.
+
+    The split-count check estimates from the scan's input files (Spark's
+    own packing formula: total bytes / maxPartitionBytes) — file stats
+    only, no physical planning. df.rdd.getNumPartitions() would be exact
+    but forces full plan compilation + RDD conversion per call, a fixed
+    driver-side tax on every heavy-query entry; it remains only as the
+    fallback for frames that are not file-backed (or whose files this
+    driver can't stat, e.g. object-store URIs)."""
+    import math
+    import os as _os
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+
+    def _estimated_splits() -> int | None:
+        files = df.inputFiles()  # analysis only; no job, no physical plan
+        if not files:
+            return None
+        total = 0
+        for uri in files:
+            p = urlparse(uri)
+            if p.scheme not in ("", "file"):
+                return None
+            try:
+                total += _os.path.getsize(p.path)
+            except OSError:
+                return None
+        raw = spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", str(128 << 20)
+        ).strip().lower().removesuffix("b")
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        if raw and raw[-1] in units:
+            max_bytes = int(raw[:-1]) * units[raw[-1]]
+        else:
+            max_bytes = int(raw)
+        # Spark packs small files together and splits large ones, so the
+        # split count is ~ total / maxPartitionBytes in both regimes
+        # (openCostInBytes padding ignored — fine for a >=-target check).
+        return math.ceil(total / max(max_bytes, 1)) or 1
+
+    splits = _estimated_splits()
+    if splits is None:
+        splits = df.rdd.getNumPartitions()
+    if splits >= target:
         return df
     return df.repartition(target)
 

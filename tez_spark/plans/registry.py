@@ -38,16 +38,16 @@ _PRIORITY: tuple[str, ...] = (
     "string_agg", "unpivot", "window_funcs",
     # 2. red in round 3 (NTZ breakage), fixed this round
     "sessionize", "interval_join",
-    # 3. TPC-H suite
+    # 3. TPC-H suite (tpch12 new in round 4)
     "tpch01", "tpch03", "tpch04", "tpch05", "tpch06", "tpch07", "tpch08",
-    "tpch10", "tpch13", "tpch14", "tpch15", "tpch17", "tpch18", "tpch19",
-    "tpch21", "tpch22",
+    "tpch10", "tpch12", "tpch13", "tpch14", "tpch15", "tpch17", "tpch18",
+    "tpch19", "tpch21", "tpch22",
     # 4. flagship scale operators + curation composition
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_clusters", "dedup_embedding",
     "ann_topk", "curation_pipeline",
     # 5. padding to exactly 50 with cheap never-failing core patterns
-    "q01", "q03", "q05", "q08", "q11",
+    "q01", "q03", "q05", "q08",
 )
 
 

@@ -1,6 +1,6 @@
 """Adapted TPC-H workload — the canonical analytics suite Tez actually
 runs in production (Hive-on-Tez's benchmark and the Tez paper's workload,
-SIGMOD 2015). Sixteen queries re-expressed DataFrame-first over the
+SIGMOD 2015). Seventeen queries re-expressed DataFrame-first over the
 driver fixtures.
 
 Adaptations, forced by the fixture schema (a TPC-H subset — no partsupp
@@ -16,8 +16,9 @@ columns):
 - Q4/Q21: "late" is l_shipdate > o_orderdate + 90/60 days (no
   commitdate/receiptdate columns); the EXISTS / EXISTS+NOT-EXISTS
   correlation structure is unchanged.
-- Q12 depends on l_shipmode — omitted (its conditional-agg shape is
-  covered by Q14/argmax_funcs).
+- Q12: no l_shipmode/receiptdate — grouping dimension becomes
+  l_returnflag, year filter on l_shipdate; the join + CASE
+  conditional-agg structure is unchanged.
 
 Every query carries the equivalent DuckDB SQL as its oracle. Plans:
 fact-to-dim joins broadcast the dims (Catalyst/AQE does this from
@@ -251,6 +252,33 @@ def q_tpch10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
     )
+
+
+def q_tpch12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority split (Q12 shape): for one shipment year, per
+    group count the urgent-priority vs other orders. Adaptation: the
+    fixture has no l_shipmode/receiptdate, so the grouping dimension is
+    l_returnflag and the year filter is on l_shipdate — the structural
+    essence (fact→dim equijoin + CASE conditional aggregation over a
+    low-cardinality lineitem attribute) is unchanged. One broadcast-able
+    dim? No — orders is the bigger side here, so this is the suite's
+    lineitem⋈orders repartition join, partial-aggregated map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    out = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+    return out.orderBy("l_returnflag")
 
 
 def q_tpch13(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -579,6 +607,17 @@ ORACLE: dict[str, str] = {
             GROUP BY c_custkey, c_name, c_acctbal, n_name
         ) ORDER BY revenue DESC, c_custkey LIMIT 20
     """,
+    "tpch12": """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     "tpch13": """
         SELECT c_count, COUNT(*) AS custdist FROM (
             SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
@@ -686,6 +725,7 @@ QUERIES = {
     "tpch07": q_tpch07,
     "tpch08": q_tpch08,
     "tpch10": q_tpch10,
+    "tpch12": q_tpch12,
     "tpch13": q_tpch13,
     "tpch14": q_tpch14,
     "tpch17": q_tpch17,
