@@ -24,25 +24,17 @@ TOKENS_MIN = 30
 JACCARD_MIN = 0.8
 
 
-def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kept-corpus summary after quality/length filters and near-dup
-    removal: (pred_lang, n_docs, sum_tokens, avg_quality)."""
+def _curation_summary(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared tail of the curation pipeline: given the corpus and its
+    near-dup pairs (da < db, j >= threshold already applied), drop the
+    larger id of every pair, apply quality/length filters, and summarize
+    the kept corpus per language. Deterministic keep-first-by-id drop —
+    not transitive-minimal but order-free and engine-agnostic."""
     from tez_spark.functions.text_queries import langid_of, metrics_of
-    from tez_spark.operators.core import tracked_persist
-    from tez_spark.operators.dedup import _pair_jaccard, shingles
-    from tez_spark.sources.catalog import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
     metrics = metrics_of(docs).select("doc_id", "n_tokens", "quality")
     lang = langid_of(docs).select("doc_id", "pred_lang")
-
-    sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))
-    pairs = _pair_jaccard(sh).filter(F.col("j") >= JACCARD_MIN)
-    # deterministic near-dup drop: any doc that is the LARGER id of a
-    # qualifying pair is dropped (keep-first-by-id; not transitive-minimal
-    # but order-free and engine-agnostic).
     drops = pairs.select(F.col("db").alias("doc_id")).distinct()
-
     kept = (
         metrics.join(lang, "doc_id")
         .join(drops, "doc_id", "left_anti")
@@ -56,6 +48,48 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("quality"), 6).alias("avg_quality"),
     )
     return out.orderBy("pred_lang")
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept-corpus summary after quality/length filters and near-dup
+    removal: (pred_lang, n_docs, sum_tokens, avg_quality). Near-dup
+    pairs from the EXACT all-pairs shingle join — the DuckDB-checkable
+    truth; q_curation_pipeline_lsh is the scale-path twin."""
+    from tez_spark.operators.core import tracked_persist
+    from tez_spark.operators.dedup import _pair_jaccard, shingles
+    from tez_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))
+    pairs = _pair_jaccard(sh).filter(F.col("j") >= JACCARD_MIN)
+    return _curation_summary(docs, pairs)
+
+
+def q_curation_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100TB-path twin of q_curation_pipeline: near-dup pairs come from
+    MinHash-LSH candidate generation + exact verification instead of the
+    quadratic all-pairs shingle join — candidate-bounded work end to end
+    (see operators/dedup.py for the band/bucket scale analysis).
+
+    Declared against the SAME exact oracle: verification computes exact
+    Jaccard on candidates, and with 32x4 banding the per-pair miss
+    probability at the 0.8 threshold is ~5e-8, so the outputs are
+    identical on any real corpus. This is the query a user actually runs
+    at scale; the exact twin is the audit path."""
+    from tez_spark.operators.core import tracked_persist
+    from tez_spark.operators.dedup import (
+        _verify_pairs,
+        lsh_candidates,
+        minhash_signatures,
+        shingles,
+    )
+    from tez_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))
+    cand = tracked_persist(lsh_candidates(minhash_signatures(sh)))
+    pairs = _verify_pairs(cand, sh).filter(F.col("j") >= JACCARD_MIN)
+    return _curation_summary(docs, pairs)
 
 
 def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,9 +210,13 @@ def _oracle_sql() -> str:
 
 QUERIES = {
     "curation_pipeline": q_curation_pipeline,
+    "curation_pipeline_lsh": q_curation_pipeline_lsh,
     "train_split": q_train_split,
 }
 ORACLE = {
     "curation_pipeline": _oracle_sql(),
+    # the LSH twin verifies exactly on candidates; same oracle (see
+    # q_curation_pipeline_lsh docstring for the ~5e-8 miss bound).
+    "curation_pipeline_lsh": _oracle_sql(),
     "train_split": _TRAIN_SPLIT_SQL,
 }
