@@ -36,17 +36,28 @@ def test_every_oracle_has_query():
 def test_driver_window_ordering():
     """The driver's correctness gate reads the first 50 registry entries.
 
-    Guard the ordering policy (registry._PRIORITY): every entry in the
-    window is oracled, and the high-value suites (TPC-H, curation, text,
-    streaming, multimodal) all land inside it.
+    Guard the ROTATION policy (registry._PRIORITY): every entry in the
+    window is oracled; queries that were red in the previous round's
+    driver run sit in the window so the fix gets driver-verified; and the
+    union of this window with the previous round's driver rows covers
+    every oracled query — each gets a driver row at least every other
+    round.
     """
+    import json
+    import os
+
     window = list(QUERIES)[:50]
     assert all(k in ORACLES for k in window), [k for k in window if k not in ORACLES]
-    required = {k for k in QUERIES if k.startswith("tpch")} | {
-        "curation_pipeline", "train_split", "text_metrics", "text_langid",
-        "text_fingerprint", "sessionize", "window_sliding", "multimodal_decode",
-    }
-    assert required <= set(window), required - set(window)
+    # round-3 red rows (TIMESTAMP_NTZ breakage), fixed in round 4 —
+    # must be driver-reverified
+    assert {"sessionize", "interval_join", "asof_join"} <= set(window)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prev = os.path.join(repo, "CORRECTNESS_r03.json")
+    if os.path.exists(prev):
+        with open(prev) as f:
+            prev_rows = set(json.load(f))
+        uncovered = set(ORACLES) - (set(window) | prev_rows)
+        assert not uncovered, f"oracled queries with no driver row in r3∪r4: {uncovered}"
     # rows-only entries must sit at the very end
     tail = list(QUERIES)[len(ORACLES):]
     assert all(k not in ORACLES for k in tail), [k for k in tail if k in ORACLES]

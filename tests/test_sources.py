@@ -121,6 +121,22 @@ def test_approx_distinct_accuracy(spark):
     assert row.p50_est > 0
 
 
+def test_percentiles_approx_accuracy(spark):
+    """The scale-path quantile sketch tracks the exact sort-based answer
+    within 0.5% relative error per group/quantile (the rows-only query's
+    real check — cross-engine hashes can't match sketch outputs)."""
+    from tez_spark.plans.queries_ext import q_percentiles, q_percentiles_approx
+
+    exact = {r.l_returnflag: r for r in q_percentiles(spark, SF_DIR).collect()}
+    approx = {r.l_returnflag: r for r in q_percentiles_approx(spark, SF_DIR).collect()}
+    assert set(exact) == set(approx) and exact
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a.p50_approx - e.p50_cont) / e.p50_cont < 0.005, flag
+        assert abs(a.p90_approx - e.p90_cont) / e.p90_cont < 0.005, flag
+        assert a.n == e.n
+
+
 def test_connector_gating_probe_both_ways(spark):
     """ext.py connectors: the classpath probe detects present classes
     (parquet's DataSource is always there) and absent ones (delta/iceberg

@@ -310,6 +310,25 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("l_returnflag")
 
 
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of q_percentiles: approx_percentile (a mergeable
+    quantile sketch — map-side partial aggregation, no sort, bounded
+    per-group state) at accuracy 10000 (~0.01% rank error). This is the
+    plan a 100TB user runs; the exact sort-based twin is the audit path.
+
+    Rows-only declaration: the sketch's value choice is engine-specific
+    (DuckDB's approx_quantile uses a different t-digest), so cross-engine
+    hashes cannot match; tests/test_queries_oracle.py instead asserts
+    every approx value within 0.5% RELATIVE error of the exact answer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("p50_approx"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("p90_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return out.orderBy("l_returnflag")
+
+
 # --- ordered string aggregation (listagg) ----------------------------------
 
 def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -688,6 +707,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "exists_subquery": q_exists_subquery,
     "percentiles": q_percentiles,
+    "percentiles_approx": q_percentiles_approx,
     "string_agg": q_string_agg,
     "interval_join": q_interval_join,
     "unpivot": q_unpivot,

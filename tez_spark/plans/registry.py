@@ -42,12 +42,13 @@ _PRIORITY: tuple[str, ...] = (
     "tpch01", "tpch03", "tpch04", "tpch05", "tpch06", "tpch07", "tpch08",
     "tpch10", "tpch12", "tpch13", "tpch14", "tpch15", "tpch17", "tpch18",
     "tpch19", "tpch21", "tpch22",
-    # 4. flagship scale operators + curation composition
+    # 4. flagship scale operators + curation composition (the _lsh twin
+    #    is new in round 4 — needs its first driver row)
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_clusters", "dedup_embedding",
-    "ann_topk", "curation_pipeline",
+    "ann_topk", "curation_pipeline", "curation_pipeline_lsh",
     # 5. padding to exactly 50 with cheap never-failing core patterns
-    "q01", "q03", "q05", "q08",
+    "q01", "q03", "q05",
 )
 
 
