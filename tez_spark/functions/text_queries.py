@@ -136,6 +136,76 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_of(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+WINNOW_K = 3  # tokens per gram
+WINNOW_W = 4  # grams per winnowing window
+
+
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash fingerprint of
+    Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD 2003 — the MOSS algorithm): hash every
+    K-token gram in position order, slide a W-gram window, keep each
+    window's MINIMUM hash; the distinct mins are the fingerprint set.
+    Guarantees every shared run of >= K+W-1 tokens between two documents
+    shares a fingerprint, with a ~2/(W+1) sampling rate — the standard
+    near-copy detector over a corpus.
+
+    Output is a per-doc summary (count / min / max / digest of the
+    sorted fingerprint set) so the oracle hashes a bounded row per doc.
+    Hashes are md5-hex prefixes compared as strings — lexicographic min
+    over lowercase hex equals numeric min of the underlying value and is
+    exactly reproducible in DuckDB (same idiom as dedup_simhash).
+
+    Plan: explode grams (wordcount shape, pure codegen), ONE exchange on
+    doc_id for the sliding-window min (the same shuffle any per-doc
+    sequence op needs), then a partition-local distinct + agg on the
+    already-partitioned data. Docs with fewer than K+W-1 tokens have no
+    complete window and are excluded by construction."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    k, w = WINNOW_K, WINNOW_W
+    base = docs.select("doc_id", X.tokens("text").alias("_toks")).filter(
+        F.size("_toks") >= k
+    )
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(_toks) - {k}),"
+                f" i -> array_join(slice(_toks, i + 1, {k}), ' '))"
+            )
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.select(
+        "doc_id",
+        "pos",
+        F.substring(F.md5(F.col("gram").cast("binary")), 1, 8).alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    n_w = Window.partitionBy("doc_id")
+    fps = (
+        hashed.select(
+            "doc_id",
+            "pos",
+            F.min("h").over(win).alias("fp"),
+            F.count(F.lit(1)).over(n_w).alias("_n"),
+        )
+        .filter(F.col("pos") <= F.col("_n") - w)  # complete windows only
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    out = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min("fp").alias("fp_first"),
+        F.max("fp").alias("fp_last"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list("fp")), "").cast("binary")
+        ).alias("fp_digest"),
+    )
+    return out.orderBy("doc_id")
+
+
 def _markers_values_sql() -> str:
     rows = ", ".join(
         f"('{lang}', '{w}')" for lang, ws in LANG_MARKERS.items() for w in ws
@@ -199,10 +269,37 @@ ORACLE: dict[str, str] = {
           ON d.doc_id = b.doc_id
         ORDER BY d.doc_id
     """,
+    "text_winnow": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, i AS pos,
+                   substring(md5(array_to_string(
+                       list_slice(toks, i + 1, i + {WINNOW_K}), ' ')), 1, 8) AS h
+            FROM base, unnest(range(len(toks) - {WINNOW_K - 1})) AS u(i)
+            WHERE len(toks) >= {WINNOW_K}
+        ), wins AS (
+            SELECT doc_id, pos,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW
+                                AND {WINNOW_W - 1} FOLLOWING) AS fp,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS n
+            FROM grams
+        ), fps AS (
+            SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= n - {WINNOW_W}
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+               MIN(fp) AS fp_first, MAX(fp) AS fp_last,
+               md5(string_agg(fp, '' ORDER BY fp)) AS fp_digest
+        FROM fps GROUP BY doc_id ORDER BY doc_id
+    """,
 }
 
 QUERIES = {
     "text_metrics": text_metrics,
     "text_fingerprint": text_fingerprint,
     "text_langid": text_langid,
+    "text_winnow": q_text_winnow,
 }

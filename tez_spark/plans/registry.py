@@ -47,8 +47,10 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_clusters", "dedup_embedding",
     "ann_topk", "curation_pipeline", "curation_pipeline_lsh",
-    # 5. padding to exactly 50 with cheap never-failing core patterns
-    "q01", "q03", "q05",
+    # 5. new round-4 oracled queries needing their first driver row,
+    #    then padding to exactly 50 with never-failing core patterns
+    "text_winnow",
+    "q01", "q03",
 )
 
 
