@@ -376,6 +376,52 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("p_id")
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the events stream: users who
+    viewed, then clicked AFTER their first view, then purchased AFTER
+    that first qualifying click — the sequential-pattern query every
+    product-analytics pipeline runs (MATCH_RECOGNIZE-lite, expressed as
+    staged per-user aggregates so it stays pure DataFrame).
+
+    Scale shape: three aggregations and two joins, ALL keyed on user_id —
+    the per-user aggregates are tiny (one row per user per stage), each
+    join's probe side shrinks monotonically down the funnel, and no
+    time-only range join ever forms. One hash-shuffle lineage end to
+    end."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    out = (
+        stage(v, "1_view")
+        .unionByName(stage(c, "2_click"))
+        .unionByName(stage(p, "3_purchase"))
+    )
+    return out.orderBy("stage")
+
+
 # --- unpivot / melt (reverse reshaping of q_pivot) -------------------------
 
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -642,6 +688,26 @@ ORACLE: dict[str, str] = {
          AND c_ts >= p_ts - INTERVAL 1 HOUR
         GROUP BY 1 ORDER BY 1
     """,
+    "event_funnel": """
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ), c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+        ), p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
+        )
+        SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        UNION ALL
+        SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+        ORDER BY stage
+    """,
     "unpivot": """
         WITH wide AS (
             SELECT l_returnflag,
@@ -710,6 +776,7 @@ QUERIES = {
     "percentiles_approx": q_percentiles_approx,
     "string_agg": q_string_agg,
     "interval_join": q_interval_join,
+    "event_funnel": q_event_funnel,
     "unpivot": q_unpivot,
     "argmax_funcs": q_argmax_funcs,
     "embedding_centroids": q_embedding_centroids,
