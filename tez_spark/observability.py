@@ -109,12 +109,26 @@ def capture(spark: SparkSession, fn: Callable[[], Any]) -> tuple[Any, dict[str, 
             stage_ids.update(int(s) for s in info.stageIds)
     counters: dict[str, int] = {name: 0 for _, name in _COUNTER_FIELDS}
     n_seen = 0
-    for sd in _iter_stages(spark):
-        if sd.stageId() not in stage_ids:
-            continue
-        n_seen += 1
-        for field, name in _COUNTER_FIELDS:
-            counters[name] += int(getattr(sd, field)())
+    # Direct per-stage lookups (AppStatusStore.stageData) instead of
+    # scanning the whole retained-stage list: the scan made capture cost
+    # grow with SESSION age (up to spark.ui.retainedStages entries, ~3
+    # Py4J calls each) rather than with the captured query's stage count.
+    jvm = sc._jvm
+    store = _status_store(spark)
+    quantiles = sc._gateway.new_array(jvm.double, 0)
+    for sid in sorted(stage_ids):
+        try:
+            seq = store.stageData(
+                sid, False, jvm.java.util.ArrayList(), False, quantiles
+            )
+        except Exception:
+            continue  # stage evicted from the bounded store
+        it = seq.iterator()
+        while it.hasNext():
+            sd = it.next()
+            n_seen += 1
+            for field, name in _COUNTER_FIELDS:
+                counters[name] += int(getattr(sd, field)())
     counters["NUM_STAGES"] = n_seen
     return result, counters
 
