@@ -422,6 +422,33 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("stage")
 
 
+def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the events stream: users grouped by the
+    date of their first activity (the cohort), with day-1 and day-7
+    return rates — the other half of the product-analytics pair with
+    q_event_funnel.
+
+    Scale shape: one distinct on (user, day) — activity is deduped
+    BEFORE any join so replayed events can't inflate retention — then a
+    per-user min and a user-keyed join of two user-bounded tables; the
+    cohort rollup is a conditional distinct-count on the already-joined
+    rows. No date-range cross join."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("d").alias("d0"))
+    j = cohort.join(act, "user_id")
+    out = j.groupBy("d0").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(
+            F.when(F.col("d") == F.date_add("d0", 1), F.col("user_id"))
+        ).alias("retained_d1"),
+        F.countDistinct(
+            F.when(F.col("d") == F.date_add("d0", 7), F.col("user_id"))
+        ).alias("retained_d7"),
+    )
+    return out.orderBy("d0")
+
+
 # --- unpivot / melt (reverse reshaping of q_pivot) -------------------------
 
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,6 +735,23 @@ ORACLE: dict[str, str] = {
         SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
         ORDER BY stage
     """,
+    "event_retention": """
+        WITH act AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ), cohort AS (
+            SELECT user_id, MIN(d) AS d0 FROM act GROUP BY 1
+        )
+        SELECT d0,
+               CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(DISTINCT CASE WHEN a.d = c.d0 + 1
+                                        THEN a.user_id END) AS BIGINT)
+                   AS retained_d1,
+               CAST(COUNT(DISTINCT CASE WHEN a.d = c.d0 + 7
+                                        THEN a.user_id END) AS BIGINT)
+                   AS retained_d7
+        FROM cohort c JOIN act a ON c.user_id = a.user_id
+        GROUP BY d0 ORDER BY d0
+    """,
     "unpivot": """
         WITH wide AS (
             SELECT l_returnflag,
@@ -777,6 +821,7 @@ QUERIES = {
     "string_agg": q_string_agg,
     "interval_join": q_interval_join,
     "event_funnel": q_event_funnel,
+    "event_retention": q_event_retention,
     "unpivot": q_unpivot,
     "argmax_funcs": q_argmax_funcs,
     "embedding_centroids": q_embedding_centroids,

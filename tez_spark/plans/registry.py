@@ -49,8 +49,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_topk", "curation_pipeline", "curation_pipeline_lsh",
     # 5. new round-4 oracled queries needing their first driver row,
     #    then padding to exactly 50 with never-failing core patterns
-    "text_winnow", "event_funnel",
-    "q01",
+    "text_winnow", "event_funnel", "event_retention",
 )
 
 
