@@ -140,36 +140,37 @@ WINNOW_K = 3  # tokens per gram
 WINNOW_W = 4  # grams per winnowing window
 
 
-def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (the rolling-hash fingerprint of
-    Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
-    Fingerprinting", SIGMOD 2003 — the MOSS algorithm): hash every
-    K-token gram in position order, slide a W-gram window, keep each
-    window's MINIMUM hash; the distinct mins are the fingerprint set.
-    Guarantees every shared run of >= K+W-1 tokens between two documents
-    shares a fingerprint, with a ~2/(W+1) sampling rate — the standard
-    near-copy detector over a corpus.
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprint rows (Schleimer/Wilkerson/
+    Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the MOSS algorithm): hash every K-token gram in
+    position order, slide a W-gram window, keep each window's MINIMUM
+    hash; the distinct mins are the fingerprint set. Guarantees every
+    shared run of >= K+W-1 tokens between two documents shares a
+    fingerprint, at a ~2/(W+1) sampling rate.
 
-    Output is a per-doc summary (count / min / max / digest of the
-    sorted fingerprint set) so the oracle hashes a bounded row per doc.
     Hashes are md5-hex prefixes compared as strings — lexicographic min
     over lowercase hex equals numeric min of the underlying value and is
     exactly reproducible in DuckDB (same idiom as dedup_simhash).
 
     Plan: explode grams (wordcount shape, pure codegen), ONE exchange on
-    doc_id for the sliding-window min (the same shuffle any per-doc
-    sequence op needs), then a partition-local distinct + agg on the
-    already-partitioned data. Docs with fewer than K+W-1 tokens have no
-    complete window and are excluded by construction."""
+    id for the sliding-window min (the same shuffle any per-doc sequence
+    op needs), then a partition-local distinct on the already-partitioned
+    data. Docs with fewer than K+W-1 tokens have no complete window and
+    are excluded by construction."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    k, w = WINNOW_K, WINNOW_W
-    base = docs.select("doc_id", X.tokens("text").alias("_toks")).filter(
+    base = docs.select(id_col, X.tokens(text_col).alias("_toks")).filter(
         F.size("_toks") >= k
     )
     grams = base.select(
-        "doc_id",
+        id_col,
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, size(_toks) - {k}),"
@@ -178,23 +179,30 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos", "gram"),
     )
     hashed = grams.select(
-        "doc_id",
+        id_col,
         "pos",
         F.substring(F.md5(F.col("gram").cast("binary")), 1, 8).alias("h"),
     )
-    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    n_w = Window.partitionBy("doc_id")
-    fps = (
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    n_w = Window.partitionBy(id_col)
+    return (
         hashed.select(
-            "doc_id",
+            id_col,
             "pos",
             F.min("h").over(win).alias("fp"),
             F.count(F.lit(1)).over(n_w).alias("_n"),
         )
         .filter(F.col("pos") <= F.col("_n") - w)  # complete windows only
-        .select("doc_id", "fp")
+        .select(id_col, "fp")
         .distinct()
     )
+
+
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc winnowing fingerprint summary (count / min / max / digest
+    of the sorted set — bounded output so the oracle hashes one row per
+    doc); see winnow_fingerprints for the algorithm and plan shape."""
+    fps = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
     out = fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fps"),
         F.min("fp").alias("fp_first"),

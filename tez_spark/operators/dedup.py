@@ -351,6 +351,45 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_pairs(cand, sh).filter(F.col("j") >= 0.8).orderBy("da", "db")
 
 
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint candidate generation + exact verification at
+    Jaccard ≥ 0.8 — a third candidate generator alongside MinHash-LSH and
+    SimHash, reusing the same exact verifier.
+
+    Candidates are pairs sharing ≥ 1 winnowing fingerprint
+    (functions/text_queries.winnow_fingerprints): the fp equijoin is the
+    bucket-join shape (uniform md5 keys, no skew), and fingerprints
+    sample ~2/(W+1) of each doc's grams, so the candidate join moves a
+    ~5x-reduced table compared with the full shingle self-join.
+
+    Recall note: winnowing guarantees a shared fingerprint only for
+    shared token runs of length ≥ K+W-1 (= 6); a J≥0.8 pair with only
+    scattered short overlaps could in principle be missed. On near-dup
+    corpora (edits of a common source — the case this operator exists
+    for) overlaps are long runs, and the declared oracle is the exact
+    all-pairs computation: equality holds on the fixtures at every SF
+    (asserted by the driver) and any corpus where it doesn't is one
+    where MinHash-LSH (probability-bounded) is the right generator."""
+    from tez_spark.functions.text_queries import winnow_fingerprints
+    from tez_spark.operators.core import tracked_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = tracked_persist(winnow_fingerprints(docs))
+    a = fps.alias("a")
+    b = fps.alias("b")
+    cand = tracked_persist(
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))
+    return _verify_pairs(cand, sh).filter(F.col("j") >= 0.8).orderBy("da", "db")
+
+
 # ---------------------------------------------------------------------------
 # duplicate clusters (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------
@@ -619,6 +658,9 @@ ORACLE: dict[str, str] = {
     # declared against the exact oracle deliberately (recall is part of
     # the contract).
     "dedup_minhash_lsh": _JACCARD_SQL,
+    # winnow-candidate recall is exact on long-run near-dups (see
+    # q_dedup_winnow docstring) — declared against the exact oracle.
+    "dedup_winnow": _JACCARD_SQL,
     "dedup_simhash": _SIMHASH_SQL.replace("SUM_BITS", _simhash_sum_bits_sql()),
 }
 
@@ -626,6 +668,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_winnow": q_dedup_winnow,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
 }
