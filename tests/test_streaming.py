@@ -171,6 +171,44 @@ def test_session_window_stream_matches_batch(spark):
     assert g == w and len(g) > 0
 
 
+def test_stateful_funnel_matches_batch(spark):
+    """Streaming funnel (applyInPandasWithState sequential-pattern state
+    machine) reaches the same per-stage user counts as the batch
+    q_event_funnel on the finite fixture."""
+    from tez_spark.plans.queries_ext import q_event_funnel
+    from tez_spark.streaming.events import stream_events
+    from tez_spark.streaming.stateful import funnel_stages
+
+    stream = stream_events(spark, SF_DIR)
+    q = (
+        funnel_stages(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_funnel")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # latest state per user = max stage (stage is monotone across batches)
+    got = spark.sql(
+        "SELECT stage, COUNT(*) AS n FROM ("
+        "  SELECT user_id, MAX(stage) AS stage FROM t_funnel GROUP BY user_id"
+        ") GROUP BY stage"
+    ).collect()
+    by_stage = {r.stage: r.n for r in got}
+
+    def at_least(s):
+        return sum(n for stage, n in by_stage.items() if stage >= s)
+
+    want = {r.stage: r.n_users for r in q_event_funnel(spark, SF_DIR).collect()}
+    assert at_least(1) == want["1_view"]
+    assert at_least(2) == want["2_click"]
+    assert at_least(3) == want["3_purchase"]
+    assert want["1_view"] > 0
+
+
 def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
     """DAG-recovery parity for streams (the reference replays a failed
     DAG from its recovery log; Structured Streaming replays from the

@@ -59,3 +59,84 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming funnel: stateful sequential-pattern matching ----------------
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("stage", T.LongType()),
+        T.StructField("t_view_us", T.LongType()),
+        T.StructField("t_click_us", T.LongType()),
+        T.StructField("t_purchase_us", T.LongType()),
+    ]
+)
+# candidate event times per user, epoch micros. Views collapse to their
+# min; clicks/purchases stay as candidate lists because a LATER-arriving
+# earlier view can retroactively qualify an already-seen click (exactness
+# under out-of-order arrival). State is O(candidate events per user) —
+# the honest cost of an exact out-of-order funnel; production pipelines
+# bound it with a watermark-driven retention window.
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("min_view", T.LongType()),
+        T.StructField("clicks", T.ArrayType(T.LongType())),
+        T.StructField("purchases", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _funnel_update(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    min_view, clicks, purchases = (
+        state.get if state.exists else (None, [], [])
+    )
+    clicks = list(clicks or [])
+    purchases = list(purchases or [])
+    for pdf in pdfs:
+        for ts_us, etype in zip(
+            (pdf["ts"].astype("int64") // 1000), pdf["event_type"]
+        ):
+            ts_us = int(ts_us)
+            if etype == "view":
+                min_view = ts_us if min_view is None else min(min_view, ts_us)
+            elif etype == "click":
+                clicks.append(ts_us)
+            elif etype == "purchase":
+                purchases.append(ts_us)
+    state.update((min_view, clicks, purchases))
+    # derive the funnel exactly as the batch query does: first view,
+    # first click after it, first purchase after that click.
+    t1 = min_view
+    t2 = min((c for c in clicks if t1 is not None and c > t1), default=None)
+    t3 = min((p for p in purchases if t2 is not None and p > t2), default=None)
+    stage = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "stage": [stage],
+            "t_view_us": [t1],
+            "t_click_us": [t2],
+            "t_purchase_us": [t3],
+        }
+    )
+
+
+def funnel_stages(stream: DataFrame) -> DataFrame:
+    """Streaming twin of plans.queries_ext.q_event_funnel: per-user
+    view→click→purchase state machine, one updated (user, stage) row per
+    micro-batch. Sequential-pattern matching is exactly the custom
+    stateful logic Structured Streaming's applyInPandasWithState exists
+    for — and exactly what the reference cannot express at all (its
+    streaming edges are unimplemented placeholders)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _funnel_update,
+        FUNNEL_OUTPUT_SCHEMA,
+        FUNNEL_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
