@@ -565,3 +565,28 @@ def grouped_processor(
     as applyInPandas. Note: materializes each group; for huge groups prefer
     window functions or secondary_sort."""
     return df.groupBy(*keys).applyInPandas(fn, schema)
+
+
+def cogrouped_processor(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    fn: Callable,
+    schema: str,
+) -> DataFrame:
+    """Two-input per-key-group processor — the vertex-with-two-grouped-
+    inputs shape (SortMergeJoinProcessor reads TWO OrderedGroupedKVInputs
+    and walks both sides of each key,
+    tez-examples/.../SortMergeJoinExample.java:248-313). Spark's literal
+    equivalent is cogroup + applyInPandas: both sides hash-shuffle on the
+    keys once, and fn(left_pdf, right_pdf) sees each key's complete group
+    from BOTH inputs as Arrow batches.
+
+    Use only when the per-key logic genuinely can't be a declarative join
+    (custom merge semantics, per-key model application); a plain join
+    stays JVM-side and AQE-optimizable. Each key's two groups are
+    materialized in one Python worker — same bounded-group caveat as
+    grouped_processor."""
+    return (
+        left.groupBy(*keys).cogroup(right.groupBy(*keys)).applyInPandas(fn, schema)
+    )
