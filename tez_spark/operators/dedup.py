@@ -369,7 +369,16 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     for) overlaps are long runs, and the declared oracle is the exact
     all-pairs computation: equality holds on the fixtures at every SF
     (asserted by the driver) and any corpus where it doesn't is one
-    where MinHash-LSH (probability-bounded) is the right generator."""
+    where MinHash-LSH (probability-bounded) is the right generator.
+
+    Scale caveat vs the LSH band join: band-bucket keys are uniform
+    hashes of near-unique signatures, but winnow fingerprints are
+    CONTENT hashes — a group of M exact/near-exact duplicates shares
+    fps, so its bucket yields O(M²) candidate pairs. Candidates are
+    therefore bounded by the corpus's duplicate-cluster sizes, not
+    uniform; on raw web-scale data run dedup_exact first (standard
+    practice) or prefer dedup_minhash_lsh, whose 128-hash band keys
+    stay uniform regardless of duplication structure."""
     from tez_spark.functions.text_queries import winnow_fingerprints
     from tez_spark.operators.core import tracked_persist
 
