@@ -422,6 +422,42 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("stage")
 
 
+def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup per event type (the hypertable
+    continuous-aggregate shape): every hour between each series' first
+    and last event appears exactly once, empty hours filled with zeros —
+    downstream time-series consumers (charting, anomaly detection,
+    training-window assembly) need dense grids, and a naive groupBy
+    silently drops empty buckets.
+
+    Scale shape: the grid is built per series with sequence()+explode
+    from that series' own [min, max] span — never a cross join of all
+    series × all hours — and the fill join is keyed on
+    (event_type, hour), co-partitioned with the rollup it fills. Grid
+    size is bounded by active span, not corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    spans = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    out = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.round(F.coalesce(F.col("sum_value"), F.lit(0.0)), 6).alias("sum_value"),
+    )
+    return out.orderBy("event_type", "h")
+
+
 def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention over the events stream: users grouped by the
     date of their first activity (the cohort), with day-1 and day-7
@@ -735,6 +771,25 @@ ORACLE: dict[str, str] = {
         SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
         ORDER BY stage
     """,
+    "time_gapfill": """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h, event_type,
+                   COUNT(*) AS n, SUM(value) AS sum_value
+            FROM events GROUP BY 1, 2
+        ), spans AS (
+            SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+            FROM hourly GROUP BY 1
+        ), grid AS (
+            SELECT event_type,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM spans
+        )
+        SELECT g.event_type, g.h,
+               COALESCE(n, 0) AS n,
+               round(COALESCE(sum_value, 0.0), 6) AS sum_value
+        FROM grid g LEFT JOIN hourly USING (event_type, h)
+        ORDER BY 1, 2
+    """,
     "event_retention": """
         WITH act AS (
             SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
@@ -822,6 +877,7 @@ QUERIES = {
     "interval_join": q_interval_join,
     "event_funnel": q_event_funnel,
     "event_retention": q_event_retention,
+    "time_gapfill": q_time_gapfill,
     "unpivot": q_unpivot,
     "argmax_funcs": q_argmax_funcs,
     "embedding_centroids": q_embedding_centroids,

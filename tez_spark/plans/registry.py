@@ -16,7 +16,7 @@ from tez_spark.plans import queries as core_q
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# insertion order.  75 of 81 queries are oracled, so ordering decides which
+# insertion order.  76 of 82 queries are oracled, so ordering decides which
 # get a driver-verified row each round.  Rotation policy: every oracled
 # query gets a driver row at least every other round; queries green in the
 # PREVIOUS round's window rotate out first (their code is unchanged and
@@ -38,8 +38,8 @@ _PRIORITY: tuple[str, ...] = (
     "string_agg", "unpivot", "window_funcs",
     # 2. red in round 3 (NTZ breakage), fixed this round
     "sessionize", "interval_join",
-    # 3. TPC-H suite (tpch12 new in round 4; tpch01 rotated out — green r3)
-    "tpch03", "tpch04", "tpch05", "tpch06", "tpch07", "tpch08",
+    # 3. TPC-H suite (tpch12 new in round 4; tpch01/tpch03 rotated out — green r3)
+    "tpch04", "tpch05", "tpch06", "tpch07", "tpch08",
     "tpch10", "tpch12", "tpch13", "tpch14", "tpch15", "tpch17", "tpch18",
     "tpch19", "tpch21", "tpch22",
     # 4. flagship scale operators + curation composition (the _lsh twin
@@ -49,7 +49,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_topk", "dedup_winnow", "curation_pipeline", "curation_pipeline_lsh",
     # 5. new round-4 oracled queries needing their first driver row,
     #    then padding to exactly 50 with never-failing core patterns
-    "text_winnow", "event_funnel", "event_retention",
+    "text_winnow", "event_funnel", "event_retention", "time_gapfill",
 )
 
 
