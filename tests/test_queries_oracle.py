@@ -52,12 +52,19 @@ def test_driver_window_ordering():
     # must be driver-reverified
     assert {"sessionize", "interval_join", "asof_join"} <= set(window)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    prev = os.path.join(repo, "CORRECTNESS_r03.json")
-    if os.path.exists(prev):
-        with open(prev) as f:
+    # latest recorded driver round: window ∪ its rows must cover every
+    # oracled query (each gets a driver row at least every other round)
+    import glob
+
+    prev_files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    if prev_files:
+        with open(prev_files[-1]) as f:
             prev_rows = set(json.load(f))
         uncovered = set(ORACLES) - (set(window) | prev_rows)
-        assert not uncovered, f"oracled queries with no driver row in r3∪r4: {uncovered}"
+        assert not uncovered, (
+            f"oracled queries with no driver row in {os.path.basename(prev_files[-1])}"
+            f" ∪ current window: {uncovered}"
+        )
     # rows-only entries must sit at the very end
     tail = list(QUERIES)[len(ORACLES):]
     assert all(k not in ORACLES for k in tail), [k for k in tail if k in ORACLES]
