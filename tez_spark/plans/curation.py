@@ -123,6 +123,184 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("split")
 
 
+PACK_BUDGET = 512  # tokens per packed training sequence
+CHUNK_SIZE = 64    # tokens per model-context chunk
+CHUNK_STRIDE = 48  # overlap = CHUNK_SIZE - CHUNK_STRIDE
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget bins for
+    training-batch construction (pack short docs together so each training
+    sequence is ~full). Deterministic contiguous-fill packing: within each
+    source, docs ordered by doc_id fill bins of PACK_BUDGET tokens; a doc
+    belongs to the bin where its cumulative span starts.
+
+    Scale design: packing is PER SOURCE (window partitioned by source),
+    never a global sort — at 100TB each source/shard packs independently
+    and in parallel, which is how packing is actually deployed (per input
+    shard). One window sort per source partition + one shuffle for the
+    summary agg; token counting is map-side codegen."""
+    from pyspark.sql import Window
+
+    from tez_spark.functions.text import tokens
+    from tez_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = t.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(PACK_BUDGET)).cast("long"),
+    )
+    out = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.round(F.sum("n_tokens") / F.lit(float(PACK_BUDGET)), 6).alias("fill"),
+    )
+    return out.orderBy("source", "bin")
+
+
+_SEQ_PACK_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT source, CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           round(SUM(n_tokens) / {float(PACK_BUDGET)}, 6) AS fill
+    FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep ~25% of each source's docs
+    by content-independent hash (md5 of 'source:doc_id' hex prefix <
+    '40' = 64/256). The mix-rebalancing primitive: membership is a pure
+    function of (source, id) — stable across runs, partitionings and
+    engines, unlike sample()/randomSplit which are partition-dependent.
+    Map-side predicate + one summary shuffle."""
+    from tez_spark.functions.text import tokens
+    from tez_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(
+        F.encode(
+            F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string")),
+            "UTF-8",
+        )
+    )
+    keep = (F.substring(h, 1, 2) < "40").cast("long")
+    out = (
+        docs.select(
+            "source",
+            keep.alias("keep"),
+            F.size(tokens("text")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").alias("n_sampled"),
+            F.sum(F.col("keep") * F.col("n_tokens")).alias("sampled_tokens"),
+            F.round(F.sum("keep") / F.count(F.lit(1)), 6).alias("sample_rate"),
+        )
+    )
+    return out.orderBy("source")
+
+
+_STRATIFIED_SAMPLE_SQL = """
+    WITH t AS (
+        SELECT source,
+               CASE WHEN substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 2)
+                         < '40' THEN 1 ELSE 0 END AS keep,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_sampled,
+           CAST(SUM(keep * n_tokens) AS BIGINT) AS sampled_tokens,
+           round(SUM(keep) / COUNT(*), 6) AS sample_rate
+    FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into CHUNK_SIZE-token
+    windows advancing by CHUNK_STRIDE (16-token overlap) — the
+    RAG/pretraining chunker. Number of chunks covers every token:
+    1 if n <= size else floor((n - size + stride - 1)/stride) + 1.
+
+    Scale design: pure map-side explode (sequence + slice, all codegen);
+    output size is input tokens × (size/stride) — no shuffle at all until
+    a downstream consumer aggregates. Emits a per-chunk md5 so chunk
+    identity is checkable without shipping text."""
+    from tez_spark.functions.text import tokens
+    from tez_spark.sources.catalog import load_table
+
+    c, s = CHUNK_SIZE, CHUNK_STRIDE
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("_toks")).select(
+        "doc_id", "_toks", F.size("_toks").alias("n")
+    )
+    n_chunks = F.when(
+        F.col("n") <= c, F.lit(1)
+    ).otherwise(F.floor((F.col("n") - c + (s - 1)) / F.lit(s)).cast("int") + 1)
+    exploded = t.select(
+        "doc_id", "_toks", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i")
+    )
+    chunk = F.slice(F.col("_toks"), F.col("i") * s + 1, c)
+    out = exploded.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ").cast("binary")).alias("chunk_hash"),
+    )
+    return out.orderBy("doc_id", "chunk_id")
+
+
+_DOC_CHUNK_SQL = f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ), n AS (
+        SELECT doc_id, toks, len(toks) AS n FROM base
+    ), nc AS (
+        SELECT doc_id, toks,
+               CASE WHEN n <= {CHUNK_SIZE} THEN 1
+                    ELSE (n - {CHUNK_SIZE} + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE} + 1
+               END AS n_chunks
+        FROM n
+    ), ch AS (
+        SELECT doc_id, toks, unnest(range(n_chunks)) AS i FROM nc
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, i * {CHUNK_STRIDE} + 1,
+                               i * {CHUNK_STRIDE} + {CHUNK_SIZE})) AS BIGINT)
+               AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, i * {CHUNK_STRIDE} + 1,
+                                          i * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' '))
+               AS chunk_hash
+    FROM ch ORDER BY doc_id, chunk_id
+"""
+
+
 _TRAIN_SPLIT_SQL = """
     SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
                 THEN 'train' ELSE 'holdout' END AS split,
@@ -212,6 +390,9 @@ QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "curation_pipeline_lsh": q_curation_pipeline_lsh,
     "train_split": q_train_split,
+    "seq_pack": q_seq_pack,
+    "stratified_sample": q_stratified_sample,
+    "doc_chunk": q_doc_chunk,
 }
 ORACLE = {
     "curation_pipeline": _oracle_sql(),
@@ -219,4 +400,7 @@ ORACLE = {
     # q_curation_pipeline_lsh docstring for the ~5e-8 miss bound).
     "curation_pipeline_lsh": _oracle_sql(),
     "train_split": _TRAIN_SPLIT_SQL,
+    "seq_pack": _SEQ_PACK_SQL,
+    "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+    "doc_chunk": _DOC_CHUNK_SQL,
 }

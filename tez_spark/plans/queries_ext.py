@@ -547,6 +547,47 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization profile: per vector, scale =
+    max(|x|)/127, dequantization error mse = avg((x - round(x/scale) *
+    scale)^2); report per label. The storage-compression audit a vector
+    pipeline runs before shipping int8 embeddings.
+
+    Rounding is floor(x/scale + 0.5) — bit-identical across engines
+    (SQL round() half-away vs banker's differs between engines).
+    Scale design: entirely map-side (one scan, no explode); the per-label
+    summary is the single shuffle. The HOF fold is interpreted per
+    element — fine for a profiling query; a bulk re-encode would use the
+    Arrow mapInPandas path (operators/similarity.py pattern)."""
+    from tez_spark.functions.vectors import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double("embedding")
+    q = emb.select(
+        "label",
+        e.alias("e"),
+        (F.array_max(F.transform(e, lambda x: F.abs(x))) / 127.0).alias("scale"),
+    )
+    scale = F.col("scale")
+    sq_err = F.aggregate(
+        F.col("e"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.pow(x - F.floor(x / scale + 0.5) * scale, F.lit(2.0)),
+    )
+    per_vec = q.select(
+        "label",
+        "scale",
+        F.when(scale > 0, sq_err / F.size("e")).otherwise(F.lit(0.0)).alias("mse"),
+    )
+    out = per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("scale"), 6).alias("avg_scale"),
+        F.round(F.avg("mse"), 6).alias("avg_mse"),
+    )
+    return out.orderBy("label")
+
+
 # --- per-source corpus profiling -------------------------------------------
 
 def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,6 +893,21 @@ ORACLE: dict[str, str] = {
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY 1 ORDER BY 1
     """,
+    "embedding_quantize": """
+        WITH q AS (
+            SELECT label, embedding::DOUBLE[] AS e,
+                   list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+                       AS scale
+            FROM embeddings
+        )
+        SELECT label, COUNT(*) AS n_vecs,
+               round(AVG(scale), 6) AS avg_scale,
+               round(AVG(CASE WHEN scale > 0 THEN
+                   list_sum(list_transform(e,
+                       x -> pow(x - floor(x / scale + 0.5) * scale, 2))) / len(e)
+                   ELSE 0.0 END), 6) AS avg_mse
+        FROM q GROUP BY 1 ORDER BY 1
+    """,
     # approx_distinct: intentionally no oracle (sketches are engine-specific)
 }
 
@@ -881,6 +937,7 @@ QUERIES = {
     "unpivot": q_unpivot,
     "argmax_funcs": q_argmax_funcs,
     "embedding_centroids": q_embedding_centroids,
+    "embedding_quantize": q_embedding_quantize,
     "source_quality": q_source_quality,
 }
 

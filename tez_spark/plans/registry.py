@@ -38,10 +38,12 @@ _PRIORITY: tuple[str, ...] = (
     "string_agg", "unpivot", "window_funcs",
     # 2. red in round 3 (NTZ breakage), fixed this round
     "sessionize", "interval_join",
-    # 3. TPC-H suite (tpch12 new in round 4; tpch01/tpch03 rotated out — green r3)
-    "tpch04", "tpch05", "tpch06", "tpch07", "tpch08",
-    "tpch10", "tpch12", "tpch13", "tpch14", "tpch15", "tpch17", "tpch18",
-    "tpch19", "tpch21", "tpch22",
+    # 3. TPC-H suite (tpch12 new in round 4; tpch01/tpch03/tpch04/tpch06/
+    #    tpch13/tpch22 rotated out — green r3, unchanged code, still under
+    #    tests/test_queries_oracle.py)
+    "tpch05", "tpch07", "tpch08",
+    "tpch10", "tpch12", "tpch14", "tpch15", "tpch17", "tpch18",
+    "tpch19", "tpch21",
     # 4. flagship scale operators + curation composition (the _lsh twin
     #    is new in round 4 — needs its first driver row)
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
@@ -50,6 +52,7 @@ _PRIORITY: tuple[str, ...] = (
     # 5. new round-4 oracled queries needing their first driver row,
     #    then padding to exactly 50 with never-failing core patterns
     "text_winnow", "event_funnel", "event_retention", "time_gapfill",
+    "seq_pack", "stratified_sample", "doc_chunk", "embedding_quantize",
 )
 
 
