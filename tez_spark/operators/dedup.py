@@ -378,7 +378,18 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore bounded by the corpus's duplicate-cluster sizes, not
     uniform; on raw web-scale data run dedup_exact first (standard
     practice) or prefer dedup_minhash_lsh, whose 128-hash band keys
-    stay uniform regardless of duplication structure."""
+    stay uniform regardless of duplication structure.
+
+    Candidate filter: pairs must share >= 2 fingerprints. One shared fp
+    is routinely boilerplate (on the template-generated fixtures the
+    1-fp candidate set is 41x larger — 334k pairs at sf0.1 for 256 true
+    pairs — and verification dominates the runtime); a J>=0.8 pair's
+    shared content spans many winnow windows, so it shares several. The
+    count falls out of the same fp equijoin (groupBy replaces distinct —
+    same shuffle), and recall vs the exact all-pairs oracle is asserted
+    at every SF by the driver (min shared-fp over true pairs is 2 on the
+    fixtures; a corpus where true pairs share exactly one fp wants
+    dedup_minhash_lsh instead)."""
     from tez_spark.functions.text_queries import winnow_fingerprints
     from tez_spark.operators.core import tracked_persist
 
@@ -393,7 +404,10 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .distinct()
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("_nshared"))
+        .filter(F.col("_nshared") >= 2)
+        .select("da", "db")
     )
     sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))
     return _verify_pairs(cand, sh).filter(F.col("j") >= 0.8).orderBy("da", "db")
