@@ -1,0 +1,221 @@
+"""Reference-implementation twins for the round-4 training-pipeline
+operators (seq_pack / doc_chunk / stratified_sample / embedding_quantize):
+each Spark plan is compared against a plain-Python recomputation on a
+generated corpus, plus a partitioning-invariance check (the driver's
+DuckDB oracle already covers the fixtures; these pin the SEMANTICS on
+adversarial shapes — empty docs, exact-boundary lengths, single-token
+bins — that the fixtures may not contain)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+
+def _docs(seed: int, n: int = 40):
+    """(doc_id, source, text) with adversarial token counts: empties,
+    exactly-CHUNK_SIZE docs, boundary-straddling lengths."""
+    from tez_spark.plans.curation import CHUNK_SIZE, CHUNK_STRIDE
+
+    rng = random.Random(seed)
+    vocab = [f"w{i:02d}" for i in range(60)]
+    special = [0, 1, CHUNK_SIZE - 1, CHUNK_SIZE, CHUNK_SIZE + 1,
+               CHUNK_SIZE + CHUNK_STRIDE, CHUNK_SIZE + CHUNK_STRIDE + 1]
+    rows = []
+    for i in range(n):
+        k = special[i] if i < len(special) else rng.randrange(0, 200)
+        text = " ".join(rng.choice(vocab) for _ in range(k))
+        rows.append((i, f"src{i % 3}", text))
+    return rows
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in text.split(" ") if t != ""]
+
+
+def test_seq_pack_matches_reference(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from tez_spark.plans.curation import PACK_BUDGET
+    from tez_spark.functions.text import tokens
+
+    rows = _docs(7)
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    # engine plan (same shape as q_seq_pack, parameterized over this df)
+    t = df.select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        (r.source, r.bin): (r.n_docs, r.sum_tokens)
+        for r in t.withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "bin",
+            F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(PACK_BUDGET)).cast(
+                "long"
+            ),
+        )
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("sum_tokens"))
+        .collect()
+    }
+
+    # reference: contiguous fill per source in doc_id order
+    expect: dict[tuple[str, int], list[int]] = {}
+    by_source: dict[str, list[tuple[int, int]]] = {}
+    for doc_id, source, text in rows:
+        by_source.setdefault(source, []).append((doc_id, len(_toks(text))))
+    for source, docs in by_source.items():
+        cum = 0
+        for _, n in sorted(docs):
+            b = cum // PACK_BUDGET
+            cum += n
+            k = (source, b)
+            if k not in expect:
+                expect[k] = [0, 0]
+            expect[k][0] += 1
+            expect[k][1] += n
+    assert got == {k: tuple(v) for k, v in expect.items()}
+
+    # invariant: a doc lands in the bin its cumulative span STARTS in,
+    # so each source's bins are contiguous from 0
+    for source in by_source:
+        bins = sorted(b for (s, b) in got if s == source)
+        assert bins == list(range(len(bins)))
+
+
+def test_doc_chunk_matches_reference(spark):
+    from pyspark.sql import functions as F
+
+    from tez_spark.plans.curation import CHUNK_SIZE, CHUNK_STRIDE
+
+    rows = _docs(11)
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    from tez_spark.functions.text import tokens
+
+    c, s = CHUNK_SIZE, CHUNK_STRIDE
+    t = df.select("doc_id", tokens("text").alias("_toks")).select(
+        "doc_id", "_toks", F.size("_toks").alias("n")
+    )
+    n_chunks = F.when(F.col("n") <= c, F.lit(1)).otherwise(
+        F.floor((F.col("n") - c + (s - 1)) / F.lit(s)).cast("int") + 1
+    )
+    exploded = t.select(
+        "doc_id", "_toks", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i")
+    )
+    chunk = F.slice(F.col("_toks"), F.col("i") * s + 1, c)
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk_hash)
+        for r in exploded.select(
+            "doc_id",
+            F.col("i").cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ").cast("binary")).alias("chunk_hash"),
+        ).collect()
+    }
+
+    expect = {}
+    for doc_id, _, text in rows:
+        toks = _toks(text)
+        n = len(toks)
+        nc = 1 if n <= c else (n - c + s - 1) // s + 1
+        for i in range(nc):
+            piece = toks[i * s : i * s + c]
+            expect[(doc_id, i)] = (
+                len(piece),
+                hashlib.md5(" ".join(piece).encode()).hexdigest(),
+            )
+    assert got == expect
+
+    # coverage: the final chunk of every doc reaches the last token
+    for doc_id, _, text in rows:
+        n = len(_toks(text))
+        nc = 1 if n <= c else (n - c + s - 1) // s + 1
+        assert (nc - 1) * s + c >= n
+
+
+def test_stratified_sample_membership_is_pure_and_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    rows = _docs(23)
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    h = F.md5(
+        F.encode(
+            F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string")),
+            "UTF-8",
+        )
+    )
+    keep_col = (F.substring(h, 1, 2) < "40").cast("long")
+
+    def kept_ids(frame):
+        return {
+            r.doc_id
+            for r in frame.select("doc_id", keep_col.alias("k"))
+            .filter(F.col("k") == 1)
+            .collect()
+        }
+
+    got = kept_ids(df)
+    expect = {
+        doc_id
+        for doc_id, source, _ in rows
+        if hashlib.md5(f"{source}:{doc_id}".encode()).hexdigest()[:2] < "40"
+    }
+    assert got == expect
+    # membership survives any physical repartitioning (randomSplit does not)
+    assert kept_ids(df.repartition(7)) == expect
+    assert kept_ids(df.repartition(1)) == expect
+
+
+def test_embedding_quantize_matches_reference(spark):
+    from pyspark.sql import functions as F
+
+    rng = random.Random(5)
+    rows = [
+        (i, f"lab{i % 2}", [rng.uniform(-1, 1) for _ in range(16)])
+        for i in range(20)
+    ] + [(99, "lab0", [0.0] * 16)]  # zero vector: scale 0, mse defined as 0
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+
+    e = F.col("embedding")
+    q = df.select(
+        "vec_id",
+        "label",
+        e.alias("e"),
+        (F.array_max(F.transform(e, lambda x: F.abs(x))) / 127.0).alias("scale"),
+    )
+    scale = F.col("scale")
+    sq_err = F.aggregate(
+        F.col("e"),
+        F.lit(0.0),
+        lambda acc, x: acc + F.pow(x - F.floor(x / scale + 0.5) * scale, F.lit(2.0)),
+    )
+    got = {
+        r.vec_id: (r.scale, r.mse)
+        for r in q.select(
+            "vec_id",
+            "scale",
+            F.when(scale > 0, sq_err / F.size("e")).otherwise(F.lit(0.0)).alias("mse"),
+        ).collect()
+    }
+
+    for vec_id, _, vec in rows:
+        sc = max(abs(x) for x in vec) / 127.0
+        if sc > 0:
+            mse = sum((x - math.floor(x / sc + 0.5) * sc) ** 2 for x in vec) / len(vec)
+        else:
+            mse = 0.0
+        g_scale, g_mse = got[vec_id]
+        assert abs(g_scale - sc) < 1e-12
+        assert abs(g_mse - mse) < 1e-12
+        # int8 contract: every quantized level fits in [-127, 127]
+        if sc > 0:
+            assert all(abs(math.floor(x / sc + 0.5)) <= 127 for x in vec)
