@@ -31,4 +31,5 @@ from tez_spark.sources.io import (  # noqa: F401
     write_parquet,
     write_partitioned,
     write_sequencefile,
+    write_sorted,
 )

@@ -155,3 +155,36 @@ def write_partitioned(
     tasks (avoids the small-files explosion at 100TB).
     """
     df.repartition(*partition_cols).write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    mode: str = "overwrite",
+    n_files: int | None = None,
+) -> None:
+    """Range-clustered sink: repartitionByRange + sortWithinPartitions
+    before writing, so each parquet file (and row group) covers a narrow,
+    non-overlapping min/max range of the cluster columns.
+
+    This is the data-SKIPPING layout (Hive-on-Tez's SORTED BY; the
+    single-dimension analog of Z-ordering): at 100TB a selective filter
+    on the cluster column prunes whole files/row-groups from parquet
+    footer statistics instead of scanning them — the same footer min/max
+    machinery partition pruning uses, but within an unpartitioned path.
+    Use write_partitioned for low-cardinality keys (directory pruning),
+    write_sorted for high-cardinality/range predicates (footer pruning),
+    write_bucketed for recurring equijoins (shuffle elimination).
+
+    The range exchange samples the cluster columns (RangePartitioning —
+    the same sampled global-sort machinery as operators.global_sort), so
+    file ranges stay balanced under skew. n_files pins the output file
+    count (an explicit count is exempt from AQE coalescing); default
+    lets AQE size files from runtime statistics."""
+    parted = (
+        df.repartitionByRange(n_files, *cluster_cols)
+        if n_files
+        else df.repartitionByRange(*cluster_cols)
+    )
+    parted.sortWithinPartitions(*cluster_cols).write.mode(mode).parquet(path)
