@@ -41,6 +41,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # normalizes by ACTUAL column type for sessions where this conf can't
     # apply.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Surface parquet TIMESTAMP(NANOS) as int64 instead of a hard
+    # PARQUET_TYPE_ILLEGAL error (one historical events.ts encoding);
+    # normalize_event_ts restores TIMESTAMP. Session-global by nature, so
+    # it lives here with the other ingestion confs rather than being
+    # re-set on every load_table call.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -54,8 +60,27 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+_CONFS_APPLIED: "weakref.WeakSet" = None  # type: ignore[assignment]
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable determinism/perf confs to an existing session."""
+    """Apply runtime-settable determinism/perf confs to an existing session.
+
+    Memoized per live session: load_table calls this on every scan (it
+    must — the correctness driver hands queries a foreign session), which
+    without the cache costs ~10 Py4J round-trips per table load, ~50 per
+    multi-table query build. The WeakSet drops stopped sessions, so a
+    restarted session at a recycled address is re-applied."""
+    global _CONFS_APPLIED
+    if _CONFS_APPLIED is None:
+        import weakref
+
+        _CONFS_APPLIED = weakref.WeakSet()
+    try:
+        if spark in _CONFS_APPLIED:
+            return spark
+    except TypeError:
+        pass  # un-weakref-able session implementation: fall through, no cache
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -63,6 +88,10 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             # Some confs may be static in exotic deployments; never fail a
             # query over a tuning knob.
             pass
+    try:
+        _CONFS_APPLIED.add(spark)
+    except TypeError:
+        pass
     return spark
 
 

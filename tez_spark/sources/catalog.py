@@ -61,14 +61,10 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Columnar parquet scan: filters/projections
     applied downstream reach the scan (PushedFilters/ReadSchema)."""
+    # includes nanosAsLong: a TIMESTAMP(NANOS) events.ts (one historical
+    # fixture encoding) surfaces as int64 instead of a reader error;
+    # normalize_event_ts then restores TIMESTAMP.
     apply_runtime_confs(spark)
-    # Tolerate a TIMESTAMP(NANOS) events.ts (one historical fixture
-    # encoding): Spark's vectorized reader rejects it outright unless it is
-    # surfaced as int64; normalize_event_ts then restores TIMESTAMP.
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_event_ts(df)

@@ -31,11 +31,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain TIMESTAMP across regenerations), then normalize ts to TIMESTAMP
     identically to the batch catalog — the streaming plans must window the
     same event-time values the batch twins aggregate."""
-    apply_runtime_confs(spark)
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    apply_runtime_confs(spark)  # includes nanosAsLong for legacy fixtures
     path = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(path).schema  # footer-only read
     raw = (
