@@ -301,6 +301,105 @@ _DOC_CHUNK_SQL = f"""
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/holdout decontamination report: holdout documents that are
+    near-duplicates (Jaccard >= 0.8) of ANY train document, per source —
+    the eval-set contamination check every LLM training pipeline runs
+    before trusting its holdout numbers.
+
+    Engine path mirrors dedup_winnow: winnowing-fingerprint candidates
+    (>= 2 shared fps, train x holdout only — the cross join never touches
+    train x train or holdout x holdout) + exact Jaccard verification.
+    Declared against the exact all-cross-pairs oracle; the same recall
+    argument as dedup_winnow applies (asserted at every SF). Scale: the
+    candidate join is fp-bucketed, verification candidate-bounded, and
+    the final report one shuffle on source."""
+    from tez_spark.functions.text_queries import winnow_fingerprints
+    from tez_spark.operators.core import tracked_persist
+    from tez_spark.operators.dedup import _verify_pairs, shingles
+    from tez_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    split = F.when(F.substring(h, 1, 2) < "e6", "train").otherwise("holdout")
+    tagged = docs.select("doc_id", "source", split.alias("split"))
+    fps = tracked_persist(
+        winnow_fingerprints(docs).join(tagged.select("doc_id", "split"), "doc_id")
+    )
+    tr = fps.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("da"), "fp"
+    )
+    ho = fps.filter(F.col("split") == "holdout").select(
+        F.col("doc_id").alias("db"), "fp"
+    )
+    cand = tracked_persist(
+        tr.join(ho, "fp")
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("da", "db")
+    )
+    sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))
+    pairs = _verify_pairs(cand, sh).filter(F.col("j") >= JACCARD_MIN)
+    contaminated = (
+        pairs.select(F.col("db").alias("doc_id")).distinct().withColumn("c", F.lit(1))
+    )
+    hold = tagged.filter(F.col("split") == "holdout")
+    flagged = F.coalesce(F.col("c"), F.lit(0))
+    out = (
+        hold.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_holdout"),
+            F.sum(flagged).alias("n_contaminated"),
+            F.round(F.sum(flagged) / F.count(F.lit(1)), 6).alias(
+                "contamination_rate"
+            ),
+        )
+    )
+    return out.orderBy("source")
+
+
+_DECONTAMINATE_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'train' ELSE 'holdout' END AS split
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS sh
+        FROM base, unnest(range(len(toks) - 2)) AS u(i)
+        WHERE len(toks) >= 3
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), tr AS (
+        SELECT s.doc_id, s.sh FROM sh s JOIN base b ON s.doc_id = b.doc_id
+        WHERE b.split = 'train'
+    ), ho AS (
+        SELECT s.doc_id, s.sh FROM sh s JOIN base b ON s.doc_id = b.doc_id
+        WHERE b.split = 'holdout'
+    ), inter AS (
+        SELECT t.doc_id AS da, h.doc_id AS db, count(*) AS i
+        FROM tr t JOIN ho h ON t.sh = h.sh GROUP BY 1, 2
+    ), contaminated AS (
+        SELECT DISTINCT db AS doc_id
+        FROM inter JOIN sizes sa ON da = sa.doc_id
+                   JOIN sizes sb ON db = sb.doc_id
+        WHERE i / (sa.n + sb.n - i) >= {JACCARD_MIN}
+    )
+    SELECT b.source, COUNT(*) AS n_holdout,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           round(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS contamination_rate
+    FROM base b LEFT JOIN contaminated c ON b.doc_id = c.doc_id
+    WHERE b.split = 'holdout'
+    GROUP BY 1 ORDER BY 1
+"""
+
+
 _TRAIN_SPLIT_SQL = """
     SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
                 THEN 'train' ELSE 'holdout' END AS split,
@@ -393,6 +492,7 @@ QUERIES = {
     "seq_pack": q_seq_pack,
     "stratified_sample": q_stratified_sample,
     "doc_chunk": q_doc_chunk,
+    "decontaminate": q_decontaminate,
 }
 ORACLE = {
     "curation_pipeline": _oracle_sql(),
@@ -403,4 +503,5 @@ ORACLE = {
     "seq_pack": _SEQ_PACK_SQL,
     "stratified_sample": _STRATIFIED_SAMPLE_SQL,
     "doc_chunk": _DOC_CHUNK_SQL,
+    "decontaminate": _DECONTAMINATE_SQL,
 }

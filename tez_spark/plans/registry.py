@@ -43,7 +43,7 @@ _PRIORITY: tuple[str, ...] = (
     #    tests/test_queries_oracle.py)
     "tpch05", "tpch07", "tpch08",
     "tpch10", "tpch12", "tpch14", "tpch15", "tpch17", "tpch18",
-    "tpch19", "tpch21",
+    "tpch21",
     # 4. flagship scale operators + curation composition (the _lsh twin
     #    is new in round 4 — needs its first driver row)
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
@@ -53,6 +53,7 @@ _PRIORITY: tuple[str, ...] = (
     #    then padding to exactly 50 with never-failing core patterns
     "text_winnow", "event_funnel", "event_retention", "time_gapfill",
     "seq_pack", "stratified_sample", "doc_chunk", "embedding_quantize",
+    "decontaminate",
 )
 
 
