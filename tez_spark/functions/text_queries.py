@@ -223,6 +223,65 @@ def _markers_values_sql() -> str:
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in X.STOPWORDS)
 
+def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram negative-log-likelihood score per document — the
+    perplexity-proxy quality filter (CCNet-style: documents whose tokens
+    are improbable under the corpus language model are noise; documents
+    too probable are boilerplate). Score = avg over tokens of
+    -ln(corpus_freq(token) / corpus_total).
+
+    Plan: one explode for corpus counts (wordcount shape, map-side
+    partial agg), the frequency table joined back on token — the
+    shuffle-on-token path, scale-correct for 100TB vocabularies (AQE
+    broadcasts when the vocab is small); the corpus total rides a 1-row
+    broadcast cross join (scalar-subquery shape), never a collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = freq.agg(F.sum("n_tok").alias("n_total"))
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("n_tok") / F.col("n_total"))), 6
+            ).alias("nll"),
+        )
+    )
+    out = docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.col("nll"), F.lit(0.0)).alias("nll"),
+    )
+    return out.orderBy("doc_id")
+
+
+_TEXT_LOGPROB_SQL = """
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS tok
+        FROM documents
+    ), freq AS (
+        SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY 1
+    ), total AS (
+        SELECT CAST(SUM(n_tok) AS BIGINT) AS n_total FROM freq
+    ), scored AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               round(AVG(-ln(f.n_tok / tt.n_total)), 6) AS nll
+        FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN total tt
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_tokens, 0) AS n_tokens,
+           COALESCE(s.nll, 0.0) AS nll
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+"""
+
+
 ORACLE: dict[str, str] = {
     "text_metrics": f"""
         WITH base AS (
@@ -305,9 +364,12 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+ORACLE["text_logprob"] = _TEXT_LOGPROB_SQL
+
 QUERIES = {
     "text_metrics": text_metrics,
     "text_fingerprint": text_fingerprint,
     "text_langid": text_langid,
     "text_winnow": q_text_winnow,
+    "text_logprob": q_text_logprob,
 }
