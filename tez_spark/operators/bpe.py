@@ -1,0 +1,178 @@
+"""Byte-pair-encoding tokenizer training + application over a corpus.
+
+The missing piece between whitespace token counting (functions/text.py)
+and a real training pipeline's subword vocabulary (Sennrich et al.,
+"Neural Machine Translation of Rare Words with Subword Units", ACL 2016).
+
+Scale design — the two-phase split every production tokenizer trainer
+uses (HuggingFace tokenizers, SentencePiece):
+
+1. **Word histogram: distributed.** One wordcount-shaped explode +
+   groupBy over the corpus — the only phase that touches corpus-sized
+   data, linear and embarrassingly parallel at 100TB.
+2. **Merge learning: driver-side over the histogram.** BPE iterations
+   operate on the word-frequency DICT, whose size is the distinct
+   vocabulary (≤ ~10M words for web-scale corpora, ~100MB), not the
+   corpus. The collect is BOUNDED and guarded: more distinct words than
+   max_vocab_words raises a loud error telling the user to pre-filter
+   (min_freq) rather than silently truncating — the same
+   bounded-driver-state contract as the IVF centroid sample
+   (operators/similarity.py).
+3. **Application: distributed again.** The learned merge table is tiny
+   (n_merges rows); segmentation broadcasts it and maps each partition
+   with an Arrow-batched pandas iterator — no shuffle at all.
+
+Determinism: merge ties (equal pair counts) break lexicographically, so
+the merge sequence is a pure function of the histogram — stable across
+runs, partitionings, and cluster sizes (asserted in tests against an
+independent pure-Python reference).
+
+Reference parity note: Tez has no tokenizer surface at all; this is a
+capability extension in the SURVEY.md §2.6 training-pipeline family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tez_spark.functions.text import tokens
+from tez_spark.sources.catalog import load_table
+
+END = "</w>"  # end-of-word marker: merges never cross word boundaries
+
+
+def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus — the distributed phase."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def learn_merges(
+    histogram: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Classic BPE over a word-frequency dict: repeatedly merge the most
+    frequent adjacent symbol pair (ties lexicographic). Returns
+    [(left, right, pair_freq_at_merge_time)]. Pure Python on the
+    histogram — corpus-size independent."""
+    words: list[tuple[list[str], int]] = [
+        (list(w) + [END], f) for w, f in histogram if w
+    ]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        # max by (freq, then REVERSED lexicographic) == prefer the
+        # lexicographically SMALLEST pair on ties
+        (left, right), best = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if best < 2:
+            break  # nothing repeats; further merges are noise
+        merges.append((left, right, best))
+        merged = left + right
+        new_words = []
+        for syms, f in words:
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words.append((out, f))
+        words = new_words
+    return merges
+
+
+def segment_word(word: str, merge_ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply learned merges to one word greedily by merge rank (the
+    standard BPE inference: always the lowest-rank applicable merge)."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = merge_ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 40,
+    max_vocab_words: int = 1_000_000,
+) -> list[tuple[str, str, int]]:
+    """Distributed histogram → driver-side merge learning. Raises on an
+    unexpectedly huge vocabulary instead of silently truncating."""
+    hist_df = word_histogram(docs, text_col)
+    n_vocab = hist_df.count()
+    if n_vocab > max_vocab_words:
+        raise ValueError(
+            f"bpe_train: {n_vocab} distinct words exceeds the "
+            f"{max_vocab_words} driver-side histogram bound; pre-filter "
+            f"the corpus (e.g. min_freq) or raise max_vocab_words"
+        )
+    histogram = [(r.w, r.freq) for r in hist_df.collect()]
+    histogram.sort()  # collect order is partition-dependent; learning is not
+    return learn_merges(histogram, n_merges)
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge table corpus-wide: (id, n_words,
+    n_subwords) per document. Arrow-batched mapInPandas, merge table
+    broadcast by closure — no shuffle; the map phase of a tokenization
+    job at any scale."""
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+    fields = docs.select(id_col, text_col).schema
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, n_words, n_sub = [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                ws = [w for w in (text or "").split(" ") if w]
+                ids.append(i)
+                n_words.append(len(ws))
+                n_sub.append(sum(len(segment_word(w, ranks)) for w in ws))
+            yield pd.DataFrame(
+                {id_col: ids, "n_words": n_words, "n_subwords": n_sub}
+            )
+
+    out_schema = f"{id_col} {fields[id_col].dataType.simpleString()}, n_words long, n_subwords long"
+    return docs.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: the learned merge table (rank, left, right,
+    pair_freq) over documents. Rows-only by design — 40 data-dependent
+    iterations are not SQL-expressible; determinism + equality against
+    an independent pure-Python reference implementation are asserted in
+    tests/test_bpe.py instead."""
+    merges = bpe_train(load_table(spark, sf_dir, "documents"))
+    return spark.createDataFrame(
+        [(i, l, r, f) for i, (l, r, f) in enumerate(merges)],
+        "rank long, left string, right string, pair_freq long",
+    ).orderBy("rank")
+
+
+QUERIES = {"bpe_train": q_bpe_train}

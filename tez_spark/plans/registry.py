@@ -119,6 +119,7 @@ def _extension_modules():
     mods = []
     for name in (
         "tez_spark.plans.queries_ext",
+        "tez_spark.operators.bpe",
         "tez_spark.operators.dedup",
         "tez_spark.operators.similarity",
         "tez_spark.functions.text_queries",
