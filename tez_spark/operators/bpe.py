@@ -118,15 +118,16 @@ def bpe_train(
 ) -> list[tuple[str, str, int]]:
     """Distributed histogram → driver-side merge learning. Raises on an
     unexpectedly huge vocabulary instead of silently truncating."""
-    hist_df = word_histogram(docs, text_col)
-    n_vocab = hist_df.count()
-    if n_vocab > max_vocab_words:
+    # ONE corpus pass: limit(bound+1) keeps the guard without a separate
+    # count() job — the collect is capped at bound+1 rows either way.
+    rows = word_histogram(docs, text_col).limit(max_vocab_words + 1).collect()
+    if len(rows) > max_vocab_words:
         raise ValueError(
-            f"bpe_train: {n_vocab} distinct words exceeds the "
-            f"{max_vocab_words} driver-side histogram bound; pre-filter "
-            f"the corpus (e.g. min_freq) or raise max_vocab_words"
+            f"bpe_train: distinct words exceed the {max_vocab_words} "
+            f"driver-side histogram bound; pre-filter the corpus "
+            f"(e.g. min_freq) or raise max_vocab_words"
         )
-    histogram = [(r.w, r.freq) for r in hist_df.collect()]
+    histogram = [(r.w, r.freq) for r in rows]
     histogram.sort()  # collect order is partition-dependent; learning is not
     return learn_merges(histogram, n_merges)
 
