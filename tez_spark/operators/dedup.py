@@ -497,6 +497,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("component", "doc_id")
 
 
+def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC duplicate clusters: connected components over the
+    embedding cosine>=0.45 near-dup graph (dedup_embedding's pairs) —
+    the cluster view a curation pipeline dedups against when paraphrases
+    share no n-grams. Same min-label propagation (and the same
+    recursive-CTE oracle shape) as the text-shingle clusters; the pair
+    stage is the distributed block-pair matmul, so nothing corpus-sized
+    ever reaches the driver."""
+    from tez_spark.operators.core import tracked_persist
+    from tez_spark.operators.similarity import all_pairs_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = tracked_persist(
+        all_pairs_cosine(emb, threshold=0.45).select(
+            F.col("va").alias("da"), F.col("vb").alias("db")
+        )
+    )
+    return connected_components(pairs).withColumnRenamed(
+        "doc_id", "vec_id"
+    ).orderBy("component", "vec_id")
+
+
 # ---------------------------------------------------------------------------
 # SimHash (32-bit, md5-nibble bits so the oracle is cross-engine exact)
 # ---------------------------------------------------------------------------
@@ -652,6 +674,30 @@ def _simhash_sum_bits_sql() -> str:
     return " + ".join(terms)
 
 
+_EMB_PAIR = """list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"""
+
+_EMB_CLUSTERS_SQL = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS da, b.vec_id AS db
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_EMB_PAIR} >= 0.45
+    ), nodes AS (
+        SELECT DISTINCT vec_id FROM (
+            SELECT da AS vec_id FROM pairs UNION SELECT db FROM pairs)
+    ), edges AS (
+        SELECT da AS src, db AS dst FROM pairs
+        UNION SELECT db, da FROM pairs
+    ), reach(src, dst) AS (
+        SELECT vec_id, vec_id FROM nodes
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT MIN(dst) AS component, src AS vec_id
+    FROM reach GROUP BY src ORDER BY 1, 2
+"""
+
 _CLUSTERS_SQL = f"""
     WITH RECURSIVE pairs AS (
         SELECT da, db FROM ({_SH_CTE}) WHERE j >= 0.8
@@ -676,6 +722,7 @@ ORACLE: dict[str, str] = {
         SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique FROM documents
     """,
     "dedup_clusters": _CLUSTERS_SQL,
+    "dedup_embedding_clusters": _EMB_CLUSTERS_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
     # LSH output == exact output up to a ~5e-8 per-pair miss probability;
     # declared against the exact oracle deliberately (recall is part of
@@ -694,4 +741,5 @@ QUERIES = {
     "dedup_winnow": q_dedup_winnow,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_embedding_clusters": q_dedup_embedding_clusters,
 }

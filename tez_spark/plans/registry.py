@@ -46,7 +46,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch21",
     # 4. flagship scale operators + curation composition (the _lsh twin
     #    is new in round 4 — needs its first driver row)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_embedding_clusters", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_clusters", "dedup_embedding",
     "ann_topk", "dedup_winnow", "curation_pipeline", "curation_pipeline_lsh",
     # 5. new round-4 oracled queries needing their first driver row,
