@@ -301,6 +301,56 @@ _DOC_CHUNK_SQL = f"""
 """
 
 
+def q_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-decile curriculum assignment: ntile(10) over token count
+    (ties broken by doc_id — fully deterministic ordering) within each
+    source, summarized per (source, decile). The batching primitive for
+    length-based curriculum schedules / bucketed batching: same-decile
+    docs pad to similar lengths. Per-source windows (one shuffle on
+    source, never a global sort) + the summary agg."""
+    from pyspark.sql import Window
+
+    from tez_spark.functions.text import tokens
+    from tez_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    out = (
+        t.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+    return out.orderBy("source", "decile")
+
+
+_LENGTH_CURRICULUM_SQL = """
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ), d AS (
+        SELECT source, n_tokens,
+               CAST(NTILE(10) OVER (PARTITION BY source
+                                    ORDER BY n_tokens, doc_id) AS BIGINT)
+                   AS decile
+        FROM t
+    )
+    SELECT source, decile, COUNT(*) AS n_docs,
+           MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM d GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/holdout decontamination report: holdout documents that are
     near-duplicates (Jaccard >= 0.8) of ANY train document, per source —
@@ -493,6 +543,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "doc_chunk": q_doc_chunk,
     "decontaminate": q_decontaminate,
+    "length_curriculum": q_length_curriculum,
 }
 ORACLE = {
     "curation_pipeline": _oracle_sql(),
@@ -504,4 +555,5 @@ ORACLE = {
     "stratified_sample": _STRATIFIED_SAMPLE_SQL,
     "doc_chunk": _DOC_CHUNK_SQL,
     "decontaminate": _DECONTAMINATE_SQL,
+    "length_curriculum": _LENGTH_CURRICULUM_SQL,
 }

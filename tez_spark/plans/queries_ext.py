@@ -588,6 +588,34 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("label")
 
 
+def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomalies per event type: hours whose event count
+    exceeds mean + 2·stddev of that type's hourly series — the data-feed
+    health check an ingestion pipeline runs (a stuck producer or replay
+    storm shows up as an anomalous hour). Two shuffles total: hourly
+    rollup, then the per-type stats broadcast back onto the tiny hourly
+    table."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mean_n"), F.stddev_samp("n").alias("sd_n")
+    )
+    out = (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(F.col("n") > F.col("mean_n") + 2 * F.col("sd_n"))
+        .select(
+            "event_type",
+            "h",
+            "n",
+            F.round("mean_n", 6).alias("mean_n"),
+            F.round("sd_n", 6).alias("sd_n"),
+        )
+    )
+    return out.orderBy("event_type", "h")
+
+
 # --- per-source corpus profiling -------------------------------------------
 
 def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -893,6 +921,20 @@ ORACLE: dict[str, str] = {
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY 1 ORDER BY 1
     """,
+    "event_anomalies": """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ), stats AS (
+            SELECT event_type, AVG(n) AS mean_n, stddev_samp(n) AS sd_n
+            FROM hourly GROUP BY 1
+        )
+        SELECT h.event_type, h.h, h.n,
+               round(s.mean_n, 6) AS mean_n, round(s.sd_n, 6) AS sd_n
+        FROM hourly h JOIN stats s ON h.event_type = s.event_type
+        WHERE h.n > s.mean_n + 2 * s.sd_n
+        ORDER BY 1, 2
+    """,
     "embedding_quantize": """
         WITH q AS (
             SELECT label, embedding::DOUBLE[] AS e,
@@ -938,6 +980,7 @@ QUERIES = {
     "argmax_funcs": q_argmax_funcs,
     "embedding_centroids": q_embedding_centroids,
     "embedding_quantize": q_embedding_quantize,
+    "event_anomalies": q_event_anomalies,
     "source_quality": q_source_quality,
 }
 

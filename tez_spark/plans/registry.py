@@ -41,7 +41,7 @@ _PRIORITY: tuple[str, ...] = (
     # 3. TPC-H suite (tpch12 new in round 4; tpch01/tpch03/tpch04/tpch06/
     #    tpch13/tpch22 rotated out — green r3, unchanged code, still under
     #    tests/test_queries_oracle.py)
-    "tpch05", "tpch07", "tpch08",
+    "tpch05",
     "tpch10", "tpch12", "tpch14", "tpch15", "tpch18",
     "tpch21",
     # 4. flagship scale operators + curation composition (the _lsh twin
@@ -53,7 +53,7 @@ _PRIORITY: tuple[str, ...] = (
     #    then padding to exactly 50 with never-failing core patterns
     "text_winnow", "event_funnel", "event_retention", "time_gapfill",
     "seq_pack", "stratified_sample", "doc_chunk", "embedding_quantize",
-    "decontaminate", "text_logprob",
+    "decontaminate", "text_logprob", "length_curriculum", "event_anomalies",
 )
 
 
