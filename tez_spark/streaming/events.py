@@ -130,6 +130,36 @@ def purchase_click_join(
     ).select("p_id", "c_id", "user_id", "p_ts", "c_ts")
 
 
+def maintain_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    upsert,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> None:
+    """Incremental materialized-view maintenance — the continuous-
+    aggregate pattern (the streaming twin of the time_gapfill hourly
+    rollup): update-mode windowed aggregation + foreachBatch, so each
+    micro-batch delivers ONLY the (window, event_type) rows whose
+    aggregates changed, and `upsert(batch_df, batch_id)` merges them
+    into the serving store.
+
+    upsert receives a normal batch DataFrame — in production it runs
+    MERGE INTO / key-value puts; state per micro-batch is bounded by
+    active windows × event types (watermarked), never stream length.
+    Drives the finite fixture stream to completion."""
+    hourly = tumbling_counts(stream_events(spark, sf_dir), width, watermark)
+    q = (
+        hourly.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_to_completion(result: DataFrame, name: str, spark: SparkSession) -> DataFrame:
     """Drive a streaming plan over the (finite) fixture to completion via
     the memory sink; returns the final result as a batch DataFrame."""
