@@ -105,3 +105,39 @@ def test_dedup_embedding_lsh_finds_planted_dups(spark):
         for r in dedup_embedding_lsh(df, threshold=0.9, dim=64).collect()
     }
     assert planted <= got, f"missed planted dups: {planted - got}"
+
+
+def test_persisted_ivf_index_probe_recall_and_pruning(spark, tmp_path):
+    """Index-as-layout: write_ivf_index materializes cell-partitioned
+    vectors; probing reads ONLY the probed cell directories (partition
+    pruning visible in the scan) and recalls like the fused IVF query."""
+    from pyspark.sql import functions as F
+
+    from tez_spark.operators.similarity import (
+        K,
+        N_QUERIES,
+        ann_ivf_probe_index,
+        brute_force_topk,
+        write_ivf_index,
+    )
+    from tez_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path)
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    got_df = ann_ivf_probe_index(spark, path, queries)
+    got = {(r.q_id, r.vec_id) for r in got_df.collect()}
+    truth = {
+        (r.q_id, r.vec_id) for r in brute_force_topk(emb, queries, K).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.3, f"index-probe recall collapsed: {recall:.2f}"
+
+    # partition pruning reached the scan: the cell IN (...) predicate is a
+    # PartitionFilter, not a post-scan Filter
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters:" in plan, plan[:1500]
+    pruned = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "cell" in pruned, f"cell predicate not pushed to partitions: {pruned}"

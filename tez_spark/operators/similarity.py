@@ -526,6 +526,118 @@ ORACLE: dict[str, str] = {
     # ann_lsh: intentionally no oracle — probabilistic recall; rows-only.
 }
 
+# ---------------------------------------------------------------------------
+# Persisted IVF index: build once, probe many times
+# ---------------------------------------------------------------------------
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = IVF_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index as a DATA LAYOUT: centroids (tiny
+    parquet) + the assignment table written partitionBy(cell). Probing a
+    query then reads only its probed cells via directory/partition
+    pruning — the index "lookup" is the same footer/partition machinery
+    every scan uses, so it works unchanged on a 1000-executor cluster
+    (cells are directories; no index server, no driver state).
+
+    Build cost: one corpus scan (map-side assign matmul) + one
+    partitioned write; rebuildable deterministically (TakeOrdered
+    centroid sample)."""
+    spark = emb.sparkSession
+    assigned, Cn = ivf_assign(emb, dim=Cn_dim(emb, vec_col), n_cells=n_cells,
+                              id_col=id_col, vec_col=vec_col)
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in Cn[i]]) for i in range(Cn.shape[0])],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    (
+        assigned.select("cell", F.col("_id").alias(id_col), F.col("_v").alias("v"))
+        .repartition("cell")  # few files per cell directory at any scale
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path + "/vectors")
+    )
+
+
+def Cn_dim(emb: DataFrame, vec_col: str = "embedding") -> int:
+    """Vector dimensionality from one row (schema carries no length)."""
+    r = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
+    return int(r[0].d) if r else 0
+
+
+def ann_ivf_probe_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = K,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index: per query, rank cells against the
+    (tiny, collected) centroid table, scan ONLY the probed cell
+    partitions (PartitionFilters prune the rest at planning time), exact
+    cosine re-rank to top-k. The probe never touches unprobed cells'
+    bytes — at 100TB that is the difference between reading nprobe/cells
+    of the corpus and all of it."""
+    import pandas as pd
+
+    cent = spark.read.parquet(path + "/centroids").collect()
+    Cn = np.zeros((len(cent), len(cent[0].centroid)))
+    for r in cent:
+        Cn[r.cell] = r.centroid
+
+    q_rows = queries.select(
+        F.col(id_col).alias("q_id"), as_double(vec_col).alias("v")
+    ).collect()
+    q_ids = np.array([r.q_id for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r.v) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    nprobe = min(nprobe, Cn.shape[0])
+    cell_to_qrows: dict[int, list[int]] = {}
+    for j in range(len(q_ids)):
+        for c in np.argsort(-(Qn[j] @ Cn.T))[:nprobe]:
+            cell_to_qrows.setdefault(int(c), []).append(j)
+    probed = sorted(cell_to_qrows)
+
+    vec = spark.read.parquet(path + "/vectors").filter(F.col("cell").isin(probed))
+    bc = spark.sparkContext.broadcast((cell_to_qrows, q_ids, Qn))
+
+    def score(batches):
+        c2q, q_ids_, Qn_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            rows_c, rows_q = [], []
+            for r in range(len(V)):
+                for j in c2q.get(int(cells[r]), ()):
+                    if q_ids_[j] != ids[r]:
+                        rows_c.append(r)
+                        rows_q.append(j)
+            if not rows_c:
+                continue
+            sims = np.einsum("ij,ij->i", Vn[rows_c], Qn_[rows_q])
+            yield pd.DataFrame(
+                {"q_id": q_ids_[rows_q], "vec_id": ids[rows_c], "sim": sims}
+            ).astype({"q_id": "int64", "vec_id": "int64", "sim": "float64"})
+
+    scored = vec.mapInPandas(score, "q_id long, vec_id long, sim double")
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .orderBy("q_id", "rn")
+    )
+
+
 QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
