@@ -45,7 +45,7 @@ def test_ivf_assign_builds_reusable_index(spark):
     from tez_spark.sources.catalog import load_table
 
     emb = load_table(spark, SF_DIR, "embeddings")
-    assigned, Cn = ivf_assign(emb, dim=64)
+    assigned, Cn = ivf_assign(emb)
     assert Cn.shape == (min(IVF_CELLS, emb.count()), 64)
     rows = assigned.collect()
     assert len(rows) == emb.count()

@@ -221,7 +221,6 @@ def _sample_centroids(
 
 def ivf_assign(
     df: DataFrame,
-    dim: int,
     n_cells: int = IVF_CELLS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -548,8 +547,7 @@ def write_ivf_index(
     partitioned write; rebuildable deterministically (TakeOrdered
     centroid sample)."""
     spark = emb.sparkSession
-    assigned, Cn = ivf_assign(emb, dim=Cn_dim(emb, vec_col), n_cells=n_cells,
-                              id_col=id_col, vec_col=vec_col)
+    assigned, Cn = ivf_assign(emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
     spark.createDataFrame(
         [(int(i), [float(x) for x in Cn[i]]) for i in range(Cn.shape[0])],
         "cell int, centroid array<double>",
@@ -561,12 +559,6 @@ def write_ivf_index(
         .partitionBy("cell")
         .parquet(path + "/vectors")
     )
-
-
-def Cn_dim(emb: DataFrame, vec_col: str = "embedding") -> int:
-    """Vector dimensionality from one row (schema carries no length)."""
-    r = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
-    return int(r[0].d) if r else 0
 
 
 def ann_ivf_probe_index(
