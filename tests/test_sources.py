@@ -278,3 +278,31 @@ def test_write_sorted_produces_disjoint_file_ranges(spark, tmp_path):
     # and the data survives the layout intact
     back = spark.read.parquet(out)
     assert back.count() == orders.count()
+
+
+def test_merge_snapshot_upsert_semantics(spark, tmp_path):
+    """merge_snapshot: updated keys replaced, new keys inserted,
+    untouched keys carried over — and the snapshot-swap round trip
+    through parquet preserves exactly that."""
+    from tez_spark.sources.io import merge_snapshot, write_parquet
+
+    current = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)],  # update k=2, insert k=4
+        "k long, name string, v double",
+    )
+    merged = merge_snapshot(current, updates, ["k"])
+    out = str(tmp_path / "snap_v2")
+    write_parquet(merged, out)
+    got = {
+        (r.k, r.name, r.v) for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (1, "a", 10.0),
+        (2, "b2", 21.0),  # updated row won
+        (3, "c", 30.0),
+        (4, "d", 40.0),  # inserted
+    }

@@ -32,4 +32,5 @@ from tez_spark.sources.io import (  # noqa: F401
     write_partitioned,
     write_sequencefile,
     write_sorted,
+    merge_snapshot,
 )

@@ -188,3 +188,26 @@ def write_sorted(
         else df.repartitionByRange(*cluster_cols)
     )
     parted.sortWithinPartitions(*cluster_cols).write.mode(mode).parquet(path)
+
+
+def merge_snapshot(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Batch upsert (MERGE ... WHEN MATCHED UPDATE / NOT MATCHED INSERT
+    over immutable files): updated rows win, unmatched current rows are
+    kept. Write the result to a NEW snapshot path and swap — the
+    atomic-rename pattern plain parquet supports (table formats add
+    transactional metadata on top of this exact shape; the reference's
+    MROutputCommitter two-phase commit is the same promote-on-success
+    idea per SURVEY.md §2.1).
+
+    Plan: one anti join keyed on the merge keys (broadcast when updates
+    are small — the common CDC case: a day's changes vs years of
+    snapshot) + a union. No shuffle of `current` beyond the join's own
+    exchange; at 100TB pre-bucket both sides on the keys
+    (write_bucketed) and the anti join is exchange-free."""
+    return updates.unionByName(
+        current.join(updates.select(*keys).distinct(), keys, "left_anti")
+    )
