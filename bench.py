@@ -92,6 +92,21 @@ def main() -> None:
         except OSError:
             return 0.0
 
+    def _cpu_jiffies() -> tuple[int, int]:
+        """(steal, total) jiffies from /proc/stat — the direct hypervisor
+        steal signal. loadavg conflates our own local[32] tasks with
+        external contention; steal% separates them: a run with high load
+        but ~0% steal is self-load (clean), steal in the double digits
+        is the documented external-contention pathology."""
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            vals = [int(x) for x in parts[1:]]
+            steal = vals[7] if len(vals) > 7 else 0
+            return steal, sum(vals)
+        except Exception:
+            return 0, 0
+
     # Settle before deciding the policy: the 1-minute loadavg decays
     # slowly, so a just-finished local job (the warm-up above, or the
     # driver's own prior work) reads as "busy host" and would demote a
@@ -103,6 +118,7 @@ def main() -> None:
         time.sleep(5)
 
     load_start = _load1()
+    steal0, total0 = _cpu_jiffies()
     default_runs = "1" if load_start > max(8, cpus / 2) else (
         "2" if load_start > 4 else "3"
     )
@@ -130,6 +146,9 @@ def main() -> None:
             }
         }
         print(json.dumps(diag, separators=(",", ":")), flush=True)
+        steal1, total1 = _cpu_jiffies()
+        dt = total1 - total0
+        steal_pct = round(100.0 * (steal1 - steal0) / dt, 2) if dt > 0 else 0.0
         line = {
             "metric": "tez_spark_total_wall_clock",
             "value": total,
@@ -137,6 +156,7 @@ def main() -> None:
             "queries": {n: timings.get(n, -1.0) for n in sorted(queries)},
             "sf": sf,
             "loadavg": [round(load_start, 2), round(_load1(), 2)],
+            "steal_pct": steal_pct,
             "runs_policy": runs,
         }
         if partial:
