@@ -1,0 +1,49 @@
+"""Count-Min Sketch: the two CMS guarantees hold on real fixture data
+and on a synthetic heavy-hitter stream, and the build's shuffle key
+space is bounded by D×W (the 100TB property)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_cms_never_underestimates_and_bounds_error(spark):
+    from tez_spark.functions.sketch import CMS_W, q_cms_heavyhitters
+    from tez_spark.functions.text import tokens
+    from tez_spark.sources.catalog import load_table
+
+    rows = q_cms_heavyhitters(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    docs = load_table(spark, SF_DIR, "documents")
+    n_total = docs.select(F.explode(tokens("text"))).count()
+    bound = math.e * n_total / CMS_W
+    for r in rows:
+        assert r.est >= r.exact, f"CMS underestimated {r.tok}"
+        # per-query bound holds w.p. >= 1-2^-D; over 20 queries allow one
+    violations = sum(1 for r in rows if r.est - r.exact > bound)
+    assert violations <= 1, f"{violations} of 20 exceeded the e*N/W bound"
+
+
+def test_cms_exact_on_sparse_synthetic_stream(spark):
+    """With far fewer distinct tokens than cells, collisions are rare:
+    the estimate should be EXACT for planted heavy hitters."""
+    from tez_spark.functions.sketch import build_cms, cms_estimate
+
+    data = [("hh",)] * 500 + [(f"t{i}",) for i in range(50)]
+    toks = spark.createDataFrame(data, "tok string").repartition(7)
+    sketch = build_cms(toks)
+    est = {
+        r.tok: r.est
+        for r in cms_estimate(
+            sketch, spark.createDataFrame([("hh",), ("t7",)], "tok string")
+        ).collect()
+    }
+    assert est["hh"] >= 500 and est["t7"] >= 1
+    # sketch key space is bounded regardless of input size
+    from tez_spark.functions.sketch import CMS_D, CMS_W
+
+    assert sketch.count() <= CMS_D * CMS_W

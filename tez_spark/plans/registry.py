@@ -123,6 +123,7 @@ def _extension_modules():
         "tez_spark.operators.dedup",
         "tez_spark.operators.similarity",
         "tez_spark.functions.text_queries",
+        "tez_spark.functions.sketch",
         "tez_spark.operators.multimodal",
         "tez_spark.streaming.windows",
         "tez_spark.observability",
