@@ -48,9 +48,8 @@ def test_driver_window_ordering():
 
     window = list(QUERIES)[:50]
     assert all(k in ORACLES for k in window), [k for k in window if k not in ORACLES]
-    # round-3 red rows (TIMESTAMP_NTZ breakage), fixed in round 4 —
-    # must be driver-reverified
-    assert {"sessionize", "interval_join", "asof_join"} <= set(window)
+    # round-4 driver run was all green (no red rows to re-verify); the
+    # coverage check below is the whole invariant for round 5.
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     # latest recorded driver round: window ∪ its rows must cover every
     # oracled query (each gets a driver row at least every other round)

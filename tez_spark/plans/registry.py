@@ -16,44 +16,37 @@ from tez_spark.plans import queries as core_q
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# insertion order.  76 of 82 queries are oracled, so ordering decides which
-# get a driver-verified row each round.  Rotation policy: every oracled
-# query gets a driver row at least every other round; queries green in the
-# PREVIOUS round's window rotate out first (their code is unchanged and
-# tests/test_queries_oracle.py still runs the identical DuckDB comparison
-# over every entry).  Round-4 window: (1) the 19 oracled queries whose last
-# driver row was round 2 (argmax_funcs … window_funcs, asof_join), (2) the
-# time-based queries broken by the TIMESTAMP_NTZ fixture change in round 3
-# (sessionize, interval_join — red rows there; fixed this round, must be
-# driver-reverified), (3) the TPC-H suite, (4) the flagship-scale dedup /
-# similarity / curation operators — exactly 50.  Rotated out: q01–q18
-# (driver-green rounds 1–3) and text_langid/fingerprint/metrics,
-# window_sliding, multimodal_decode, train_split (green r3).
+# insertion order.  85+ of the 93+ queries are oracled, so ordering decides
+# which get a driver-verified row each round.  Rotation policy: every
+# oracled query gets a driver row at least every other round; queries green
+# in the PREVIOUS round's window rotate out first (their code is unchanged
+# and tests/test_queries_oracle.py still runs the identical DuckDB
+# comparison over every entry).  Round-5 window: (1) the 35 oracled queries
+# whose last driver row was round 3 (q01–q18, ten TPC-H, text trio,
+# dedup_exact, multimodal_decode, window_sliding, train_split — all green
+# there, none covered by CORRECTNESS_r04.json), (2) queries NEW in round 5
+# (first driver row), (3) flagship-scale rotations from the round-4-green
+# set — exactly 50.  Rotated out: the remainder of r4's 50-green window
+# (argmax_funcs … tpch21 etc.), each with a fresh r4 row.
 _PRIORITY: tuple[str, ...] = (
-    # 1. last driver-verified in round 2 — rotate back in
-    "argmax_funcs", "asof_join", "cube", "date_funcs",
-    "embedding_centroids", "exists_subquery", "grouping_sets",
-    "json_extract", "percentiles", "pivot", "regex_tokens", "rollup",
-    "scalar_funcs", "set_ops", "source_quality", "star_join",
-    "string_agg", "unpivot", "window_funcs",
-    # 2. red in round 3 (NTZ breakage), fixed this round
-    "sessionize", "interval_join",
-    # 3. TPC-H suite (tpch12 new in round 4; tpch01/tpch03/tpch04/tpch06/
-    #    tpch13/tpch22 rotated out — green r3, unchanged code, still under
-    #    tests/test_queries_oracle.py)
-    "tpch05",
-    "tpch10", "tpch12", "tpch14", "tpch15", "tpch18",
-    "tpch21",
-    # 4. flagship scale operators + curation composition (the _lsh twin
-    #    is new in round 4 — needs its first driver row)
-    "dedup_embedding_clusters", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_clusters", "dedup_embedding",
-    "ann_topk", "dedup_winnow", "curation_pipeline", "curation_pipeline_lsh",
-    # 5. new round-4 oracled queries needing their first driver row,
-    #    then padding to exactly 50 with never-failing core patterns
-    "text_winnow", "event_funnel", "event_retention", "time_gapfill",
-    "seq_pack", "stratified_sample", "doc_chunk", "embedding_quantize",
-    "decontaminate", "text_logprob", "length_curriculum", "event_anomalies",
+    # 1a. core Q01–Q18 — last driver row round 3
+    "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09",
+    "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18",
+    # 1b. TPC-H subset with no r4 row (tpch17 also carries the r4 bench
+    #     regression investigation — fresh driver timing wanted)
+    "tpch01", "tpch03", "tpch04", "tpch06", "tpch07", "tpch08",
+    "tpch13", "tpch17", "tpch19", "tpch22",
+    # 1c. remaining round-3-green with no r4 row
+    "text_metrics", "text_langid", "text_fingerprint", "dedup_exact",
+    "multimodal_decode", "window_sliding", "train_split",
+    # 2. new in round 5 — first driver row
+    "dedup_incremental", "cross_join_chunked",
+    # 3. flagship-scale rotations (green r4; keep the scale path under
+    #    fresh driver verification every round)
+    "dedup_minhash_lsh", "curation_pipeline_lsh", "dedup_embedding_clusters",
+    "dedup_clusters", "decontaminate", "dedup_winnow", "ann_topk",
+    "curation_pipeline", "dedup_simhash", "asof_join", "sessionize",
+    "interval_join", "event_funnel",
 )
 
 
