@@ -46,6 +46,62 @@ def release_caches() -> None:
             pass
 
 
+# Shared corpus-derived artifacts (the shingle table, the minhash band
+# table, winnow fingerprints) that MULTIPLE registry queries build
+# identically in one bench/driver run. Unlike _TRACKED_CACHES these
+# survive release_caches(): a registry loop reuses the persisted artifact
+# instead of re-shingling the corpus per query (measured at sf0.1:
+# curation_pipeline_lsh rebuilt dedup_minhash_lsh's entire
+# shingle+signature+band pipeline — the duplicated build was most of its
+# 5–20s). This is exactly Tez's session reuse (TezClient keeps the AM warm
+# so successive DAGs share container state, TezClient.java:214); here the
+# shared state is a persisted DataFrame. Keys embed the fixture-path
+# fingerprint (size+mtime of every data file), so a regenerated fixture
+# builds a fresh artifact rather than silently reading stale cache.
+# At 100TB the same pattern is a persisted (or parquet-materialized)
+# intermediate table: persist() defaults to MEMORY_AND_DISK, so an
+# artifact larger than executor memory degrades to local-disk reads, not
+# OOM; a multi-job pipeline would write it once with write_bucketed.
+_SHARED_ARTIFACTS = None  # WeakKeyDictionary[SparkSession, dict[key, DataFrame]]
+
+
+def shared_artifact(spark, key: tuple, builder) -> DataFrame:
+    """Session-scoped memo of a persisted DataFrame artifact.
+
+    `key` must be a hashable tuple that fully determines the artifact
+    (artifact name, fixture path, path fingerprint, params). `builder`
+    is a zero-arg callable returning the un-persisted plan; it runs at
+    most once per (session, key)."""
+    global _SHARED_ARTIFACTS
+    if _SHARED_ARTIFACTS is None:
+        import weakref
+
+        _SHARED_ARTIFACTS = weakref.WeakKeyDictionary()
+    try:
+        cache = _SHARED_ARTIFACTS.setdefault(spark, {})
+    except TypeError:
+        return tracked_persist(builder())  # un-weakref-able session
+    if key not in cache:
+        cache[key] = builder().persist()
+    return cache[key]
+
+
+def release_shared(spark=None) -> None:
+    """Unpersist memoized shared artifacts — for tests and explicit
+    session cleanup; registry runs deliberately do NOT call this."""
+    global _SHARED_ARTIFACTS
+    if _SHARED_ARTIFACTS is None:
+        return
+    sessions = [spark] if spark is not None else list(_SHARED_ARTIFACTS.keys())
+    for s in sessions:
+        for df in _SHARED_ARTIFACTS.get(s, {}).values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        _SHARED_ARTIFACTS.pop(s, None)
+
+
 # ---------------------------------------------------------------------------
 # Row-level (map-side) operators
 # ---------------------------------------------------------------------------

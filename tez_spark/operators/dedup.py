@@ -71,6 +71,46 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     )
 
 
+def shingle_table(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Session-memoized persisted shingle table for the fixture corpus.
+
+    Seven registry queries (ngram_jaccard, minhash_lsh, winnow, clusters,
+    both curation pipelines, decontaminate) need the identical
+    (doc_id, sh) table; building it per query re-shingled the corpus up
+    to 7× per bench/driver run. shared_artifact keys on the documents
+    fingerprint, so a regenerated fixture rebuilds it."""
+    import os
+
+    from tez_spark.operators.core import shared_artifact
+    from tez_spark.sources.catalog import path_fingerprint
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = ("shingles", os.path.abspath(sf_dir), path_fingerprint(path), n)
+    return shared_artifact(
+        spark,
+        key,
+        lambda: shingles(load_table(spark, sf_dir, "documents"), "doc_id", "text", n=n),
+    )
+
+
+def winnow_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized winnowing fingerprints (doc_id, fp) — shared by
+    dedup_winnow and decontaminate."""
+    import os
+
+    from tez_spark.functions.text_queries import winnow_fingerprints
+    from tez_spark.operators.core import shared_artifact
+    from tez_spark.sources.catalog import path_fingerprint
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = ("winnow_fps", os.path.abspath(sf_dir), path_fingerprint(path))
+    return shared_artifact(
+        spark,
+        key,
+        lambda: winnow_fingerprints(load_table(spark, sf_dir, "documents")),
+    )
+
+
 def _pair_jaccard(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(da, db, j) for every pair sharing ≥1 shingle. Quadratic in
     co-shingled docs — oracle/verification path, not the 100TB path."""
@@ -233,15 +273,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All near-dup pairs with exact 3-gram Jaccard ≥ 0.8 (naive
     all-pairs join — measured faster than prefix filtering on these
     dense fixtures; see pair_jaccard_at for the sparse-corpus
-    alternative)."""
-    from tez_spark.operators.core import tracked_persist
-
-    docs = load_table(spark, sf_dir, "documents")
-    # persist: the shingle table feeds the self-join twice plus sizes —
-    # without it Spark recomputes the explode+distinct per branch. At
-    # 100TB this is "materialize the shingle table once", the standard
-    # pipeline shape. Tracked so the next registry run unpersists it.
-    sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))
+    alternative). The shingle table is the session-memoized shared
+    artifact — "materialize the shingle table once", the standard
+    pipeline shape, now shared across the seven consumers."""
+    sh = shingle_table(spark, sf_dir)
     return _pair_jaccard(sh).filter(F.col("j") >= 0.8).orderBy("da", "db")
 
 
@@ -296,9 +331,9 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidates(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Band signatures -> bucket equijoin -> distinct candidate pairs.
-    Shuffle key (band, sig) is ~uniform (hash values), so no skew."""
+def band_signatures(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, sig) banded-signature plan (un-persisted) — xxhash64 of
+    each band's ROWS_PER_BAND minhashes."""
     bands = F.array(
         *[
             F.struct(
@@ -310,15 +345,15 @@ def lsh_candidates(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for b in range(BANDS)
         ]
     )
-    # persist: the self-join below would otherwise recompute the full
-    # signature aggregation for BOTH sides. (id, band, sig) is tiny —
-    # BANDS rows per doc. Tracked for release between registry runs.
-    from tez_spark.operators.core import tracked_persist
-
-    banded = tracked_persist(
-        sig.select(F.col(id_col), F.explode(bands).alias("bs"))
-        .select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    return sig.select(F.col(id_col), F.explode(bands).alias("bs")).select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
+
+
+def candidates_from_bands(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Bucket equijoin over a (persisted) banded-signature table ->
+    distinct candidate pairs. Shuffle key (band, sig) is ~uniform (hash
+    values), so no skew."""
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -333,6 +368,44 @@ def lsh_candidates(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def lsh_candidates(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band signatures -> bucket equijoin -> distinct candidate pairs.
+    The banded table is persisted (the self-join would otherwise recompute
+    the full 128-hash signature aggregation for BOTH sides); (id, band,
+    sig) is tiny — BANDS rows per doc. Tracked for release between
+    registry runs."""
+    from tez_spark.operators.core import tracked_persist
+
+    return candidates_from_bands(tracked_persist(band_signatures(sig, id_col)), id_col)
+
+
+def lsh_candidate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized MinHash-LSH candidate pairs (da, db) for the
+    fixture corpus — dedup_minhash_lsh and curation_pipeline_lsh run the
+    IDENTICAL shingle→signature→band→bucket-join pipeline; memoizing the
+    candidate table (and the banded table under it) makes the second
+    consumer's heaviest stages a cache read. Verification stays
+    per-query (it is candidate-bounded and cheap)."""
+    import os
+
+    from tez_spark.operators.core import shared_artifact
+    from tez_spark.sources.catalog import path_fingerprint
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    fp = path_fingerprint(path)
+    sf_abs = os.path.abspath(sf_dir)
+
+    def build_banded() -> DataFrame:
+        return band_signatures(minhash_signatures(shingle_table(spark, sf_dir)))
+
+    banded = shared_artifact(spark, ("mh_bands", sf_abs, fp), build_banded)
+    return shared_artifact(
+        spark,
+        ("mh_candidates", sf_abs, fp),
+        lambda: candidates_from_bands(banded),
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates + exact verification at Jaccard ≥ 0.8.
 
@@ -340,14 +413,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses nothing; with 32x4 banding the per-pair miss probability at the
     0.8 threshold is ~5e-8 — the declared oracle is the exact computation.
     """
-    from tez_spark.operators.core import tracked_persist
-
-    docs = load_table(spark, sf_dir, "documents")
-    sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))  # reused 4x below
-    # candidate set is consumed twice by verification (the pair join on
-    # da + the b-side id filter) — persist the tiny (da, db) table so the
-    # band self-join runs once.
-    cand = tracked_persist(lsh_candidates(minhash_signatures(sh)))
+    sh = shingle_table(spark, sf_dir)  # shared artifact, reused 4x below
+    # candidate table is also session-memoized: curation_pipeline_lsh
+    # consumes the identical pipeline in the same run.
+    cand = lsh_candidate_table(spark, sf_dir)
     return _verify_pairs(cand, sh).filter(F.col("j") >= 0.8).orderBy("da", "db")
 
 
@@ -390,11 +459,9 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     at every SF by the driver (min shared-fp over true pairs is 2 on the
     fixtures; a corpus where true pairs share exactly one fp wants
     dedup_minhash_lsh instead)."""
-    from tez_spark.functions.text_queries import winnow_fingerprints
     from tez_spark.operators.core import tracked_persist
 
-    docs = load_table(spark, sf_dir, "documents")
-    fps = tracked_persist(winnow_fingerprints(docs))
+    fps = winnow_table(spark, sf_dir)
     a = fps.alias("a")
     b = fps.alias("b")
     cand = tracked_persist(
@@ -409,7 +476,7 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_nshared") >= 2)
         .select("da", "db")
     )
-    sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))
+    sh = shingle_table(spark, sf_dir)
     return _verify_pairs(cand, sh).filter(F.col("j") >= 0.8).orderBy("da", "db")
 
 
@@ -489,10 +556,7 @@ def connected_components(
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters at exact Jaccard >= 0.8: every clustered doc
     with its component id (= min doc id in the cluster)."""
-    from tez_spark.operators.core import tracked_persist
-
-    docs = load_table(spark, sf_dir, "documents")
-    sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))
+    sh = shingle_table(spark, sf_dir)
     pairs = _pair_jaccard(sh).filter(F.col("j") >= 0.8)
     return connected_components(pairs).orderBy("component", "doc_id")
 

@@ -55,12 +55,11 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal: (pred_lang, n_docs, sum_tokens, avg_quality). Near-dup
     pairs from the EXACT all-pairs shingle join — the DuckDB-checkable
     truth; q_curation_pipeline_lsh is the scale-path twin."""
-    from tez_spark.operators.core import tracked_persist
-    from tez_spark.operators.dedup import _pair_jaccard, shingles
+    from tez_spark.operators.dedup import _pair_jaccard, shingle_table
     from tez_spark.sources.catalog import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))
+    sh = shingle_table(spark, sf_dir)
     pairs = _pair_jaccard(sh).filter(F.col("j") >= JACCARD_MIN)
     return _curation_summary(docs, pairs)
 
@@ -75,19 +74,25 @@ def q_curation_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard on candidates, and with 32x4 banding the per-pair miss
     probability at the 0.8 threshold is ~5e-8, so the outputs are
     identical on any real corpus. This is the query a user actually runs
-    at scale; the exact twin is the audit path."""
-    from tez_spark.operators.core import tracked_persist
+    at scale; the exact twin is the audit path.
+
+    The shingle table AND the LSH candidate table are session-memoized
+    shared artifacts (operators/dedup.shingle_table /
+    lsh_candidate_table): this query and dedup_minhash_lsh run the
+    identical candidate pipeline, so in a registry run the second
+    consumer reads the persisted tables instead of re-shingling and
+    re-hashing the corpus (the r4 bench showed the duplicated build
+    dominating this query's 5.3s)."""
     from tez_spark.operators.dedup import (
         _verify_pairs,
-        lsh_candidates,
-        minhash_signatures,
-        shingles,
+        lsh_candidate_table,
+        shingle_table,
     )
     from tez_spark.sources.catalog import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))
-    cand = tracked_persist(lsh_candidates(minhash_signatures(sh)))
+    sh = shingle_table(spark, sf_dir)
+    cand = lsh_candidate_table(spark, sf_dir)
     pairs = _verify_pairs(cand, sh).filter(F.col("j") >= JACCARD_MIN)
     return _curation_summary(docs, pairs)
 
@@ -364,17 +369,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument as dedup_winnow applies (asserted at every SF). Scale: the
     candidate join is fp-bucketed, verification candidate-bounded, and
     the final report one shuffle on source."""
-    from tez_spark.functions.text_queries import winnow_fingerprints
     from tez_spark.operators.core import tracked_persist
-    from tez_spark.operators.dedup import _verify_pairs, shingles
+    from tez_spark.operators.dedup import _verify_pairs, shingle_table, winnow_table
     from tez_spark.sources.catalog import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
     split = F.when(F.substring(h, 1, 2) < "e6", "train").otherwise("holdout")
     tagged = docs.select("doc_id", "source", split.alias("split"))
+    # winnow fingerprints are the shared artifact; the split tag join is
+    # per-query (it is a map-side hash on doc_id).
     fps = tracked_persist(
-        winnow_fingerprints(docs).join(tagged.select("doc_id", "split"), "doc_id")
+        winnow_table(spark, sf_dir).join(tagged.select("doc_id", "split"), "doc_id")
     )
     tr = fps.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("da"), "fp"
@@ -389,7 +395,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_n") >= 2)
         .select("da", "db")
     )
-    sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))
+    sh = shingle_table(spark, sf_dir)
     pairs = _verify_pairs(cand, sh).filter(F.col("j") >= JACCARD_MIN)
     contaminated = (
         pairs.select(F.col("db").alias("doc_id")).distinct().withColumn("c", F.lit(1))

@@ -58,6 +58,24 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+def path_fingerprint(path: str) -> tuple:
+    """(size, mtime_ns) fingerprint of a parquet file or directory tree.
+
+    Cache keys embed this so a fixture regenerated mid-session (ADVICE r4:
+    the file-listing snapshot went stale) invalidates the cached relation /
+    shared artifact instead of silently reading deleted or stale files.
+    A stat walk costs ~µs against the ~70ms relation analysis it saves."""
+    if os.path.isdir(path):
+        items = []
+        for root, _, files in os.walk(path):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                items.append((f, st.st_size, st.st_mtime_ns))
+        return ("dir", tuple(items))
+    st = os.stat(path)
+    return ("file", st.st_size, st.st_mtime_ns)
+
+
 def _table_cache(spark: SparkSession) -> dict | None:
     global _TABLE_CACHE
     if _TABLE_CACHE is None:
@@ -81,19 +99,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     does for resolved relations): a fresh spark.read.parquet costs a
     footer read + relation analysis (~70ms warm) on EVERY query build —
     ~300 loads across a bench run. DataFrames are immutable plans, so
-    reuse is safe; the file listing is snapshotted at first load, which
-    matches the fixture contract (regenerations happen between driver
-    rounds, never mid-session). The WeakKeyDictionary drops the cache
-    with its session."""
+    reuse is safe; the cache key embeds the file fingerprint
+    (path_fingerprint), so a fixture regenerated mid-session invalidates
+    the entry instead of silently reading the stale file-listing
+    snapshot (ADVICE r4). The WeakKeyDictionary drops the cache with its
+    session."""
     # includes nanosAsLong: a TIMESTAMP(NANOS) events.ts (one historical
     # fixture encoding) surfaces as int64 instead of a reader error;
     # normalize_event_ts then restores TIMESTAMP.
     apply_runtime_confs(spark)
     cache = _table_cache(spark)
-    key = (os.path.abspath(sf_dir), name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (os.path.abspath(sf_dir), name, path_fingerprint(path))
     if cache is not None and key in cache:
         return cache[key]
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     if name == "events":
         df = normalize_event_ts(df)
     if cache is not None:
