@@ -86,3 +86,38 @@ def test_prefix_filtered_jaccard_equals_naive(spark):
         }
         assert naive, f"seed {seed}: no pairs at t={t}"
         assert fast == naive, f"seed {seed} t={t}: {fast ^ naive}"
+
+
+def test_winnow_true_pairs_share_two_fingerprints(spark):
+    """Fixture-drift guard (ADVICE r4): dedup_winnow's >=2-shared-
+    fingerprint candidate filter is declared against the exact all-pairs
+    oracle, so its recall rests on the PROPERTY that every true J>=0.8
+    pair in the fixtures shares at least 2 winnow fingerprints. Assert
+    that property directly: a regenerated fixture that breaks it fails
+    here in CI rather than as a driver hash mismatch."""
+    from tests.conftest import SF_DIR
+    from tez_spark.operators.dedup import _pair_jaccard, shingle_table, winnow_table
+
+    sh = shingle_table(spark, SF_DIR)
+    true_pairs = _pair_jaccard(sh).filter(F.col("j") >= 0.8).select("da", "db")
+    fps = winnow_table(spark, SF_DIR)
+    a = fps.select(F.col("doc_id").alias("da"), "fp")
+    b = fps.select(F.col("doc_id").alias("db"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    joined = true_pairs.join(shared, ["da", "db"], "left").select(
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared")
+    )
+    row = joined.agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.min("n_shared").alias("min_shared")
+    ).collect()[0]
+    assert row.n_pairs > 0, "fixtures lost their planted near-dup pairs"
+    assert row.min_shared >= 2, (
+        f"a true J>=0.8 pair shares only {row.min_shared} winnow "
+        "fingerprint(s) — dedup_winnow's candidate filter would miss it; "
+        "prefer dedup_minhash_lsh on this corpus"
+    )

@@ -47,3 +47,27 @@ def test_cms_exact_on_sparse_synthetic_stream(spark):
     from tez_spark.functions.sketch import CMS_D, CMS_W
 
     assert sketch.count() <= CMS_D * CMS_W
+
+
+def test_cms_absent_candidate_estimates_zero(spark):
+    """A candidate token absent from the stream whose cells are all empty
+    must return est=0 (the true CMS answer), not vanish from the output —
+    and a partially-collided absent token must still take min over the
+    empty cell (ADVICE r4: inner-join dropped/overestimated these)."""
+    from tez_spark.functions.sketch import build_cms, cms_estimate
+
+    toks = spark.createDataFrame([("a",), ("b",)], "tok string")
+    sketch = build_cms(toks)
+    est = {
+        r.tok: r.est
+        for r in cms_estimate(
+            sketch,
+            spark.createDataFrame(
+                [("a",), ("never-seen-token",)], "tok string"
+            ),
+        ).collect()
+    }
+    assert est["a"] >= 1
+    # with 2 tokens in 4096 cells, all-4-cells collision is ~impossible:
+    # the absent candidate's min cell is empty -> est must be exactly 0
+    assert est["never-seen-token"] == 0

@@ -306,3 +306,32 @@ def test_merge_snapshot_upsert_semantics(spark, tmp_path):
         (3, "c", 30.0),
         (4, "d", 40.0),  # inserted
     }
+
+
+def test_merge_snapshot_dedupes_cdc_updates(spark):
+    """Raw-CDC shapes (ADVICE r4): several versions of one key in a batch
+    must collapse to one winner (last by order_col), and null-key noise
+    rows must not reach the snapshot."""
+    from tez_spark.sources.io import merge_snapshot
+
+    current = spark.createDataFrame(
+        [(1, "a", 10.0, 0)], "k long, name string, v double, seq long"
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "a1", 11.0, 1),
+            (1, "a2", 12.0, 2),  # later seq — must win
+            (None, "noise", 0.0, 3),
+            (2, "b", 20.0, 1),
+        ],
+        "k long, name string, v double, seq long",
+    )
+    got = {
+        (r.k, r.name, r.v)
+        for r in merge_snapshot(current, updates, ["k"], order_col="seq").collect()
+    }
+    assert got == {(1, "a2", 12.0), (2, "b", 20.0)}
+    # without order_col: deterministic max-per-column tie-break, still
+    # exactly one row per key and no null keys
+    rows = merge_snapshot(current, updates, ["k"]).collect()
+    assert sorted(r.k for r in rows) == [1, 2]

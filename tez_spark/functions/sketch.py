@@ -57,7 +57,13 @@ def build_cms(toks: DataFrame, col: str = "tok") -> DataFrame:
 def cms_estimate(sketch: DataFrame, candidates: DataFrame, col: str = "tok") -> DataFrame:
     """Point-query candidates against the sketch: est = MIN over rows of
     the token's cell. The sketch is tiny (≤ D×W rows) — broadcast it;
-    candidates stay distributed."""
+    candidates stay distributed.
+
+    LEFT join + coalesce(cnt, 0): an empty sketch cell means NO token
+    hashed there, so the true cell value — and therefore the min — is 0.
+    An inner join would instead drop a candidate whose D cells are all
+    absent (true est=0) and overestimate one with some absent cells by
+    taking min over only the populated ones (ADVICE r4)."""
     cells = F.array(
         *[
             F.struct(F.lit(d).alias("d"), _cell(F.col(col), d).alias("j"))
@@ -68,9 +74,9 @@ def cms_estimate(sketch: DataFrame, candidates: DataFrame, col: str = "tok") -> 
         col, F.col("c.d").alias("d"), F.col("c.j").alias("j")
     )
     return (
-        cand.join(F.broadcast(sketch), ["d", "j"])
+        cand.join(F.broadcast(sketch), ["d", "j"], "left")
         .groupBy(col)
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
 
 

@@ -11,6 +11,7 @@ is df.write.partitionBy.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -194,6 +195,7 @@ def merge_snapshot(
     current: DataFrame,
     updates: DataFrame,
     keys: list[str],
+    order_col: str | None = None,
 ) -> DataFrame:
     """Batch upsert (MERGE ... WHEN MATCHED UPDATE / NOT MATCHED INSERT
     over immutable files): updated rows win, unmatched current rows are
@@ -207,7 +209,38 @@ def merge_snapshot(
     are small — the common CDC case: a day's changes vs years of
     snapshot) + a union. No shuffle of `current` beyond the join's own
     exchange; at 100TB pre-bucket both sides on the keys
-    (write_bucketed) and the anti join is exchange-free."""
-    return updates.unionByName(
-        current.join(updates.select(*keys).distinct(), keys, "left_anti")
+    (write_bucketed) and the anti join is exchange-free.
+
+    Upsert semantics require one row per key in `updates`: raw CDC feeds
+    routinely carry several versions of a key per batch (and null-key
+    noise rows), which a bare union would all land in the snapshot. The
+    updates side is therefore deduped per key here — LAST writer wins
+    under `order_col` descending (e.g. a change-sequence/timestamp
+    column); with no order_col the tie-break among same-key rows is
+    max-over-remaining-columns, chosen over "arbitrary first()" so the
+    result is deterministic across partitionings. Null-key update rows
+    are dropped (they can never match a snapshot row; documented
+    contract: merge keys are non-null). The dedup is one partial-agg
+    shuffle on the same keys the anti join uses."""
+    non_null = updates
+    for k in keys:
+        non_null = non_null.filter(F.col(k).isNotNull())
+    others = [c for c in updates.columns if c not in keys]
+    if order_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        deduped = (
+            non_null.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    elif others:
+        deduped = non_null.groupBy(*keys).agg(
+            *[F.max(c).alias(c) for c in others]
+        ).select(*updates.columns)
+    else:
+        deduped = non_null.distinct()
+    return deduped.unionByName(
+        current.join(deduped.select(*keys).distinct(), keys, "left_anti")
     )
