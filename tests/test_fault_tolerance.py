@@ -55,3 +55,77 @@ def test_same_answer_despite_task_retry(tmp_path):
     assert result["retried"], "injected fault never retried — harness broken"
     assert result["match"], "retry produced a different answer"
     assert result["rows"] > 0
+
+
+def test_write_crash_leaves_no_partial_commit(tmp_path):
+    """TestAMRecovery parity for the batch write path: SIGKILL the whole
+    driver process group (python + JVM) while `df.write.parquet` is
+    in flight, then assert the commit protocol's all-or-nothing
+    guarantee — no committed part files at the target root, no _SUCCESS
+    — and that a rerun (the restart) produces the complete output with
+    no leftover temporary state."""
+    import glob
+    import signal
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    target = str(tmp_path / "snapshot")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    harness = os.path.join(repo, "tests", "write_crash_harness.py")
+
+    # phase 1: crash mid-write. 3s of sleep per task x 8 partitions on 4
+    # cores = a >=6s in-flight window; kill as soon as task attempts
+    # appear under _temporary (well before job commit).
+    proc = subprocess.Popen(
+        [sys.executable, harness, target, "3.0"],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        start_new_session=True,  # own process group: the kill takes the JVM too
+    )
+    try:
+        deadline = time.time() + 120
+        tmp_marker = os.path.join(target, "_temporary")
+        while time.time() < deadline and not os.path.exists(tmp_marker):
+            if proc.poll() is not None:
+                raise AssertionError("harness exited before writing started")
+            time.sleep(0.1)
+        assert os.path.exists(tmp_marker), "write never started"
+        os.killpg(proc.pid, signal.SIGKILL)
+    finally:
+        proc.wait(timeout=30)
+
+    committed = glob.glob(os.path.join(target, "*.parquet")) + glob.glob(
+        os.path.join(target, "part-*")
+    )
+    assert committed == [], f"crashed write left committed files: {committed}"
+    assert not os.path.exists(os.path.join(target, "_SUCCESS"))
+
+    # phase 2: restart — rerun the identical write; it must commit the
+    # complete output and leave no temporary state behind.
+    proc2 = subprocess.run(
+        [sys.executable, harness, target],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    assert "DONE" in proc2.stdout
+    assert os.path.exists(os.path.join(target, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(target, "_temporary"))
+
+    import duckdb
+
+    sf_dir = os.environ.get("TEZ_SPARK_TEST_SF", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    expect = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()[0]
+    got = con.execute(
+        f"SELECT count(*) FROM '{target}/*.parquet'"
+    ).fetchone()[0]
+    con.close()
+    assert got == expect, f"restart wrote {got} rows, expected {expect}"
