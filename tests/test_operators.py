@@ -374,3 +374,35 @@ def test_secondary_sort_partition_order(spark):
 
     flags = ss.mapInPandas(check, "ok boolean").collect()
     assert all(r.ok for r in flags)
+
+
+def test_chunked_cross_join_bounds_per_task_pairs(spark):
+    """FairCartesianProductVertexManager parity: the grid must (a) give
+    the same answer as a naive cross join and (b) bound per-task pair
+    counts — with broadcast disabled, CartesianProductExec's task count
+    is numA x numB, so the target_pairs budget fixes the grid size."""
+    import pyspark.sql.functions as F
+
+    from tez_spark.operators.core import chunked_cross_join, cross_join
+
+    a = spark.range(300).select(F.col("id").alias("x"))
+    b = spark.range(200).select(F.col("id").alias("y"))
+    theta = F.col("x") > F.col("y")
+
+    naive = {(r.x, r.y) for r in cross_join(a, b, theta).collect()}
+    # force the large x large regime: no broadcast, no AQE re-planning
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = chunked_cross_join(a, b, theta, target_pairs_per_task=600)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" in plan
+        # edge_a = sqrt(600*300/200) = 30 -> numA = 10;
+        # edge_b = sqrt(600*200/300) = 20 -> numB = 10; grid = 100 tasks
+        # of <= 30*20 = 600 pairs each.
+        got_parts = cross_join(
+            a.repartition(10), b.repartition(10)
+        ).rdd.getNumPartitions()
+        assert got_parts == 100
+        assert {(r.x, r.y) for r in out.collect()} == naive
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

@@ -134,9 +134,10 @@ def test_plan_shape_guard(spark, name):
     df = all_queries()[name](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
 
-    # q11 is the declared theta/cartesian query (Tez CartesianProduct
-    # edge parity); everything else must never cross-product.
-    if name != "q11":
+    # q11 and cross_join_chunked are the declared theta/cartesian queries
+    # (Tez CartesianProduct edge parity — the latter with the fair-chunked
+    # grid); everything else must never cross-product.
+    if name not in ("q11", "cross_join_chunked"):
         assert "CartesianProduct" not in plan, f"{name}: unplanned cartesian"
     assert "monotonically_increasing_id" not in plan, (
         f"{name}: nondeterministic id generator in a declared query"

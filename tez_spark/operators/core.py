@@ -461,6 +461,47 @@ def cross_join(
     return out.filter(theta) if theta is not None else out
 
 
+def chunked_cross_join(
+    left: DataFrame,
+    right: DataFrame,
+    theta: Column | None = None,
+    target_pairs_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Large×large cartesian with BOUNDED per-task pair counts —
+    FairCartesianProductVertexManager parity (tez-runtime-library/.../
+    cartesianproduct/FairCartesianProductVertexManager.java:75 grids
+    all-pairs work so every task performs ~1e6 operations).
+
+    Spark's CartesianProductExec makes one task per (left-partition,
+    right-partition) block, so per-task cost is |A|/numA × |B|/numB —
+    the partition GRID, not the engine, decides whether a task does 1e6
+    pairs or 1e12, and Catalyst never re-grids for you: two billion-row
+    sides arriving in 200 partitions each yield 40k tasks of 2.5e13
+    pairs, i.e. a job that never finishes, with no OOM to warn you.
+    This operator sizes the grid from the two row counts: per-task block
+    edges sqrt(target × |A|/|B|) × sqrt(target × |B|/|A|) multiply to
+    `target` pairs and balance the replication of each side (each A-row
+    is shipped numB times and vice versa — the balanced grid minimizes
+    total bytes replicated, the same objective as the reference's fair
+    grouping).
+
+    The two count() jobs are metadata-cheap (parquet row-group counts);
+    at 100TB substitute catalog/table statistics. When one side turns
+    out broadcast-small Catalyst plans BNLJ instead and the grid on the
+    streamed side still bounds per-task work — correct in both regimes.
+    Use plain cross_join only when you KNOW one side is tiny."""
+    import math
+
+    na, nb = left.count(), right.count()
+    if na > 0 and nb > 0:
+        edge_a = max(1.0, math.sqrt(target_pairs_per_task * na / nb))
+        edge_b = max(1.0, math.sqrt(target_pairs_per_task * nb / na))
+        left = left.repartition(max(1, math.ceil(na / edge_a)))
+        right = right.repartition(max(1, math.ceil(nb / edge_b)))
+    out = left.crossJoin(right)
+    return out.filter(theta) if theta is not None else out
+
+
 # ---------------------------------------------------------------------------
 # Sorts
 # ---------------------------------------------------------------------------

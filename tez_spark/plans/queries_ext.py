@@ -636,7 +636,36 @@ def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("source")
 
 
+def q_cross_join_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta cross-product with the FAIR-CHUNKED grid: per-(customer
+    nation, supplier nation) count of customer×supplier pairs where the
+    customer's balance dominates the supplier's — an all-pairs
+    comparison no equijoin can express (Tez CartesianProduct edge +
+    FairCartesianProductVertexManager chunking; see
+    operators.chunked_cross_join for the grid math). target_pairs 64k
+    keeps the grid >1 task per side even at sf0.001, so the chunking
+    path itself is what the driver exercises."""
+    from tez_spark.operators.core import chunked_cross_join
+
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    s = load_table(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+    pairs = chunked_cross_join(
+        c, s, theta=F.col("c_acctbal") > F.col("s_acctbal"),
+        target_pairs_per_task=64_000,
+    )
+    out = pairs.groupBy("c_nationkey", "s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_dominant")
+    )
+    return out.orderBy("c_nationkey", "s_nationkey")
+
+
 ORACLE: dict[str, str] = {
+    "cross_join_chunked": """
+        SELECT c_nationkey, s_nationkey, COUNT(*) AS n_dominant
+        FROM customer, supplier
+        WHERE c_acctbal > s_acctbal
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "embedding_centroids": """
         WITH pe AS (
             -- positional explode (DuckDB has no WITH ORDINALITY):
@@ -982,6 +1011,7 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "event_anomalies": q_event_anomalies,
     "source_quality": q_source_quality,
+    "cross_join_chunked": q_cross_join_chunked,
 }
 
 # the source_quality oracle shares the engine's stopword list verbatim
