@@ -121,3 +121,38 @@ def test_winnow_true_pairs_share_two_fingerprints(spark):
         "fingerprint(s) — dedup_winnow's candidate filter would miss it; "
         "prefer dedup_minhash_lsh on this corpus"
     )
+
+
+def test_incremental_dedup_reuses_persisted_corpus_signatures(spark):
+    """dedup_incremental's contract: the corpus side is served from the
+    persisted signature store (corpus_artifacts), never re-shingled.
+    (a) the store is a stable session-memoized persisted artifact —
+    repeated calls return the SAME persisted DataFrames; (b) a warm run
+    (store materialized) moves measurably fewer shuffle bytes than the
+    cold run that had to build the corpus shingle+band tables."""
+    from tests.conftest import SF_DIR
+    from tez_spark.observability import capture
+    from tez_spark.operators.core import release_caches, release_shared
+    from tez_spark.operators.dedup import corpus_artifacts, q_dedup_incremental
+
+    release_caches()
+    release_shared(spark)
+
+    sh1, bands1 = corpus_artifacts(spark, SF_DIR)
+    sh2, bands2 = corpus_artifacts(spark, SF_DIR)
+    assert sh1 is sh2 and bands1 is bands2, "signature store not memoized"
+    assert sh1.storageLevel.useMemory or sh1.storageLevel.useDisk
+
+    def run():
+        release_caches()  # batch-side scratch only; the store survives
+        q_dedup_incremental(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    release_shared(spark)  # cold: the run itself builds the store
+    _, cold = capture(spark, run)
+    _, warm = capture(spark, run)  # warm: store already persisted
+    assert warm.get("SHUFFLE_BYTES", 0) < cold.get("SHUFFLE_BYTES", 1), (
+        f"warm run shuffled {warm.get('SHUFFLE_BYTES')} >= cold "
+        f"{cold.get('SHUFFLE_BYTES')} — the corpus is being re-shingled"
+    )

@@ -481,6 +481,89 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# incremental cross-snapshot dedup (daily-ingest shape)
+# ---------------------------------------------------------------------------
+
+def corpus_artifacts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(corpus_shingles, corpus_bands) for the persisted snapshot side of
+    incremental dedup — the signature store a daily ingest maintains
+    ACROSS snapshots so arriving batches never re-shingle history. Here
+    the store is the session-memoized shared artifact; in production it
+    is a parquet table written once per snapshot (write_bucketed on
+    doc_id for the verify semi-join; merge_snapshot appends each batch's
+    rows after it passes dedup)."""
+    import os
+
+    from tez_spark.operators.core import shared_artifact
+    from tez_spark.sources.catalog import path_fingerprint
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    fp = path_fingerprint(path)
+    sf_abs = os.path.abspath(sf_dir)
+
+    def corpus_docs() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+        return docs.filter(F.substring(h, 1, 2) < "e6")
+
+    sh = shared_artifact(
+        spark,
+        ("corpus_shingles", sf_abs, fp),
+        lambda: shingles(corpus_docs(), "doc_id", "text", n=3),
+    )
+    bands = shared_artifact(
+        spark,
+        ("corpus_bands", sf_abs, fp),
+        lambda: band_signatures(minhash_signatures(sh)),
+    )
+    return sh, bands
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-snapshot dedup — the operation a daily 100TB
+    ingest actually runs: near-dup report for a NEW batch (the ~10% of
+    docs with md5(doc_id) >= 'e6' — the same content-independent split as
+    train_split) against the persisted corpus (the other ~90%), plus
+    within-batch dedup, WITHOUT ever re-processing the corpus.
+
+    Plan: the corpus side contributes only its persisted shingle + band
+    tables (corpus_artifacts — at scale a parquet signature store
+    maintained across snapshots); the batch is shingled/signed fresh
+    (it is new data). Candidates are the batch-bands × corpus-bands
+    bucket equijoin (new-vs-all — never all-vs-all) unioned with the
+    batch's own band self-join (new-vs-new), then exact Jaccard
+    verification on candidates only. Output orientation: cross-split
+    pairs as (da=corpus doc, db=batch doc) regardless of id order;
+    within-batch pairs as da < db. Declared against the exact all-pairs
+    oracle restricted to pairs touching the batch (corpus×corpus pairs
+    were deduped when earlier snapshots merged — not this job's output);
+    the same ~5e-8 LSH miss bound as dedup_minhash_lsh applies."""
+    from tez_spark.operators.core import tracked_persist
+
+    corpus_sh, corpus_bands = corpus_artifacts(spark, sf_dir)
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    batch_docs = docs.filter(F.substring(h, 1, 2) >= "e6")
+    batch_sh = tracked_persist(shingles(batch_docs, "doc_id", "text", n=3))
+    batch_bands = tracked_persist(band_signatures(minhash_signatures(batch_sh)))
+
+    cross = (
+        batch_bands.alias("b")
+        .join(
+            corpus_bands.alias("c"),
+            (F.col("b.band") == F.col("c.band")) & (F.col("b.sig") == F.col("c.sig")),
+        )
+        .select(F.col("c.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+    )
+    within = candidates_from_bands(batch_bands)
+    cand = tracked_persist(cross.unionByName(within).distinct())
+
+    sh_all = corpus_sh.unionByName(batch_sh)
+    return _verify_pairs(cand, sh_all).filter(F.col("j") >= 0.8).orderBy("da", "db")
+
+
+# ---------------------------------------------------------------------------
 # duplicate clusters (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------
 
@@ -711,6 +794,28 @@ _JACCARD_SQL = f"""
     SELECT da, db, j FROM ({_SH_CTE}) WHERE j >= 0.8 ORDER BY da, db
 """
 
+# Exact truth for incremental dedup: every J>=0.8 pair touching the
+# ~10% "new batch" split (md5(doc_id) >= 'e6'), oriented corpus-doc-as-da
+# for cross-split pairs and da<db within the batch; corpus×corpus pairs
+# are excluded (previous snapshots already deduped them).
+_INCREMENTAL_SQL = f"""
+    WITH parts AS (
+        SELECT doc_id,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' AS is_corpus
+        FROM documents
+    ), base_pairs AS (
+        SELECT da, db, j FROM ({_SH_CTE}) WHERE j >= 0.8
+    )
+    SELECT CASE WHEN pb.is_corpus THEN p.db ELSE p.da END AS da,
+           CASE WHEN pb.is_corpus THEN p.da ELSE p.db END AS db,
+           j
+    FROM base_pairs p
+    JOIN parts pa ON p.da = pa.doc_id
+    JOIN parts pb ON p.db = pb.doc_id
+    WHERE NOT (pa.is_corpus AND pb.is_corpus)
+    ORDER BY da, db
+"""
+
 _SIMHASH_SQL = """
     WITH words AS (
         SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
@@ -796,10 +901,14 @@ ORACLE: dict[str, str] = {
     # q_dedup_winnow docstring) — declared against the exact oracle.
     "dedup_winnow": _JACCARD_SQL,
     "dedup_simhash": _SIMHASH_SQL.replace("SUM_BITS", _simhash_sum_bits_sql()),
+    # LSH candidates (new-vs-corpus + new-vs-new) + exact verification;
+    # same exact-oracle declaration as dedup_minhash_lsh.
+    "dedup_incremental": _INCREMENTAL_SQL,
 }
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_winnow": q_dedup_winnow,
