@@ -194,6 +194,7 @@ def _verify_pairs(
     sh: DataFrame,
     id_col: str = "doc_id",
     broadcast_small: bool = True,
+    sh_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs only — the LSH verification stage.
     Cost is O(candidates × shingles-per-doc), never all-pairs.
@@ -218,14 +219,20 @@ def _verify_pairs(
     ~400 surviving docs). Callers whose candidate set can be LARGE
     (prefix filtering on a dense corpus) must pass False — an explicit
     broadcast hint overrides size thresholds and would collect the whole
-    candidate table to the driver."""
+    candidate table to the driver.
+
+    sh_b: when the caller KNOWS every db comes from a smaller table (the
+    incremental path: db is always a new-batch doc), pass that table so
+    the b-side semi-filter scans it instead of the full corpus union."""
     maybe_b = F.broadcast if broadcast_small else (lambda df: df)
     a_sh = sh.join(maybe_b(cand), F.col(id_col) == F.col("da")).select(
         "da", "db", "sh"
     )
     na = a_sh.groupBy("da", "db").agg(F.count(F.lit(1)).alias("na"))
     b_ids = cand.select(F.col("db").alias(id_col)).distinct()
-    b_sh = sh.join(maybe_b(b_ids), id_col, "left_semi")
+    b_sh = (sh_b if sh_b is not None else sh).join(
+        maybe_b(b_ids), id_col, "left_semi"
+    )
     nb = b_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nb"))
     inter = (
         a_sh.join(
@@ -560,7 +567,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = tracked_persist(cross.unionByName(within).distinct())
 
     sh_all = corpus_sh.unionByName(batch_sh)
-    return _verify_pairs(cand, sh_all).filter(F.col("j") >= 0.8).orderBy("da", "db")
+    return (
+        _verify_pairs(cand, sh_all, sh_b=batch_sh)
+        .filter(F.col("j") >= 0.8)
+        .orderBy("da", "db")
+    )
 
 
 # ---------------------------------------------------------------------------

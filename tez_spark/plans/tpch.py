@@ -369,16 +369,28 @@ def q_tpch15(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-quantity-order revenue: lineitems under 20% of their part's
     average quantity. The correlated scalar subquery decorrelates to a
-    per-part aggregate joined back — one extra shuffle on l_partkey,
-    which Catalyst produces from the subquery form too."""
+    per-part aggregate joined back — one extra shuffle on l_partkey.
+
+    The per-part average is SEMI-FILTERED by the brand's part set before
+    aggregating: the final join keeps only that brand's partkeys, and a
+    per-key average is unchanged by dropping other keys' rows, so the
+    avg aggregation's input shrinks by the brand selectivity (1 of 25
+    brands ≈ 25×). Catalyst does not push a join predicate through an
+    aggregate on its own; at 100TB this is the difference between
+    aggregating 4% of lineitem and all of it. The part set is broadcast
+    (sub-threshold), so the semi join adds no exchange."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    avg_q = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
-        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    avg_q = (
+        li.join(
+            F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey, "left_semi"
+        )
+        .groupBy(F.col("l_partkey").alias("ap_key"))
+        .agg((F.avg("l_quantity") * 0.2).alias("qty_cut"))
     )
     j = (
-        part.filter(F.col("p_brand") == "Brand#13")
-        .join(li, part.p_partkey == li.l_partkey)
+        brand_parts.join(li, F.col("p_partkey") == li.l_partkey)
         .join(avg_q, li.l_partkey == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
     )
