@@ -201,8 +201,12 @@ def winnow_fingerprints(
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc winnowing fingerprint summary (count / min / max / digest
     of the sorted set — bounded output so the oracle hashes one row per
-    doc); see winnow_fingerprints for the algorithm and plan shape."""
-    fps = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    doc); see winnow_fingerprints for the algorithm and plan shape. The
+    fingerprint table is the session-memoized shared artifact also
+    consumed by dedup_winnow and decontaminate."""
+    from tez_spark.operators.dedup import winnow_table
+
+    fps = winnow_table(spark, sf_dir)
     out = fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fps"),
         F.min("fp").alias("fp_first"),
