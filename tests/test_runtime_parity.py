@@ -206,3 +206,39 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_reduces_shuffle_join_probe(spark):
+    """Runtime semi-join reduction: when a shuffle join's build side is
+    selective, Catalyst injects a bloom_filter_agg on the build side and
+    a might_contain probe filter on the stream side, cutting the probe
+    shuffle before it happens — free capability the reference has no
+    analog for (its edges ship everything; SURVEY §2.4). Pinned here so
+    a conf regression (runtime.bloomFilter.enabled) is caught."""
+    import pyspark.sql.functions as F
+
+    from tez_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # local fixtures sit below the default size thresholds; lower them so
+    # the injection logic (not the fixture size) is what's under test
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )

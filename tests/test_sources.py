@@ -335,3 +335,78 @@ def test_merge_snapshot_dedupes_cdc_updates(spark):
     # exactly one row per key and no null keys
     rows = merge_snapshot(current, updates, ["k"]).collect()
     assert sorted(r.k for r in rows) == [1, 2]
+
+
+def test_relation_cache_invalidates_on_fixture_regeneration(spark, tmp_path):
+    """ADVICE r4: the per-session relation cache must not serve a stale
+    snapshot after the underlying parquet is regenerated — the cache key
+    embeds the file fingerprint (size+mtime)."""
+    import shutil
+    import time as _time
+
+    from tez_spark.sources.catalog import load_table
+
+    src = str(tmp_path / "fx")
+    os.makedirs(src)
+    spark.createDataFrame([(1, "a")], "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(src + "/documents.parquet")
+    df1 = load_table(spark, src, "documents")
+    assert df1 is load_table(spark, src, "documents")  # warm hit
+    _time.sleep(0.05)
+    shutil.rmtree(src + "/documents.parquet")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/documents.parquet")
+    df2 = load_table(spark, src, "documents")
+    assert df2 is not df1, "regenerated fixture served from stale cache"
+    assert df2.count() == 2
+
+
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    """write_zorder: parquet footer min/max must prune files for a
+    selective range on EITHER clustered column — the multi-dimensional
+    upgrade over write_sorted, whose second dimension stripes across
+    every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tez_spark.sources.catalog import load_table
+    from tez_spark.sources.io import write_sorted, write_zorder
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_partkey", "l_suppkey")
+
+    def overlap_fraction(path, col, lo, hi):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        assert files
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            fmin = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            fmax = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            if fmax >= lo and fmin <= hi:
+                hit += 1
+        return hit / len(files)
+
+    bounds = li.agg(
+        F.max("l_partkey").alias("p"), F.max("l_suppkey").alias("s")
+    ).first()
+    # a ~5% slice of each domain
+    p_lo, p_hi = 0, bounds.p // 20
+    s_lo, s_hi = 0, bounds.s // 20
+
+    zpath = str(tmp_path / "zorder")
+    write_zorder(li, zpath, ["l_partkey", "l_suppkey"], n_files=16)
+    spath = str(tmp_path / "sorted")
+    write_sorted(li, spath, ["l_partkey"], n_files=16)
+
+    # the 1-D layout prunes its own column but NOT the other
+    assert overlap_fraction(spath, "l_partkey", p_lo, p_hi) <= 0.5
+    assert overlap_fraction(spath, "l_suppkey", s_lo, s_hi) >= 0.9
+    # z-order prunes BOTH
+    assert overlap_fraction(zpath, "l_partkey", p_lo, p_hi) <= 0.6
+    assert overlap_fraction(zpath, "l_suppkey", s_lo, s_hi) <= 0.6
+    # and round-trips the data intact
+    assert spark.read.parquet(zpath).count() == li.count()

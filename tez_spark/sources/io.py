@@ -191,6 +191,69 @@ def write_sorted(
     parted.sortWithinPartitions(*cluster_cols).write.mode(mode).parquet(path)
 
 
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    bits: int = 10,
+    mode: str = "overwrite",
+    n_files: int | None = None,
+) -> None:
+    """Z-order (Morton-curve) clustered sink: MULTI-column data skipping.
+
+    write_sorted prunes files via footer min/max on ONE dimension; a
+    workload filtering on either of several columns needs a space-filling
+    curve so each file covers a small hyper-rectangle of the key space.
+    Each cluster column is min/max-scaled to a `bits`-bit integer (one
+    tiny global agg for the bounds), the bit-planes are interleaved into
+    a Morton key (pure codegen shift/or chain), and the data is
+    range-partitioned + sorted by that key before writing — the same
+    sampled-range machinery as write_sorted, so files stay balanced.
+
+    A selective predicate on ANY clustered column then overlaps only the
+    files whose hyper-rectangle intersects it — parquet footer min/max
+    stats prune the rest, with no partition directories and no index
+    server. This is the classic multi-dimensional clustering layout
+    (Z-ordering as in Delta/Iceberg OPTIMIZE ZORDER; the 1-D special
+    case degenerates to write_sorted).
+
+    Caveat: min/max scaling is value-linear — a heavily skewed column
+    wastes curve resolution around its outliers. For skewed data compute
+    rank-based bucket ids first (approxQuantile boundaries) and z-order
+    those; bounds-based scaling is kept here because it is one agg and
+    fully codegen."""
+    if not cluster_cols:
+        raise ValueError("cluster_cols must be non-empty")
+    bounds = df.agg(
+        *[F.min(c).alias(f"min_{c}") for c in cluster_cols],
+        *[F.max(c).alias(f"max_{c}") for c in cluster_cols],
+    ).first()
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cluster_cols:
+        lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
+        span = (hi - lo) or 1
+        scaled.append(
+            F.least(
+                F.lit(top),
+                ((F.col(c) - F.lit(lo)) * F.lit(float(top)) / F.lit(float(span)))
+                .cast("long"),
+            )
+        )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for d, s in enumerate(scaled):
+            bit = F.shiftrightunsigned(s, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(scaled) + d))
+    zdf = df.withColumn("_zkey", z)
+    parted = (
+        zdf.repartitionByRange(n_files, "_zkey")
+        if n_files
+        else zdf.repartitionByRange("_zkey")
+    )
+    parted.sortWithinPartitions("_zkey").drop("_zkey").write.mode(mode).parquet(path)
+
+
 def merge_snapshot(
     current: DataFrame,
     updates: DataFrame,
