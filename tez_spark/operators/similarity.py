@@ -413,6 +413,107 @@ def all_pairs_cosine(
     )
 
 
+def cross_pairs_cosine(
+    a: DataFrame,
+    b: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 2048,
+) -> DataFrame:
+    """Exact A×B cosine ≥ threshold (two-sided block-pair matmul) — the
+    incremental twin of all_pairs_cosine: scores ONLY new-batch × corpus
+    pairs, never corpus × corpus.
+
+    Grid: A hashes into nb_a blocks, B into nb_b; each (i, j) grid group
+    holds one A block + one B block (bounded task memory) and scores them
+    with one BLAS matmul. Replication is ASYMMETRIC: each A row ships to
+    nb_b groups and each B row to nb_a groups — so the big side's shuffle
+    volume scales with the SMALL side's block count. A daily batch of
+    10⁵ vectors against a 10⁸ corpus replicates the corpus ~⌈10⁵/2048⌉ ≈
+    49×... still heavy; at that scale probe the persisted IVF index for
+    candidates first and exact-verify — this operator is the
+    oracle-verifiable truth and the right tool while nb_a stays small.
+
+    Output: (ida, idb, sim) with ida from A, idb from B."""
+    import pandas as pd
+
+    na, nb_rows = a.count(), b.count()
+    nb_a = max(1, -(-na // block_rows))
+    nb_b = max(1, -(-nb_rows // block_rows))
+
+    def tagged(df: DataFrame, n_own: int, side: int) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            as_double(vec_col).alias("_v"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_own)).cast("int").alias("_blk"),
+            F.lit(side).alias("_side"),
+        )
+
+    a_rows = tagged(a, nb_a, 0).select(
+        "_id", "_v", "_side",
+        F.col("_blk").alias("_p1"),
+        F.explode(F.array(*[F.lit(x) for x in range(nb_b)])).alias("_p2"),
+    )
+    b_rows = tagged(b, nb_b, 1).select(
+        "_id", "_v", "_side",
+        F.explode(F.array(*[F.lit(y) for y in range(nb_a)])).alias("_p1"),
+        F.col("_blk").alias("_p2"),
+    )
+
+    def score(key, pdf):
+        empty = pd.DataFrame({"ida": [], "idb": [], "sim": []}).astype(
+            {"ida": "int64", "idb": "int64", "sim": "float64"}
+        )
+        a_pdf = pdf[pdf["_side"] == 0]
+        b_pdf = pdf[pdf["_side"] == 1]
+        if not len(a_pdf) or not len(b_pdf):
+            return empty
+        ids_a = a_pdf["_id"].to_numpy()
+        ids_b = b_pdf["_id"].to_numpy()
+
+        def norm_rows(p):
+            M = np.stack([np.asarray(x, dtype=np.float64) for x in p["_v"]])
+            return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+
+        S = norm_rows(a_pdf) @ norm_rows(b_pdf).T
+        r, c = np.nonzero(S >= threshold)
+        return pd.DataFrame(
+            {"ida": ids_a[r], "idb": ids_b[c], "sim": S[r, c]}
+        ).astype({"ida": "int64", "idb": "int64", "sim": "float64"})
+
+    return a_rows.unionByName(b_rows).groupBy("_p1", "_p2").applyInPandas(
+        score, "ida long, idb long, sim double"
+    )
+
+
+def q_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding dedup — the semantic mirror of
+    dedup_incremental: cosine ≥ 0.45 near-dup report for the ~10% NEW
+    batch of vectors (md5(vec_id) >= 'e6', the standard split) against
+    the ~90% corpus, plus within-batch pairs; corpus × corpus is never
+    scored (those pairs were resolved when earlier snapshots merged).
+
+    Plan: batch × corpus via cross_pairs_cosine (asymmetric block grid —
+    the corpus's replication factor is the BATCH's block count) unioned
+    with all_pairs_cosine over the batch alone. Output orientation:
+    cross pairs as (da=corpus, db=batch); within-batch da < db. Exact
+    oracle restricted to pairs touching the batch."""
+    from tez_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    h = F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8"))
+    corpus = emb.filter(F.substring(h, 1, 2) < "e6")
+    batch = emb.filter(F.substring(h, 1, 2) >= "e6")
+    cross = cross_pairs_cosine(batch, corpus, threshold=0.45).select(
+        F.col("idb").alias("da"), F.col("ida").alias("db"), "sim"
+    )
+    within = all_pairs_cosine(batch, threshold=0.45).select(
+        F.col("va").alias("da"), F.col("vb").alias("db"), "sim"
+    )
+    return cross.unionByName(within).orderBy("da", "db")
+
+
 def dedup_embedding_lsh(
     df: DataFrame,
     threshold: float,
@@ -523,6 +624,30 @@ ORACLE: dict[str, str] = {
         WHERE rn <= {K} ORDER BY q_id, rn
     """,
     # ann_lsh: intentionally no oracle — probabilistic recall; rows-only.
+    "embedding_incremental": """
+        WITH parts AS (
+            SELECT vec_id,
+                   substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) < 'e6' AS is_corpus
+            FROM embeddings
+        ), pairs AS (
+            SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
+        )
+        SELECT CASE WHEN pb.is_corpus THEN p.ib ELSE p.ia END AS da,
+               CASE WHEN pb.is_corpus THEN p.ia ELSE p.ib END AS db,
+               sim
+        FROM pairs p
+        JOIN parts pa ON p.ia = pa.vec_id
+        JOIN parts pb ON p.ib = pb.vec_id
+        WHERE NOT (pa.is_corpus AND pb.is_corpus)
+        ORDER BY da, db
+    """,
 }
 
 # ---------------------------------------------------------------------------
@@ -635,4 +760,5 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "embedding_incremental": q_embedding_incremental,
 }

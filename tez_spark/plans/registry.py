@@ -40,13 +40,13 @@ _PRIORITY: tuple[str, ...] = (
     "text_metrics", "text_langid", "text_fingerprint", "dedup_exact",
     "multimodal_decode", "window_sliding", "train_split",
     # 2. new in round 5 — first driver row
-    "dedup_incremental", "cross_join_chunked",
+    "dedup_incremental", "cross_join_chunked", "embedding_incremental",
     # 3. flagship-scale rotations (green r4; keep the scale path under
     #    fresh driver verification every round)
     "dedup_minhash_lsh", "curation_pipeline_lsh", "dedup_embedding_clusters",
     "dedup_clusters", "decontaminate", "dedup_winnow", "ann_topk",
     "curation_pipeline", "dedup_simhash", "asof_join", "sessionize",
-    "interval_join", "event_funnel",
+    "interval_join",
 )
 
 
