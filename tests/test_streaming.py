@@ -3,6 +3,8 @@ answers as their batch twins on the finite fixture."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
@@ -279,3 +281,66 @@ def test_incremental_rollup_upserts_match_batch(spark):
     }
     assert store == want and len(store) > 0
     assert sum(batches) >= len(store)  # upserts delivered at least once per key
+
+
+def test_streaming_ingest_dedup_matches_incremental_batch(spark, tmp_path):
+    """maintain_dedup: streaming the new-batch docs through in several
+    micro-batches against the growing signature store must find exactly
+    the pairs the batch dedup_incremental query reports — corpus hits
+    AND pairs between docs that arrived in different micro-batches —
+    each exactly once."""
+    from pyspark.sql import functions as F
+
+    from tez_spark.plans.registry import all_queries
+    from tez_spark.sources.catalog import load_table
+    from tez_spark.streaming.ingest import maintain_dedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    batch_docs = docs.filter(F.substring(h, 1, 2) >= "e6").select("doc_id", "text")
+
+    stream_dir = str(tmp_path / "arrivals")
+    os.makedirs(stream_dir)
+    # three arrival files -> three micro-batches (maxFilesPerTrigger=1)
+    for i in range(3):
+        batch_docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            os.path.join(stream_dir, f"arrival_{i}")
+        )
+    # flatten: the file-stream source wants files, not subdirs
+    import glob
+    import shutil
+
+    for i, f in enumerate(
+        sorted(glob.glob(os.path.join(stream_dir, "arrival_*", "*.parquet")))
+    ):
+        shutil.move(f, os.path.join(stream_dir, f"batch_{i}.parquet"))
+    for d in glob.glob(os.path.join(stream_dir, "arrival_*")):
+        shutil.rmtree(d)
+
+    got: list[tuple] = []
+    batches = set()
+
+    def report(pairs, batch_id):
+        batches.add(batch_id)
+        for r in pairs.collect():
+            got.append((r.da, r.db, round(r.j, 6)))
+
+    maintain_dedup(
+        spark, SF_DIR, str(tmp_path / "store"), stream_dir, report
+    )
+    assert len(batches) >= 3, "stream did not split into micro-batches"
+
+    want_rows = all_queries()["dedup_incremental"](spark, SF_DIR).collect()
+    batch_ids = {r.doc_id for r in batch_docs.select("doc_id").collect()}
+
+    def norm(a, b, j):
+        # batch-batch pairs: arrival order decides (da, db) in streaming
+        # but id order in batch — compare as unordered
+        if a in batch_ids and b in batch_ids:
+            a, b = min(a, b), max(a, b)
+        return (a, b, j)
+
+    want = {norm(r.da, r.db, round(r.j, 6)) for r in want_rows}
+    got_set = {norm(*g) for g in got}
+    assert len(got) == len(got_set), "a pair was reported twice"
+    assert got_set == want

@@ -564,7 +564,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
     )
     within = candidates_from_bands(batch_bands)
-    cand = tracked_persist(cross.unionByName(within).distinct())
+    # distinct per branch, not over the union: cross pairs (corpus,batch)
+    # and within pairs (batch,batch) are disjoint SETS, so deduping each
+    # branch separately gives the same candidates minus one union-wide
+    # shuffle (within is already distinct inside candidates_from_bands).
+    cand = tracked_persist(cross.distinct().unionByName(within))
 
     sh_all = corpus_sh.unionByName(batch_sh)
     return (

@@ -1,0 +1,115 @@
+"""Streaming ingest dedup — the continuous form of dedup_incremental.
+
+New documents arrive as a stream; every micro-batch is deduped against a
+PERSISTED signature store (corpus shingles + minhash band table) that
+grows as batches commit, so each document is checked against the corpus
+AND every earlier-ingested document, exactly once, without ever
+re-shingling history. This is the streaming twin of
+operators/dedup.q_dedup_incremental the way maintain_rollup is the
+streaming twin of the hourly rollup.
+
+Why foreachBatch: per-document signature aggregation + candidate band
+join + exact verification is a batch composition per micro-batch (the
+same reason maintain_rollup uses it for MERGE-style upserts). State
+lives in parquet append directories — the durable signature store a
+daily 100TB ingest maintains anyway (bucket it with write_bucketed at
+scale); no in-memory stream state, so a restarted query resumes against
+the same store.
+
+Tez parity note: the reference has no streaming execution at all
+(EdgeProperty.DataSourceType.EPHEMERAL is an unimplemented placeholder,
+tez-api/.../dag/api/EdgeProperty.java:81-89); this module is extension
+capability via Structured Streaming.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def maintain_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    stream_dir: str,
+    report,
+    threshold: float = 0.8,
+) -> None:
+    """Run the streaming ingest-dedup pipeline over a (finite) file
+    stream of document batches.
+
+    - `store_dir`: parquet signature store; seeded here with the corpus
+      split's shingles + bands (in production: carried over from the
+      previous snapshot), then appended per committed micro-batch.
+    - `stream_dir`: directory of parquet files, one micro-batch each
+      (maxFilesPerTrigger=1).
+    - `report(pairs_df, batch_id)`: receives each batch's near-dup pairs
+      (da = already-ingested doc, db = newly arrived doc, j) — the
+      quarantine/drop decision hook.
+    """
+    from tez_spark.operators.dedup import (
+        _verify_pairs,
+        band_signatures,
+        candidates_from_bands,
+        minhash_signatures,
+        shingles,
+    )
+    from tez_spark.sources.catalog import load_table
+
+    sh_store = os.path.join(store_dir, "shingles")
+    band_store = os.path.join(store_dir, "bands")
+    if not os.path.exists(sh_store):
+        docs = load_table(spark, sf_dir, "documents")
+        h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+        corpus = docs.filter(F.substring(h, 1, 2) < "e6")
+        corpus_sh = shingles(corpus, "doc_id", "text", n=3)
+        corpus_sh.write.mode("overwrite").parquet(sh_store)
+        band_signatures(minhash_signatures(spark.read.parquet(sh_store))).write.mode(
+            "overwrite"
+        ).parquet(band_store)
+
+    schema = "doc_id long, text string"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from tez_spark.operators.core import release_caches, tracked_persist
+
+        release_caches()
+        micro_sh = tracked_persist(shingles(batch_df, "doc_id", "text", n=3))
+        micro_bands = tracked_persist(band_signatures(minhash_signatures(micro_sh)))
+        store_bands = spark.read.parquet(band_store)
+        store_sh = spark.read.parquet(sh_store)
+        cross = (
+            micro_bands.alias("b")
+            .join(
+                store_bands.alias("c"),
+                (F.col("b.band") == F.col("c.band"))
+                & (F.col("b.sig") == F.col("c.sig")),
+            )
+            .select(F.col("c.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+            .distinct()
+        )
+        within = candidates_from_bands(micro_bands)
+        cand = tracked_persist(cross.unionByName(within))
+        sh_all = store_sh.unionByName(micro_sh)
+        pairs = _verify_pairs(cand, sh_all, sh_b=micro_sh).filter(
+            F.col("j") >= threshold
+        )
+        report(pairs, batch_id)
+        # commit AFTER reporting: the batch's signatures join the store so
+        # every LATER batch sees these docs; a doc never pairs with itself
+        # because its own batch used the pre-append store for the cross
+        # join and the da<db self-join for within-batch pairs.
+        micro_sh.write.mode("append").parquet(sh_store)
+        micro_bands.write.mode("append").parquet(band_store)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(stream_dir)
+    q = stream.writeStream.foreachBatch(process).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
