@@ -56,18 +56,22 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")),
     )
-    # Repartition by doc id after the distinct: every consumer aggregates
-    # or semi-joins on the id (signatures, sizes, verification), so the
-    # persisted table being hash-partitioned on it turns those groupBys
-    # into shuffle-free partition-local aggs (InMemoryRelation preserves
-    # outputPartitioning). Without this, the 128-state minhash partial
-    # aggregation ships every doc's partial row from every map task —
-    # measured 92MB of shuffle for a 4MB table at sf0.1.
+    # ONE shuffle, not two: repartition by doc id FIRST, then dedupe.
+    # HashPartitioning(id) satisfies the distinct-aggregate's clustering
+    # requirement (id is a subset of its grouping keys {id, sh}), so the
+    # dedup runs partition-local with no second exchange — and the output
+    # stays hash-partitioned on the id, which every consumer needs
+    # (signatures, sizes, verification aggregate or semi-join on it;
+    # InMemoryRelation preserves outputPartitioning). The former
+    # .distinct().repartition(id) shape paid a (id, sh) exchange AND an
+    # id exchange; without id-partitioning at all, the 128-state minhash
+    # partial aggregation ships every doc's partial row from every map
+    # task — measured 92MB of shuffle for a 4MB table at sf0.1.
     return (
         base.filter(F.size(toks) >= n)
         .select(F.col(id_col), F.explode(sh).alias("sh"))
-        .distinct()
         .repartition(id_col)
+        .dropDuplicates([id_col, "sh"])
     )
 
 
