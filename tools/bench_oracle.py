@@ -32,15 +32,23 @@ for t in TABLES:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
+# min-of-3 headline for PROTOCOL SYMMETRY with bench.py (which switched
+# to min-of-3 in round 5 — this host's contention bursts inflate both
+# engines' samples the same way); medians reported alongside so either
+# aggregation can be compared like-for-like.
 results: dict[str, float] = {}
+medians: dict[str, float] = {}
 for name, sql in sorted(all_oracles().items()):
     samples = []
     for _ in range(3):
         t0 = time.monotonic()
         con.execute(sql).fetchall()
         samples.append(time.monotonic() - t0)
-    results[name] = round(statistics.median(samples), 3)
+    results[name] = round(min(samples), 3)
+    medians[name] = round(statistics.median(samples), 3)
 
 total = round(sum(results.values()), 3)
 print(json.dumps({"metric": "duckdb_oracle_total", "value": total,
-                  "unit": "sec", "queries": results, "sf_dir": SF_DIR}))
+                  "unit": "sec", "queries": results, "medians": medians,
+                  "median_total": round(sum(medians.values()), 3),
+                  "sf_dir": SF_DIR}))
