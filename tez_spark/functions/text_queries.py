@@ -286,7 +286,69 @@ _TEXT_LOGPROB_SQL = """
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition metrics per document: share of
+    tokens covered by the single most common 2-gram (top2gram_share) and
+    fraction of duplicated 2-gram occurrences (dup_2gram_frac =
+    1 - distinct/total), plus the standard keep-flag at the published
+    0.20 top-2-gram threshold (Rae et al., Gopher, arXiv:2112.11446 —
+    repetitious documents are a primary quality-filter signal).
+
+    Plan: explode 2-grams, ONE exchange on doc_id, then both aggregations
+    (per-gram counts, per-doc rollup) run partition-local over the
+    id-clustered data — the same single-shuffle shape as the shingle
+    table. Map-side + one shuffle at any scale."""
+    from tez_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.col("_toks")
+    base = docs.select("doc_id", tokens("text").alias("_toks")).filter(
+        F.size(toks) >= 2
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    )
+    per_gram = (
+        base.select("doc_id", F.explode(grams).alias("g"))
+        .repartition("doc_id")
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("_total"),
+        F.max("c").alias("_max"),
+        F.count(F.lit(1)).alias("_distinct"),
+    ).select(
+        "doc_id",
+        F.round(F.col("_max") / F.col("_total"), 6).alias("top2gram_share"),
+        F.round(1 - F.col("_distinct") / F.col("_total"), 6).alias("dup_2gram_frac"),
+        (F.col("_max") / F.col("_total") <= 0.20).alias("keep"),
+    )
+    return out.orderBy("doc_id")
+
+
+_TEXT_REPETITION_SQL = """
+    WITH base AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, array_to_string(list_slice(toks, i + 1, i + 2), ' ') AS g
+        FROM base, unnest(range(len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 2
+    ), per_gram AS (
+        SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           round(MAX(c) / SUM(c), 6) AS top2gram_share,
+           round(1 - COUNT(*) / SUM(c), 6) AS dup_2gram_frac,
+           MAX(c) / SUM(c) <= 0.20 AS keep
+    FROM per_gram GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE: dict[str, str] = {
+    "text_repetition": _TEXT_REPETITION_SQL,
     "text_metrics": f"""
         WITH base AS (
             SELECT doc_id,
@@ -376,4 +438,5 @@ QUERIES = {
     "text_langid": text_langid,
     "text_winnow": q_text_winnow,
     "text_logprob": q_text_logprob,
+    "text_repetition": q_text_repetition,
 }

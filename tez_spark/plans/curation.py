@@ -128,6 +128,88 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("split")
 
 
+SOURCE_CAP = 50  # max docs kept per source (quality-ranked)
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the mix-balancing primitive that stops
+    one crawl/provider from dominating the training mix: keep at most
+    SOURCE_CAP docs per source, ranked by quality (ties broken by doc_id
+    so the cut is fully deterministic), and report kept counts/tokens
+    per source.
+
+    Plan: metrics are the shared map-side core; the rank is one window
+    per source partition (never a global sort — sources rank
+    independently and in parallel at 100TB); summary is one agg on
+    source."""
+    from pyspark.sql import Window
+
+    from tez_spark.functions.text_queries import metrics_of
+    from tez_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = metrics_of(docs).select("doc_id", "n_tokens", "quality")
+    j = docs.select("doc_id", "source").join(m, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    ranked = j.withColumn("_rn", F.row_number().over(w))
+    kept = F.col("_rn") <= SOURCE_CAP
+    out = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("kept_tokens"),
+        F.round(F.min(F.when(kept, F.col("quality"))), 6).alias("min_kept_quality"),
+    )
+    return out.orderBy("source")
+
+
+def _source_cap_sql() -> str:
+    from tez_spark.functions.text import STOPWORDS
+
+    stop_sql = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+               text
+        FROM documents
+    ), metrics AS (
+        SELECT doc_id, source,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) / length(text)
+                    ELSE 0.0 END AS alpha_r,
+               CASE WHEN len(toks) > 0
+                    THEN len(list_filter(toks, t -> t IN ({stop_sql}))) / len(toks)
+                    ELSE 0.0 END AS stop_r,
+               CASE WHEN len(toks) > 0
+                    THEN list_sum(list_transform(toks, t -> length(t))) / len(toks)
+                    ELSE 0.0 END AS avg_tok_len
+        FROM base
+    ), quality AS (
+        SELECT doc_id, source, n_tokens,
+               least(stop_r * 4.0, 1.0) * 0.4 + alpha_r * 0.4 +
+               CASE WHEN avg_tok_len >= 3 AND avg_tok_len <= 10 THEN 0.2 ELSE 0.0 END
+                   AS quality
+        FROM metrics
+    ), ranked AS (
+        SELECT source, n_tokens, quality,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id) AS rn
+        FROM quality
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= {SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN rn <= {SOURCE_CAP} THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS kept_tokens,
+           round(MIN(CASE WHEN rn <= {SOURCE_CAP} THEN quality END), 6)
+               AS min_kept_quality
+    FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
 PACK_BUDGET = 512  # tokens per packed training sequence
 CHUNK_SIZE = 64    # tokens per model-context chunk
 CHUNK_STRIDE = 48  # overlap = CHUNK_SIZE - CHUNK_STRIDE
@@ -550,8 +632,10 @@ QUERIES = {
     "doc_chunk": q_doc_chunk,
     "decontaminate": q_decontaminate,
     "length_curriculum": q_length_curriculum,
+    "source_cap": q_source_cap,
 }
 ORACLE = {
+    "source_cap": _source_cap_sql(),
     "curation_pipeline": _oracle_sql(),
     # the LSH twin verifies exactly on candidates; same oracle (see
     # q_curation_pipeline_lsh docstring for the ~5e-8 miss bound).

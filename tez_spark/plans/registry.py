@@ -41,12 +41,12 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_decode", "window_sliding", "train_split",
     # 2. new in round 5 — first driver row
     "dedup_incremental", "cross_join_chunked", "embedding_incremental",
+    "text_repetition", "source_cap",
     # 3. flagship-scale rotations (green r4; keep the scale path under
     #    fresh driver verification every round)
     "dedup_minhash_lsh", "curation_pipeline_lsh", "dedup_embedding_clusters",
     "dedup_clusters", "decontaminate", "dedup_winnow", "ann_topk",
-    "curation_pipeline", "dedup_simhash", "asof_join", "sessionize",
-    "interval_join",
+    "curation_pipeline", "dedup_simhash", "asof_join",
 )
 
 
