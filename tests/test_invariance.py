@@ -10,8 +10,14 @@ import pytest
 from tests.conftest import SF_DIR, canon_rows
 
 # representative sample across operator families: agg, join, window,
-# union, sort, dedup-LSH (the most partitioning-sensitive plan here)
-SAMPLE = ("q05", "q06", "q08", "q12", "q14", "dedup_minhash_lsh")
+# union, sort, dedup-LSH (the most partitioning-sensitive plan here),
+# plus the round-5 additions whose plans mix persisted-store reads with
+# fresh shuffles (incremental dedup) and an explicit partition grid
+# (chunked cartesian — its repartition(n) must not change the answer)
+SAMPLE = (
+    "q05", "q06", "q08", "q12", "q14", "dedup_minhash_lsh",
+    "dedup_incremental", "cross_join_chunked", "source_cap",
+)
 
 
 def _rows(spark, name):
