@@ -39,22 +39,14 @@ def test_merge_snapshot_matches_dict_reference(spark, current, updates):
     if not updates:
         upd_df = upd_df.filter("k is not null")
 
-    # reference: last writer wins by (seq, then v as deterministic
-    # tie-break matching row_number over seq desc? No — merge_snapshot
-    # orders by order_col DESC only, so equal-seq winners are
-    # partition-order dependent). Constrain: make (key, seq) unique.
+    # reference: winner is the whole row maximal by (seq DESC, then the
+    # remaining columns DESC) — merge_snapshot's deterministic ordering
     seen = {}
     for k, v, s in updates:
         if k is None:
             continue
-        prev = seen.get(k)
-        # mirror row_number over seq desc: higher seq wins; ties go to
-        # whichever row_number ordered first — make the reference accept
-        # EITHER tied value by keying on max seq and collecting candidates
-        if prev is None or s > prev[0]:
-            seen[k] = (s, {v})
-        elif s == prev[0]:
-            prev[1].add(v)
+        if k not in seen or (s, v) > seen[k]:
+            seen[k] = (s, v)
     expect_keys = set(current) | set(seen)
 
     got = {
@@ -64,8 +56,7 @@ def test_merge_snapshot_matches_dict_reference(spark, current, updates):
     assert set(got) == expect_keys
     for k, (v, s) in got.items():
         if k in seen:
-            best_seq, candidates = seen[k]
-            assert s == best_seq and v in candidates, (k, v, s, seen[k])
+            assert (s, v) == seen[k], (k, v, s, seen[k])
         else:
             assert v == current[k] and s == -1
 

@@ -344,3 +344,16 @@ def test_streaming_ingest_dedup_matches_incremental_batch(spark, tmp_path):
     got_set = {norm(*g) for g in got}
     assert len(got) == len(got_set), "a pair was reported twice"
     assert got_set == want
+
+    # restart semantics: a re-launched query resumes from the durable
+    # checkpoint — already-committed batches are neither re-read nor
+    # re-reported, and the store is not double-appended
+    replay: list[tuple] = []
+    maintain_dedup(
+        spark,
+        SF_DIR,
+        str(tmp_path / "store"),
+        stream_dir,
+        lambda pairs, bid: replay.extend(pairs.collect()),
+    )
+    assert replay == [], "restart re-processed committed batches"

@@ -82,6 +82,15 @@ def shared_artifact(spark, key: tuple, builder) -> DataFrame:
     except TypeError:
         return tracked_persist(builder())  # un-weakref-able session
     if key not in cache:
+        # Evict superseded builds of the SAME artifact (same name +
+        # sf_dir prefix, different fingerprint/params): a regenerated
+        # fixture would otherwise leave the stale persisted copy pinned
+        # in executor memory until session death.
+        for old in [k for k in cache if k[:2] == key[:2] and k != key]:
+            try:
+                cache.pop(old).unpersist()
+            except Exception:
+                pass
         cache[key] = builder().persist()
     return cache[key]
 
@@ -466,6 +475,8 @@ def chunked_cross_join(
     right: DataFrame,
     theta: Column | None = None,
     target_pairs_per_task: int = 1_000_000,
+    n_left: int | None = None,
+    n_right: int | None = None,
 ) -> DataFrame:
     """Large×large cartesian with BOUNDED per-task pair counts —
     FairCartesianProductVertexManager parity (tez-runtime-library/.../
@@ -485,14 +496,20 @@ def chunked_cross_join(
     total bytes replicated, the same objective as the reference's fair
     grouping).
 
-    The two count() jobs are metadata-cheap (parquet row-group counts);
-    at 100TB substitute catalog/table statistics. When one side turns
-    out broadcast-small Catalyst plans BNLJ instead and the grid on the
-    streamed side still bounds per-task work — correct in both regimes.
-    Use plain cross_join only when you KNOW one side is tiny."""
+    Sizing inputs: pass `n_left`/`n_right` (from table statistics or a
+    persisted intermediate's known cardinality) to avoid the sizing
+    count() jobs — a count() over a DERIVED plan (filter/join upstream)
+    executes that whole plan, so for non-trivial inputs either supply the
+    hints or persist the inputs first; only a bare parquet scan answers
+    count() from metadata (and only with aggregate pushdown). When one
+    side turns out broadcast-small Catalyst plans BNLJ instead and the
+    grid on the streamed side still bounds per-task work — correct in
+    both regimes. Use plain cross_join only when you KNOW one side is
+    tiny."""
     import math
 
-    na, nb = left.count(), right.count()
+    na = left.count() if n_left is None else n_left
+    nb = right.count() if n_right is None else n_right
     if na > 0 and nb > 0:
         edge_a = max(1.0, math.sqrt(target_pairs_per_task * na / nb))
         edge_b = max(1.0, math.sqrt(target_pairs_per_task * nb / na))

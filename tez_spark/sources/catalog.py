@@ -66,11 +66,18 @@ def path_fingerprint(path: str) -> tuple:
     shared artifact instead of silently reading deleted or stale files.
     A stat walk costs ~µs against the ~70ms relation analysis it saves."""
     if os.path.isdir(path):
+        # full RELATIVE paths, sorted: os.walk's subdirectory order is
+        # scandir-dependent (unstable across rewrites), and basenames
+        # alone would miss a part file moving between partitions.
         items = []
         for root, _, files in os.walk(path):
-            for f in sorted(files):
-                st = os.stat(os.path.join(root, f))
-                items.append((f, st.st_size, st.st_mtime_ns))
+            for f in files:
+                full = os.path.join(root, f)
+                st = os.stat(full)
+                items.append(
+                    (os.path.relpath(full, path), st.st_size, st.st_mtime_ns)
+                )
+        items.sort()
         return ("dir", tuple(items))
     st = os.stat(path)
     return ("file", st.st_size, st.st_mtime_ns)

@@ -228,16 +228,27 @@ def write_zorder(
         *[F.min(c).alias(f"min_{c}") for c in cluster_cols],
         *[F.max(c).alias(f"max_{c}") for c in cluster_cols],
     ).first()
+    if any(bounds[f"min_{c}"] is None for c in cluster_cols):
+        # empty input or an all-null cluster column: no curve to build —
+        # write as-is rather than crash (still a valid snapshot).
+        df.write.mode(mode).parquet(path)
+        return
     scaled = []
     top = (1 << bits) - 1
     for c in cluster_cols:
         lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
         span = (hi - lo) or 1
+        # NULL cluster values scale to bucket 0 (F.least would otherwise
+        # SKIP the null and bin them with the maximum values, polluting
+        # the top files' min/max ranges).
         scaled.append(
-            F.least(
-                F.lit(top),
-                ((F.col(c) - F.lit(lo)) * F.lit(float(top)) / F.lit(float(span)))
-                .cast("long"),
+            F.coalesce(
+                F.least(
+                    F.lit(top),
+                    ((F.col(c) - F.lit(lo)) * F.lit(float(top)) / F.lit(float(span)))
+                    .cast("long"),
+                ),
+                F.lit(0),
             )
         )
     z = F.lit(0).cast("long")
@@ -277,33 +288,35 @@ def merge_snapshot(
     Upsert semantics require one row per key in `updates`: raw CDC feeds
     routinely carry several versions of a key per batch (and null-key
     noise rows), which a bare union would all land in the snapshot. The
-    updates side is therefore deduped per key here — LAST writer wins
-    under `order_col` descending (e.g. a change-sequence/timestamp
-    column); with no order_col the tie-break among same-key rows is
-    max-over-remaining-columns, chosen over "arbitrary first()" so the
-    result is deterministic across partitionings. Null-key update rows
-    are dropped (they can never match a snapshot row; documented
-    contract: merge keys are non-null). The dedup is one partial-agg
-    shuffle on the same keys the anti join uses."""
+    updates side is therefore deduped to ONE WHOLE ROW per key — never a
+    column-wise blend, which could synthesize a record no CDC event ever
+    contained. Winner: row_number over (order_col DESC, then every
+    remaining column DESC as the tie-break) — the tie-break makes the
+    result deterministic across partitionings even when several versions
+    share the same change-sequence value; with no order_col the ordering
+    is just the remaining columns DESC (lexicographic-max row). Columns
+    must be orderable (documented contract; maps/opaque types need an
+    explicit order_col). Null-key update rows are dropped (they can
+    never match a snapshot row; merge keys are non-null by contract).
+    The dedup is one window shuffle on the same keys the anti join
+    uses."""
+    from pyspark.sql import Window
+
     non_null = updates
     for k in keys:
         non_null = non_null.filter(F.col(k).isNotNull())
     others = [c for c in updates.columns if c not in keys]
-    if order_col is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    order_exprs = [F.col(c).desc() for c in ([order_col] if order_col else [])]
+    order_exprs += [F.col(c).desc() for c in others if c != order_col]
+    if not order_exprs:
+        deduped = non_null.distinct()  # key-only schema: rows are identical
+    else:
+        w = Window.partitionBy(*keys).orderBy(*order_exprs)
         deduped = (
             non_null.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-    elif others:
-        deduped = non_null.groupBy(*keys).agg(
-            *[F.max(c).alias(c) for c in others]
-        ).select(*updates.columns)
-    else:
-        deduped = non_null.distinct()
     return deduped.unionByName(
         current.join(deduped.select(*keys).distinct(), keys, "left_anti")
     )

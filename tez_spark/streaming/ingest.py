@@ -59,6 +59,13 @@ def maintain_dedup(
     )
     from tez_spark.sources.catalog import load_table
 
+    # Store layout: one subdirectory per contribution ("seed" + one per
+    # committed micro-batch), read back with a glob. Per-batch
+    # subdirectories make the post-report append IDEMPOTENT: a batch
+    # replayed after a crash (foreachBatch re-delivers the in-flight
+    # batch id on restart) OVERWRITES its own subdir instead of
+    # double-appending signatures — double rows would skew every
+    # downstream Jaccard via inflated na/nb counts.
     sh_store = os.path.join(store_dir, "shingles")
     band_store = os.path.join(store_dir, "bands")
     if not os.path.exists(sh_store):
@@ -66,10 +73,10 @@ def maintain_dedup(
         h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
         corpus = docs.filter(F.substring(h, 1, 2) < "e6")
         corpus_sh = shingles(corpus, "doc_id", "text", n=3)
-        corpus_sh.write.mode("overwrite").parquet(sh_store)
-        band_signatures(minhash_signatures(spark.read.parquet(sh_store))).write.mode(
-            "overwrite"
-        ).parquet(band_store)
+        corpus_sh.write.mode("overwrite").parquet(os.path.join(sh_store, "seed"))
+        band_signatures(
+            minhash_signatures(spark.read.parquet(os.path.join(sh_store, "seed")))
+        ).write.mode("overwrite").parquet(os.path.join(band_store, "seed"))
 
     schema = "doc_id long, text string"
 
@@ -79,8 +86,8 @@ def maintain_dedup(
         release_caches()
         micro_sh = tracked_persist(shingles(batch_df, "doc_id", "text", n=3))
         micro_bands = tracked_persist(band_signatures(minhash_signatures(micro_sh)))
-        store_bands = spark.read.parquet(band_store)
-        store_sh = spark.read.parquet(sh_store)
+        store_bands = spark.read.parquet(os.path.join(band_store, "*"))
+        store_sh = spark.read.parquet(os.path.join(sh_store, "*"))
         cross = (
             micro_bands.alias("b")
             .join(
@@ -100,15 +107,31 @@ def maintain_dedup(
         report(pairs, batch_id)
         # commit AFTER reporting: the batch's signatures join the store so
         # every LATER batch sees these docs; a doc never pairs with itself
-        # because its own batch used the pre-append store for the cross
-        # join and the da<db self-join for within-batch pairs.
-        micro_sh.write.mode("append").parquet(sh_store)
-        micro_bands.write.mode("append").parquet(band_store)
+        # because its own batch used the pre-commit store for the cross
+        # join and the da<db self-join for within-batch pairs. Overwrite
+        # of the batch's OWN subdir keeps a crash-replayed batch
+        # idempotent (see layout note above).
+        micro_sh.write.mode("overwrite").parquet(
+            os.path.join(sh_store, f"batch_{batch_id}")
+        )
+        micro_bands.write.mode("overwrite").parquet(
+            os.path.join(band_store, f"batch_{batch_id}")
+        )
 
     stream = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", "1"
     ).parquet(stream_dir)
-    q = stream.writeStream.foreachBatch(process).start()
+    # Durable checkpoint beside the store: a restarted call resumes from
+    # the last committed batch instead of re-reading every file (the
+    # claimed restart semantics need BOTH this and the idempotent store
+    # writes above).
+    q = (
+        stream.writeStream.option(
+            "checkpointLocation", os.path.join(store_dir, "checkpoint")
+        )
+        .foreachBatch(process)
+        .start()
+    )
     try:
         q.processAllAvailable()
     finally:
