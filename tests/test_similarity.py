@@ -141,3 +141,39 @@ def test_persisted_ivf_index_probe_recall_and_pruning(spark, tmp_path):
     assert "PartitionFilters:" in plan, plan[:1500]
     pruned = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "cell" in pruned, f"cell predicate not pushed to partitions: {pruned}"
+
+
+def test_ann_incremental_recall_vs_exact_truth(spark):
+    """ann_incremental (new batch probed against the persisted
+    corpus-side IVF index) must recall the exact batch x corpus top-5
+    (computed via the two-sided block matmul with no threshold) at the
+    same floor as the other IVF paths."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from tez_spark.operators.similarity import (
+        cross_pairs_cosine,
+        q_ann_incremental,
+    )
+    from tez_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    h = F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8"))
+    corpus = emb.filter(F.substring(h, 1, 2) < "e6")
+    batch = emb.filter(F.substring(h, 1, 2) >= "e6")
+    scored = cross_pairs_cosine(batch, corpus, threshold=-1.0)
+    w = Window.partitionBy("ida").orderBy(F.desc("sim"), F.asc("idb"))
+    truth = {
+        (r.ida, r.idb)
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    }
+    assert truth, "exact truth returned nothing"
+    got = {(r.q_id, r.vec_id) for r in q_ann_incremental(spark, SF_DIR).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.3, f"incremental IVF recall collapsed: {recall:.2f}"
+    # neighbors must come from the corpus side only (the index holds no
+    # batch vectors)
+    corpus_ids = {r.vec_id for r in corpus.select("vec_id").collect()}
+    assert {v for _, v in got} <= corpus_ids

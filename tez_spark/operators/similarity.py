@@ -755,10 +755,46 @@ def ann_ivf_probe_index(
     )
 
 
+def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest ANN: the new ~10% batch of vectors (md5(vec_id) >=
+    'e6') top-5-probed against a PERSISTED IVF index built over the ~90%
+    corpus — the sublinear scale twin of embedding_incremental (which
+    scores the batch × corpus product exactly). The index is built once
+    per fixture fingerprint (an on-disk memo under the system temp dir:
+    the cell-partitioned layout IS the index, rebuilt only when the
+    fixture regenerates) and probes read only the probed cell partitions
+    via partition pruning.
+
+    Rows-only by design (cell layout/probe order are engine-specific);
+    recall vs the exact batch×corpus truth is asserted in
+    tests/test_similarity.py. The probe set is driver-collected —
+    bounded by the daily batch at fixture scale; for larger batches
+    chunk the probe set (the index is stateless, probe jobs compose)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from tez_spark.sources.catalog import path_fingerprint
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    h = F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8"))
+    corpus = emb.filter(F.substring(h, 1, 2) < "e6")
+    batch = emb.filter(F.substring(h, 1, 2) >= "e6")
+    fp = path_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    tag = hashlib.md5(
+        repr((os.path.abspath(sf_dir), fp)).encode()
+    ).hexdigest()[:16]
+    idx = os.path.join(tempfile.gettempdir(), f"tez_spark_ivf_idx_{tag}")
+    if not os.path.exists(os.path.join(idx, "centroids")):
+        write_ivf_index(corpus, idx)
+    return ann_ivf_probe_index(spark, idx, batch, k=5)
+
+
 QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_incremental": q_ann_incremental,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "embedding_incremental": q_embedding_incremental,
 }
