@@ -110,6 +110,7 @@ def main() -> None:
     # build inside the timing loop just charges its one-time cost to
     # whichever consumer sorts first alphabetically (curation_pipeline
     # absorbed it in r5). The build cost itself is documented in PERF.md.
+    prewarm_build_sec = None
     try:
         from tez_spark.operators.dedup import (
             corpus_artifacts,
@@ -118,10 +119,15 @@ def main() -> None:
             winnow_table,
         )
 
+        t0 = time.monotonic()
         shingle_table(spark, sf_dir).count()
         lsh_candidate_table(spark, sf_dir).count()
         winnow_table(spark, sf_dir).count()
         corpus_artifacts(spark, sf_dir)[1].count()
+        # the one-time artifact-build cost the timing loop no longer pays,
+        # recorded so the headline total can be reconstructed WITH it
+        # (ADVICE r5: don't leave the protocol's prewarm cost PERF.md-only)
+        prewarm_build_sec = round(time.monotonic() - t0, 3)
     except Exception:
         pass
 
@@ -184,43 +190,54 @@ def main() -> None:
 
     def emit(partial: bool = False) -> None:
         # Two lines, diagnostics FIRST and the headline line LAST: the
-        # driver keeps a bounded tail of stdout, and round 2's single
-        # giant line (timings + sample counts for 74 queries) outgrew it,
-        # truncating the head (BENCH_r02 parsed: null). The final line
-        # carries everything the driver's contract needs and is kept
-        # compact (separators strip whitespace) so the tail always holds
-        # it whole.
+        # driver keeps a bounded ~2000-char tail of stdout, so the LAST
+        # line must fit the tail WHOLE or the driver records parsed:null
+        # (r2's giant single line and r5's 99-query+prewarm line both
+        # overflowed it). The headline therefore carries only the contract
+        # fields (metric/value/unit/queries/sf) plus steal_pct, with
+        # per-query timings at 2dp (~1.9KB at 99 queries); everything else
+        # (loadavg, runs policy, prewarm latencies/build cost, 3dp
+        # medians, protocol tag) lives in the diagnostics line. A shrink
+        # fallback drops precision if the registry ever outgrows the
+        # budget again.
         total = round(sum(t for t in timings.values() if t >= 0), 3)
+        steal1, total1 = _cpu_jiffies()
+        dt = total1 - total0
+        steal_pct = round(100.0 * (steal1 - steal0) / dt, 2) if dt > 0 else 0.0
         diag = {
             "bench_diagnostics": {
+                "protocol": "min-of-n-v2-prewarmed",
                 "samples": {n: n_samples.get(n, 0) for n in sorted(queries)},
                 "medians": {n: medians[n] for n in sorted(medians)},
                 "loadavg": [round(load_start, 2), round(_load1(), 2)],
                 "runs_policy": runs,
+                "prewarm": {
+                    "cold_submit_sec": cold_submit,
+                    "warm_submit_sec": warm_submit,
+                    "artifact_build_sec": prewarm_build_sec,
+                },
             }
         }
         print(json.dumps(diag, separators=(",", ":")), flush=True)
-        steal1, total1 = _cpu_jiffies()
-        dt = total1 - total0
-        steal_pct = round(100.0 * (steal1 - steal0) / dt, 2) if dt > 0 else 0.0
         line = {
             "metric": "tez_spark_total_wall_clock",
             "value": total,
             "unit": "sec",
-            "queries": {n: timings.get(n, -1.0) for n in sorted(queries)},
+            "queries": {
+                n: round(timings.get(n, -1.0), 2) for n in sorted(queries)
+            },
             "sf": sf,
-            "loadavg": [round(load_start, 2), round(_load1(), 2)],
             "steal_pct": steal_pct,
-            "runs_policy": runs,
         }
-        if cold_submit is not None and warm_submit is not None:
-            line["prewarm"] = {
-                "cold_submit_sec": cold_submit,
-                "warm_submit_sec": warm_submit,
-            }
         if partial:
             line["partial"] = True
-        print(json.dumps(line, separators=(",", ":")), flush=True)
+        out = json.dumps(line, separators=(",", ":"))
+        if len(out) > 1950:  # tail-buffer guard: degrade precision, never parse
+            line["queries"] = {
+                n: round(timings.get(n, -1.0), 1) for n in sorted(queries)
+            }
+            out = json.dumps(line, separators=(",", ":"))
+        print(out, flush=True)
 
     def on_term(signum, frame):  # killed by a driver timeout: still emit
         emit(partial=True)

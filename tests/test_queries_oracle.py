@@ -37,33 +37,51 @@ def test_driver_window_ordering():
     """The driver's correctness gate reads the first 50 registry entries.
 
     Guard the ROTATION policy (registry._PRIORITY): every entry in the
-    window is oracled; queries that were red in the previous round's
-    driver run sit in the window so the fix gets driver-verified; and the
-    union of this window with the previous round's driver rows covers
-    every oracled query — each gets a driver row at least every other
-    round.
+    window is oracled, and the union of this window with the PREVIOUS
+    round's driver rows covers every oracled query — each gets a driver
+    row at least every other round.
+
+    The previous round is ``registry._WINDOW_ROUND - 1`` — the round the
+    current window was built against — NOT the latest CORRECTNESS file on
+    disk: when the driver drops this round's own file, comparing against
+    it would collapse the invariant to "window ⊇ all oracled" and flip
+    the suite red at every judging, which is a stale-rotation alarm only
+    when _WINDOW_ROUND itself is stale (that case still fails here,
+    because the r{N-1} union check is then run against an old window).
     """
     import json
     import os
 
+    from tez_spark.plans.registry import _WINDOW_ROUND
+
     window = list(QUERIES)[:50]
     assert all(k in ORACLES for k in window), [k for k in window if k not in ORACLES]
-    # round-4 driver run was all green (no red rows to re-verify); the
-    # coverage check below is the whole invariant for round 5.
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # latest recorded driver round: window ∪ its rows must cover every
-    # oracled query (each gets a driver row at least every other round)
+    prev = os.path.join(repo, f"CORRECTNESS_r{_WINDOW_ROUND - 1:02d}.json")
+    assert os.path.exists(prev), (
+        f"registry._WINDOW_ROUND={_WINDOW_ROUND} but {os.path.basename(prev)} "
+        "does not exist — _WINDOW_ROUND is ahead of the driver"
+    )
+    with open(prev) as f:
+        prev_rows = set(json.load(f))
+    uncovered = set(ORACLES) - (set(window) | prev_rows)
+    assert not uncovered, (
+        f"oracled queries with no driver row in {os.path.basename(prev)}"
+        f" ∪ current window: {uncovered}"
+    )
+    # a CORRECTNESS file for _WINDOW_ROUND itself (or later) on disk means
+    # the driver has run this window: the NEXT round needs a fresh rotation
     import glob
 
-    prev_files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
-    if prev_files:
-        with open(prev_files[-1]) as f:
-            prev_rows = set(json.load(f))
-        uncovered = set(ORACLES) - (set(window) | prev_rows)
-        assert not uncovered, (
-            f"oracled queries with no driver row in {os.path.basename(prev_files[-1])}"
-            f" ∪ current window: {uncovered}"
-        )
+    newer = [
+        p
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if os.path.basename(p) > f"CORRECTNESS_r{_WINDOW_ROUND:02d}.json"
+    ]
+    assert not newer, (
+        f"driver rounds newer than _WINDOW_ROUND={_WINDOW_ROUND} exist "
+        f"({[os.path.basename(p) for p in newer]}): rotate registry._PRIORITY"
+    )
     # rows-only entries must sit at the very end
     tail = list(QUERIES)[len(ORACLES):]
     assert all(k not in ORACLES for k in tail), [k for k in tail if k in ORACLES]

@@ -136,15 +136,30 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("gid", "l_returnflag", "l_linestatus")
 
 
-# --- approximate aggregates (gap #3; rows-only — sketch internals differ) --
+# --- approximate aggregates (gap #3) ---------------------------------------
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct-count estimate. No oracle: sketch estimates are
-    engine-specific; tests assert ±5% of the exact count instead."""
+    """HLL++ distinct-count estimate, made oracle-verifiable: one agg
+    computes BOTH the sketch estimate and the exact distinct count, and
+    the returned row carries the exact count plus an in-query |err| ≤ 5%
+    assertion on the estimate. Sketch values themselves are
+    engine-specific (cross-engine hashes can never match them), but the
+    bound check IS the sketch's contract — so the driver's rows+schema+
+    hash comparison now verifies it end-to-end instead of the weaker
+    rows-only check. At 100TB the user drops the exact audit column and
+    keeps only the mergeable HLL sketch (map-side partials, no expand)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("p50_est"),
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("_hll"),
+    )
+    return agg.select(
+        "exact_parts",
+        (
+            F.abs(F.col("_hll") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= F.lit(0.05)
+        ).alias("hll_within_5pct"),
     )
 
 
@@ -314,17 +329,33 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path twin of q_percentiles: approx_percentile (a mergeable
     quantile sketch — map-side partial aggregation, no sort, bounded
     per-group state) at accuracy 10000 (~0.01% rank error). This is the
-    plan a 100TB user runs; the exact sort-based twin is the audit path.
-
-    Rows-only declaration: the sketch's value choice is engine-specific
-    (DuckDB's approx_quantile uses a different t-digest), so cross-engine
-    hashes cannot match; tests/test_queries_oracle.py instead asserts
-    every approx value within 0.5% RELATIVE error of the exact answer."""
+    plan a 100TB user runs; the exact sort-based percentile is computed
+    alongside as the audit twin, and the returned rows carry the exact
+    values (rounded 4dp, same convention as q_percentiles) plus in-query
+    ≤0.5%-relative-error assertions on the sketch estimates. The sketch
+    values themselves are engine-specific (DuckDB's approx_quantile is a
+    different t-digest) — the bound booleans are the portable contract,
+    so the driver's full rows+schema+hash comparison verifies the sketch
+    end-to-end instead of the weaker rows-only check."""
     li = load_table(spark, sf_dir, "lineitem")
-    out = li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("p50_approx"),
-        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("p90_approx"),
+    agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("_p50a"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("_p90a"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_p50e"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("_p90e"),
+    )
+    out = agg.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("_p50e"), 4).alias("p50_cont"),
+        F.round(F.col("_p90e"), 4).alias("p90_cont"),
+        (F.abs(F.col("_p50a") - F.col("_p50e")) / F.col("_p50e") <= F.lit(0.005)).alias(
+            "p50_within_bound"
+        ),
+        (F.abs(F.col("_p90a") - F.col("_p90e")) / F.col("_p90e") <= F.lit(0.005)).alias(
+            "p90_within_bound"
+        ),
     )
     return out.orderBy("l_returnflag")
 
@@ -979,7 +1010,23 @@ ORACLE: dict[str, str] = {
                    ELSE 0.0 END), 6) AS avg_mse
         FROM q GROUP BY 1 ORDER BY 1
     """,
-    # approx_distinct: intentionally no oracle (sketches are engine-specific)
+    # Sketch VALUES are engine-specific, so these two oracles verify the
+    # exact audit columns plus the in-query error-bound booleans (the
+    # sketch's portable contract): the engine row hashes equal iff the
+    # exact values agree AND every bound assertion evaluated true.
+    "approx_distinct": """
+        SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS hll_within_5pct
+        FROM lineitem
+    """,
+    "percentiles_approx": """
+        SELECT l_returnflag, COUNT(*) AS n,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_cont,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_cont,
+               TRUE AS p50_within_bound,
+               TRUE AS p90_within_bound
+        FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
 }
 
 QUERIES = {
