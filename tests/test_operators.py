@@ -406,3 +406,30 @@ def test_chunked_cross_join_bounds_per_task_pairs(spark):
         assert {(r.x, r.y) for r in out.collect()} == naive
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_catalog_row_count_feeds_chunked_grid(spark):
+    """catalog.table_row_count serves exact cardinalities from parquet
+    footers (no Spark job), and chunked_cross_join accepts them as sizing
+    hints — so a query path never runs the operator's fallback count()
+    jobs (r5 advice: the counts are one metadata read away)."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_DIR
+    from tez_spark.operators.core import chunked_cross_join
+    from tez_spark.sources.catalog import load_table, table_row_count
+
+    n_c = table_row_count(SF_DIR, "customer")
+    n_s = table_row_count(SF_DIR, "supplier")
+    c = load_table(spark, SF_DIR, "customer")
+    s = load_table(spark, SF_DIR, "supplier")
+    assert n_c == c.count() and n_s == s.count()
+    # cached footer stat: second call is a dict hit (same fingerprint)
+    assert table_row_count(SF_DIR, "customer") == n_c
+
+    out = chunked_cross_join(
+        c.select("c_custkey"), s.select("s_suppkey"),
+        theta=F.col("c_custkey") == F.col("s_suppkey"),
+        target_pairs_per_task=50_000, n_left=n_c, n_right=n_s,
+    )
+    assert out.count() == min(n_c, n_s)

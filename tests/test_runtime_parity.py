@@ -134,10 +134,12 @@ def test_plan_shape_guard(spark, name):
     df = all_queries()[name](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
 
-    # q11 and cross_join_chunked are the declared theta/cartesian queries
-    # (Tez CartesianProduct edge parity — the latter with the fair-chunked
-    # grid); everything else must never cross-product.
-    if name not in ("q11", "cross_join_chunked"):
+    # q11 is the declared theta/cartesian query (Tez CartesianProduct edge
+    # parity); everything else must never cross-product. In particular
+    # cross_join_chunked's rank-based plan (r6) computes the dominance
+    # count with a window instead of materializing pairs — its only
+    # product is the broadcast NLJ over the 25-nation dim.
+    if name != "q11":
         assert "CartesianProduct" not in plan, f"{name}: unplanned cartesian"
     assert "monotonically_increasing_id" not in plan, (
         f"{name}: nondeterministic id generator in a declared query"

@@ -668,26 +668,66 @@ def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cross_join_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta cross-product with the FAIR-CHUNKED grid: per-(customer
-    nation, supplier nation) count of customer×supplier pairs where the
-    customer's balance dominates the supplier's — an all-pairs
-    comparison no equijoin can express (Tez CartesianProduct edge +
-    FairCartesianProductVertexManager chunking; see
-    operators.chunked_cross_join for the grid math). target_pairs 64k
-    keeps the grid >1 task per side even at sf0.001, so the chunking
-    path itself is what the driver exercises."""
-    from tez_spark.operators.core import chunked_cross_join
+    """Per-(customer nation, supplier nation) count of customer×supplier
+    pairs where the customer's balance dominates the supplier's.
 
+    Declared THETA-CROSS-PRODUCT semantics (Tez CartesianProduct edge +
+    CartesianProductFilter), computed WITHOUT materializing a single
+    pair: because the theta is a rank condition (c_acctbal > s_acctbal),
+    the dominance count per customer is the number of suppliers ranked
+    below it — so replicate each customer once per SUPPLIER NATION (25
+    rows, a broadcast NLJ over the distinct-nation dim, not a pair
+    blow-up), union with the suppliers, and take a running sum of the
+    supplier indicator per supplier-nation ordered by balance. O((C·25 +
+    S) log) work vs O(C×S) pairs — at sf0.1 that is ~15M pairs avoided;
+    at 100TB the cartesian plan simply does not finish while this one is
+    a 25-partition sort (for a nation-like dim of thousands of values,
+    salt the window key or pre-aggregate balances into quantile buckets).
+
+    The chunked-grid EXECUTION path this query used to time —
+    operators.chunked_cross_join, FairCartesianProductVertexManager
+    parity — remains for thetas that genuinely need all pairs, and keeps
+    its own grid/equality tests (tests/test_operators.py 10×10 grid,
+    tests/test_merge_property.py); its sizing hints now come from
+    catalog.table_row_count (parquet footer stats, no count() jobs)."""
     c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
     s = load_table(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
-    pairs = chunked_cross_join(
-        c, s, theta=F.col("c_acctbal") > F.col("s_acctbal"),
-        target_pairs_per_task=64_000,
+
+    s_nations = s.select("s_nationkey").distinct()
+    c_rep = c.crossJoin(F.broadcast(s_nations)).select(
+        "c_nationkey",
+        "s_nationkey",
+        F.col("c_acctbal").alias("bal"),
+        F.lit(0).alias("is_supp"),
     )
-    out = pairs.groupBy("c_nationkey", "s_nationkey").agg(
-        F.count(F.lit(1)).alias("n_dominant")
+    s_tag = s.select(
+        # null tag typed as the customer column's ACTUAL type so the union
+        # does not widen c_nationkey (schema must match the pre-flip plan)
+        F.lit(None).cast(c.schema["c_nationkey"].dataType).alias("c_nationkey"),
+        "s_nationkey",
+        F.col("s_acctbal").alias("bal"),
+        F.lit(1).alias("is_supp"),
     )
-    return out.orderBy("c_nationkey", "s_nationkey")
+    u = c_rep.unionByName(s_tag)
+    # Running supplier count per supplier nation, ordered by balance with
+    # customers BEFORE suppliers at equal balance: for a customer row the
+    # cumulative sum is exactly |{s in nation j : s_acctbal < c_acctbal}|
+    # (strict dominance — equal-balance suppliers sort after and never
+    # count; ties among customer rows carry is_supp=0 so their relative
+    # order is irrelevant to the sum).
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy("bal", "is_supp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dom = (
+        u.withColumn("n_below", F.sum("is_supp").over(w))
+        .filter(F.col("is_supp") == 0)
+        .groupBy("c_nationkey", "s_nationkey")
+        .agg(F.sum("n_below").alias("n_dominant"))
+        .filter(F.col("n_dominant") > 0)
+    )
+    return dom.orderBy("c_nationkey", "s_nationkey")
 
 
 ORACLE: dict[str, str] = {

@@ -128,6 +128,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_ROW_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a fixture table from parquet FOOTER metadata —
+    no Spark job, no scan (the row count every parquet writer records per
+    file; what a real catalog serves as table statistics). Use this to
+    feed cardinality hints (e.g. chunked_cross_join's n_left/n_right)
+    instead of eager count() jobs in a query path. Fingerprint-keyed so a
+    regenerated fixture refreshes the stat."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (os.path.abspath(sf_dir), name, path_fingerprint(path))
+    if key in _ROW_COUNT_CACHE:
+        return _ROW_COUNT_CACHE[key]
+    if os.path.isdir(path):
+        n = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += pq.read_metadata(os.path.join(root, f)).num_rows
+    else:
+        n = pq.read_metadata(path).num_rows
+    # drop superseded fingerprints for the same table before inserting
+    for k in [k for k in _ROW_COUNT_CACHE if k[:2] == key[:2]]:
+        del _ROW_COUNT_CACHE[k]
+    _ROW_COUNT_CACHE[key] = n
+    return n
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Scan every fixture table present in sf_dir — through load_table,
     so the events nanos handling applies (a raw spark.read.parquet of
