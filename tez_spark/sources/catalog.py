@@ -124,6 +124,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         df = normalize_event_ts(df)
     if cache is not None:
+        # evict superseded fingerprints for this (sf_dir, name) — a
+        # regenerated fixture otherwise leaks one stale DataFrame entry
+        # per regeneration until session death (ADVICE r5)
+        for old in [k for k in cache if k[:2] == key[:2] and k != key]:
+            del cache[old]
         cache[key] = df
     return df
 

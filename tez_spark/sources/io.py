@@ -238,17 +238,20 @@ def write_zorder(
     for c in cluster_cols:
         lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
         span = (hi - lo) or 1
-        # NULL cluster values scale to bucket 0 (F.least would otherwise
-        # SKIP the null and bin them with the maximum values, polluting
-        # the top files' min/max ranges).
+        # NULL cluster values scale to bucket 0. The coalesce must sit
+        # INSIDE the least: Spark's least() SKIPS nulls, so
+        # least(lit(top), null) returns `top` — an outer coalesce never
+        # fires and nulls get binned with the maximum values, polluting
+        # the top files' min/max ranges (ADVICE r5, verified by
+        # test_zorder_null_cluster_values_bucket_low).
         scaled.append(
-            F.coalesce(
-                F.least(
-                    F.lit(top),
+            F.least(
+                F.lit(top),
+                F.coalesce(
                     ((F.col(c) - F.lit(lo)) * F.lit(float(top)) / F.lit(float(span)))
                     .cast("long"),
+                    F.lit(0),
                 ),
-                F.lit(0),
             )
         )
     z = F.lit(0).cast("long")
