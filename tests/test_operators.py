@@ -433,3 +433,77 @@ def test_catalog_row_count_feeds_chunked_grid(spark):
         target_pairs_per_task=50_000, n_left=n_c, n_right=n_s,
     )
     assert out.count() == min(n_c, n_s)
+
+
+def test_streamed_grouped_processor_hot_key_bounded_memory(spark):
+    """Streamed secondary sort (SURVEY §7's known hard part): one
+    deliberately hot key holds ~90% of all rows, and the per-group
+    aggregation runs with O(1) state over a sorted value ITERATOR —
+    never a materialized group (the applyInPandas variant's OOM shape).
+    The function computes order-sensitive aggregates (first/last value,
+    count of ascending adjacent steps), so a wrong or unsorted stream
+    cannot produce the right answer by accident; results are checked
+    against a declarative window/groupBy reference."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from tez_spark.operators.core import streamed_grouped_processor
+
+    n = 120_000
+    df = (
+        spark.range(n)
+        .select(
+            # key 0 is the hot key: ~90% of rows; keys 1..4 share the rest
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise((F.floor(F.col("id") / 10) % 4 + 1).cast("int"))
+            .alias("k"),
+            # a sort column with a deterministic shuffle of values
+            ((F.col("id") * 48271) % 2_000_003).cast("long").alias("ts"),
+            (F.col("id") % 1000).cast("long").alias("v"),
+        )
+    )
+
+    def agg(key, values):
+        # values stream in ts order; keep only O(1) state
+        n_rows = n_up = 0
+        first_v = last_v = prev_ts = None
+        for row in values:
+            ts, v = row[1], row[2]
+            if prev_ts is not None:
+                assert ts >= prev_ts, "values not streamed in sort order"
+                n_up += 1
+            else:
+                first_v = v
+            prev_ts, last_v = ts, v
+            n_rows += 1
+        yield (key[0], n_rows, first_v, last_v, n_up)
+
+    got = {
+        r.k: r
+        for r in streamed_grouped_processor(
+            df, ["k"], ["ts"], agg,
+            "k int, n_rows long, first_v long, last_v long, n_up long",
+            num_partitions=8,
+        ).collect()
+    }
+
+    w = Window.partitionBy("k").orderBy("ts")
+    ref = {
+        r.k: r
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(F.struct("rn", "v")).alias("first_s"),
+            F.max(F.struct("rn", "v")).alias("last_s"),
+        )
+        .select("k", "n_rows", F.col("first_s.v").alias("first_v"),
+                F.col("last_s.v").alias("last_v"))
+        .collect()
+    }
+    assert set(got) == set(ref) == {0, 1, 2, 3, 4}
+    assert got[0].n_rows >= 0.85 * n  # the hot key really is hot
+    for k, r in ref.items():
+        g = got[k]
+        assert (g.n_rows, g.first_v, g.last_v) == (r.n_rows, r.first_v, r.last_v), k
+        assert g.n_up == g.n_rows - 1  # every adjacent step was ascending

@@ -689,6 +689,66 @@ def grouped_processor(
     return df.groupBy(*keys).applyInPandas(fn, schema)
 
 
+def streamed_grouped_processor(
+    df: DataFrame,
+    keys: Sequence[str],
+    sort_keys: Sequence[str],
+    fn: Callable,
+    schema: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """KeyValuesReader semantics with BOUNDED per-group memory — the
+    streamed secondary-sort escape hatch SURVEY.md §7 names as the known
+    hard part. grouped_processor (applyInPandas) materializes each key's
+    whole group in one Python worker, which a hot key (one user with
+    10^8 events in a 100TB feed) turns into an OOM; this variant is the
+    reference's actual execution shape: partition by the GROUP keys,
+    sort within partitions by (group, secondary) keys, then stream each
+    group's values through `fn` as an iterator — exactly
+    OrderedGroupedKVInput + ValuesIterator (tez-runtime-library/.../
+    input/OrderedGroupedKVInput.java:77, common/ValuesIterator.java:45;
+    secondary comparator TezRuntimeConfiguration.java:503).
+
+    RDD-level by necessity (the DF surface has no streamed-group
+    iterator), via repartitionAndSortWithinPartitions: PySpark's
+    ExternalSorter spills the sort to disk, so a group larger than
+    worker memory streams instead of OOMing — `fn` sees values in
+    sort_keys order and must itself hold only O(1) state.
+
+    fn(key_tuple, values_iter) -> iterable of output tuples matching
+    `schema`. Rows stream in ascending (keys, sort_keys) order; sort-key
+    columns must not be None (Python cannot order None against values).
+    Prefer window functions / groupBy().agg() whenever the aggregation
+    is expressible declaratively — this is the escape hatch, not the
+    default path."""
+    from itertools import groupby
+
+    n_keys = len(keys)
+    cols = list(keys) + list(sort_keys)
+    rest = [c for c in df.columns if c not in cols]
+    ordered = df.select(*cols, *rest)
+    n_parts = num_partitions or ordered.rdd.getNumPartitions() or 32
+
+    def to_kv(row):
+        return (tuple(row[: len(cols)]), tuple(row))
+
+    def part_fn(composite):
+        import pyspark.rdd as _r
+
+        return _r.portable_hash(composite[:n_keys])
+
+    def run(part):
+        for gk, pairs in groupby(part, key=lambda kv: kv[0][:n_keys]):
+            yield from fn(gk, (v for _, v in pairs))
+
+    out = (
+        ordered.rdd.map(to_kv)
+        .repartitionAndSortWithinPartitions(n_parts, part_fn)
+        .mapPartitions(run, preservesPartitioning=False)
+    )
+    return df.sparkSession.createDataFrame(out, schema)
+
+
 def cogrouped_processor(
     left: DataFrame,
     right: DataFrame,
