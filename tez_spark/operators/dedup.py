@@ -203,56 +203,56 @@ def _verify_pairs(
     """Exact Jaccard for candidate pairs only — the LSH verification stage.
     Cost is O(candidates × shingles-per-doc), never all-pairs.
 
-    Plan shape (round-4 fold of the former candidate-id semi-filter):
-    - A side: the shingle table joins the candidate PAIRS directly on
-      doc_id = da — that one join both restricts to candidate docs and
-      attaches the pair, so the old union(da,db)+distinct semi-filter
-      stage and its extra pass over the shingle table are gone. Per-pair
-      |A| (na) falls out of the same intermediate (shingles are distinct
-      per doc), which also folds away the A half of the separate sizes
-      aggregation + join.
-    - B side keeps a semi-filter: it must shrink BEFORE the (id, shingle)
-      intersection equijoin — at scale an unfiltered corpus would shuffle
-      on (db, sh) to match a pruned candidate list. |B| (nb) is a
-      partition-local agg over the filtered, still-co-partitioned table.
+    Plan shape (r6 rewrite — set-per-doc instead of pair-expansion): each
+    side's candidate doc ids semi-filter its shingle table ONCE, one
+    groupBy folds the surviving shingles into a per-doc SET (docs are
+    bounded — a set is one array cell, and |A| is just its size), and the
+    candidate pairs join the two set tables to score
+    |A∩B| / (|A|+|B|-|A∩B|) with array_intersect, entirely map-side when
+    the sides broadcast. Compared with the former pair-expanded shape
+    (shingles joined to pairs, three aggregations, an (id, sh) equijoin,
+    two stitch-back joins) this halves the stage count and scans each
+    shingle table once — the per-run floor dedup_incremental pays per
+    batch (r5 verdict: the ~30-stage floor WAS the residual). Bytes
+    moved are unchanged: O(candidate docs × doc size) either way.
 
     broadcast_small: when the candidate set is known to be pruned-small
-    (the MinHash-LSH path), broadcast every candidate-bounded side
+    (the MinHash-LSH path), broadcast the candidate-bounded sides
     explicitly rather than letting AQE discover it one shuffle-stage at
-    a time (at sf0.1 the unhinted plan ran 38 stages / 424 tasks for
-    ~400 surviving docs). Callers whose candidate set can be LARGE
-    (prefix filtering on a dense corpus) must pass False — an explicit
-    broadcast hint overrides size thresholds and would collect the whole
-    candidate table to the driver.
+    a time. Callers whose candidate set can be LARGE (prefix filtering
+    on a dense corpus) must pass False — an explicit broadcast hint
+    overrides size thresholds and would collect the whole candidate
+    table to the driver.
 
     sh_b: when the caller KNOWS every db comes from a smaller table (the
     incremental path: db is always a new-batch doc), pass that table so
     the b-side semi-filter scans it instead of the full corpus union."""
     maybe_b = F.broadcast if broadcast_small else (lambda df: df)
-    a_sh = sh.join(maybe_b(cand), F.col(id_col) == F.col("da")).select(
-        "da", "db", "sh"
-    )
-    na = a_sh.groupBy("da", "db").agg(F.count(F.lit(1)).alias("na"))
-    b_ids = cand.select(F.col("db").alias(id_col)).distinct()
-    b_sh = (sh_b if sh_b is not None else sh).join(
-        maybe_b(b_ids), id_col, "left_semi"
-    )
-    nb = b_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nb"))
-    inter = (
-        a_sh.join(
-            b_sh.select(F.col(id_col).alias("db_r"), F.col("sh").alias("shb")),
-            (F.col("db") == F.col("db_r")) & (F.col("sh") == F.col("shb")),
+
+    def doc_sets(table: DataFrame, ids: DataFrame, out: str) -> DataFrame:
+        return (
+            table.join(maybe_b(ids), id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(F.collect_set("sh").alias(out))
         )
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("i"))
+
+    a_sets = doc_sets(sh, cand.select(F.col("da").alias(id_col)).distinct(), "sha")
+    b_sets = doc_sets(
+        sh_b if sh_b is not None else sh,
+        cand.select(F.col("db").alias(id_col)).distinct(),
+        "shb",
     )
     return (
-        inter.join(maybe_b(na), ["da", "db"])
-        .join(maybe_b(nb.select(F.col(id_col).alias("db"), "nb")), "db")
+        cand.join(maybe_b(a_sets.select(F.col(id_col).alias("da"), "sha")), "da")
+        .join(maybe_b(b_sets.select(F.col(id_col).alias("db"), "shb")), "db")
+        .withColumn("_i", F.size(F.array_intersect("sha", "shb")))
         .select(
             "da",
             "db",
-            (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("j"),
+            (
+                F.col("_i")
+                / (F.size("sha") + F.size("shb") - F.col("_i"))
+            ).alias("j"),
         )
     )
 
