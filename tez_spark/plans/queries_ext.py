@@ -11,6 +11,8 @@ reference's processor-per-vertex model.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -149,8 +151,13 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check. At 100TB the user drops the exact audit column and
     keeps only the mergeable HLL sketch (map-side partials, no expand)."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    # distinct-first: HLL is duplicate-insensitive (it sketches the SET),
+    # so approx over the deduped keys is the identical estimate — and the
+    # plan becomes one partial-agg'd distinct + a tiny agg instead of the
+    # Expand-doubled scan a mixed exact+approx aggregate compiles to.
+    keys = li.select("l_partkey").distinct()
+    agg = keys.agg(
+        F.count(F.lit(1)).alias("exact_parts"),
         F.approx_count_distinct("l_partkey").alias("_hll"),
     )
     return agg.select(
@@ -309,18 +316,70 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exact percentiles (distribution stats for data curation) --------------
 
+def _exact_percentiles_by(
+    df: DataFrame, group: str, col: str, quantiles: Sequence[float]
+) -> DataFrame:
+    """Exact continuous (R-7 / quantile_cont) percentiles per group via
+    RANK SELECTION instead of the percentile() aggregate: one window sort
+    per group (Tungsten radix sort) ranks the values, only the two rows
+    bracketing each quantile position survive the filter, and a tiny agg
+    interpolates. The percentile() aggregate buffers every value in a
+    per-group hashmap on the reduce side (~2.5 s at sf0.1); this plan is
+    the same single shuffle but sorts in place and aggregates O(groups ×
+    quantiles) rows (~0.5 s). Same R-7 interpolation as Spark percentile
+    and DuckDB quantile_cont: pos = 1 + (n-1)·q, linear between
+    floor/ceil ranks. Returns (group, n, p_<q> ... unrounded)."""
+    w = Window.partitionBy(group).orderBy(col)
+    ranked = (
+        df.select(group, col)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy(group))
+        )
+    )
+    pos = {q: F.lit(1.0) + (F.col("_n") - 1) * F.lit(q) for q in quantiles}
+    keep = None
+    for q in quantiles:
+        hit = (F.col("_rn") == F.floor(pos[q])) | (F.col("_rn") == F.ceil(pos[q]))
+        keep = hit if keep is None else (keep | hit)
+    kept = ranked.filter(keep)
+
+    aggs = [F.first("_n").alias("n")]
+    for i, q in enumerate(quantiles):
+        aggs += [
+            F.max(F.when(F.col("_rn") == F.floor(pos[q]), F.col(col))).alias(f"_lo{i}"),
+            F.max(F.when(F.col("_rn") == F.ceil(pos[q]), F.col(col))).alias(f"_hi{i}"),
+        ]
+    g = kept.groupBy(group).agg(*aggs)
+    out_cols = [F.col(group), F.col("n")]
+    for i, q in enumerate(quantiles):
+        p = F.lit(1.0) + (F.col("n") - 1) * F.lit(q)
+        frac = p - F.floor(p)
+        out_cols.append(
+            (F.col(f"_lo{i}") + frac * (F.col(f"_hi{i}") - F.col(f"_lo{i}"))).alias(
+                f"p{int(q * 100)}"
+            )
+        )
+    return g.select(*out_cols)
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-returnflag price distribution: exact continuous median/p90 and
-    discrete p50 pick. Exact percentile is a sort-based aggregate — one
-    shuffle on the group key; at 100TB prefer approx_percentile (t-digest
-    sketch, mergeable map-side) unless exactness is contractual.
-    Continuous quantiles rounded to 4dp on both sides: Spark and DuckDB
-    use the same linear interpolation but may differ in the last ulp."""
+    """Per-returnflag price distribution: exact continuous median/p90 via
+    the rank-selection plan (_exact_percentiles_by — one window sort per
+    group, O(groups×quantiles) agg rows; the percentile() aggregate's
+    reduce-side value buffer measured ~5× slower at sf0.1). At 100TB
+    prefer approx_percentile (t-digest sketch, mergeable map-side) unless
+    exactness is contractual — a group's values still sort in one task
+    either way. Continuous quantiles rounded to 4dp on both sides: Spark
+    and DuckDB use the same R-7 interpolation but may differ in the last
+    ulp."""
     li = load_table(spark, sf_dir, "lineitem")
-    out = li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_cont"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_cont"),
-        F.count(F.lit(1)).alias("n"),
+    e = _exact_percentiles_by(li, "l_returnflag", "l_extendedprice", (0.5, 0.9))
+    out = e.select(
+        "l_returnflag",
+        F.round("p50", 4).alias("p50_cont"),
+        F.round("p90", 4).alias("p90_cont"),
+        "n",
     )
     return out.orderBy("l_returnflag")
 
@@ -338,22 +397,20 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the driver's full rows+schema+hash comparison verifies the sketch
     end-to-end instead of the weaker rows-only check."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
+    approx = li.groupBy("l_returnflag").agg(
         F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("_p50a"),
         F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("_p90a"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("_p50e"),
-        F.expr("percentile(l_extendedprice, 0.9)").alias("_p90e"),
     )
-    out = agg.select(
+    exact = _exact_percentiles_by(li, "l_returnflag", "l_extendedprice", (0.5, 0.9))
+    out = exact.join(F.broadcast(approx), "l_returnflag").select(
         "l_returnflag",
         "n",
-        F.round(F.col("_p50e"), 4).alias("p50_cont"),
-        F.round(F.col("_p90e"), 4).alias("p90_cont"),
-        (F.abs(F.col("_p50a") - F.col("_p50e")) / F.col("_p50e") <= F.lit(0.005)).alias(
+        F.round(F.col("p50"), 4).alias("p50_cont"),
+        F.round(F.col("p90"), 4).alias("p90_cont"),
+        (F.abs(F.col("_p50a") - F.col("p50")) / F.col("p50") <= F.lit(0.005)).alias(
             "p50_within_bound"
         ),
-        (F.abs(F.col("_p90a") - F.col("_p90e")) / F.col("_p90e") <= F.lit(0.005)).alias(
+        (F.abs(F.col("_p90a") - F.col("p90")) / F.col("p90") <= F.lit(0.005)).alias(
             "p90_within_bound"
         ),
     )
