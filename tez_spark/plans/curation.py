@@ -623,7 +623,79 @@ def _oracle_sql() -> str:
     """
 
 
+MIX_ALPHA = 0.5
+MIX_BUDGET = 100_000
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source sampling allocation — the mix-weighting
+    primitive of multilingual/multi-source pretraining (sample source i
+    with probability ∝ p_i^α, α=0.5: upweights small sources relative to
+    their raw token share, the standard smoothing used since mBERT/XLM-R;
+    complements source_cap, which bounds a source AFTER weights decide
+    the mix). Reports per source: docs, tokens, raw token share, the
+    α-tempered sampling weight w_i = tokens_i^α / Σ_j tokens_j^α (the
+    tot^α normalization cancels), and the expected document allocation
+    for a MIX_BUDGET-doc sample.
+
+    Plan: one map-side token count + one shuffle on source; the
+    normalization runs over the per-source summary (rows = #sources, a
+    broadcast-sized table at any corpus scale — a window with no
+    partition key is fine HERE and only here, and Catalyst plans it as a
+    single-partition exchange of #sources rows, not of data). Weights
+    rounded 6dp on both engines before the allocation product so the
+    float pow/round agree."""
+    from tez_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).cast("long").alias("sum_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()  # #sources rows — see docstring
+    tempered = F.pow(F.col("sum_tokens").cast("double"), F.lit(MIX_ALPHA))
+    out = (
+        per_src.withColumn("_tot", F.sum("sum_tokens").over(w_all))
+        .withColumn("_z", F.sum(tempered).over(w_all))
+        .select(
+            "source",
+            "n_docs",
+            "sum_tokens",
+            F.round(F.col("sum_tokens") / F.col("_tot"), 6).alias("token_share"),
+            F.round(tempered / F.col("_z"), 6).alias("mix_weight"),
+            F.round(F.round(tempered / F.col("_z"), 6) * MIX_BUDGET)
+            .cast("long")
+            .alias("alloc_docs"),
+        )
+    )
+    return out.orderBy("source")
+
+
+_SOURCE_MIX_SQL = f"""
+    WITH s AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> '')))
+                    AS BIGINT) AS sum_tokens
+        FROM documents GROUP BY 1
+    ), t AS (
+        SELECT SUM(sum_tokens) AS tot,
+               SUM(POW(CAST(sum_tokens AS DOUBLE), {MIX_ALPHA})) AS z
+        FROM s
+    )
+    SELECT source, n_docs, sum_tokens,
+           round(sum_tokens / tot, 6) AS token_share,
+           round(POW(CAST(sum_tokens AS DOUBLE), {MIX_ALPHA}) / z, 6) AS mix_weight,
+           CAST(round(round(POW(CAST(sum_tokens AS DOUBLE), {MIX_ALPHA}) / z, 6)
+                      * {MIX_BUDGET}) AS BIGINT) AS alloc_docs
+    FROM s, t ORDER BY source
+"""
+
+
 QUERIES = {
+    "source_mix": q_source_mix,
     "curation_pipeline": q_curation_pipeline,
     "curation_pipeline_lsh": q_curation_pipeline_lsh,
     "train_split": q_train_split,
@@ -635,6 +707,7 @@ QUERIES = {
     "source_cap": q_source_cap,
 }
 ORACLE = {
+    "source_mix": _SOURCE_MIX_SQL,
     "source_cap": _source_cap_sql(),
     "curation_pipeline": _oracle_sql(),
     # the LSH twin verifies exactly on candidates; same oracle (see

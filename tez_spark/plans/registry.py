@@ -47,13 +47,13 @@ _PRIORITY: tuple[str, ...] = (
     "string_agg", "text_logprob", "text_winnow", "time_gapfill",
     "tpch05", "tpch10", "tpch12", "tpch14", "tpch15", "tpch18", "tpch21",
     "unpivot", "window_funcs",
-    # 2. newly oracled this round — first driver row
-    "approx_distinct", "percentiles_approx",
+    # 2. new/newly-oracled this round — first driver row
+    "approx_distinct", "percentiles_approx", "source_mix",
     # 3. flagship-scale rotations (green r5; code or plan touched this
     #    round, or the scale path warrants every-round verification)
     "cross_join_chunked", "dedup_incremental", "dedup_minhash_lsh",
     "curation_pipeline_lsh", "embedding_incremental", "dedup_clusters",
-    "decontaminate", "dedup_embedding_clusters",
+    "decontaminate",
 )
 
 
