@@ -357,3 +357,107 @@ def test_streaming_ingest_dedup_matches_incremental_batch(spark, tmp_path):
         lambda pairs, bid: replay.extend(pairs.collect()),
     )
     assert replay == [], "restart re-processed committed batches"
+
+
+def test_streaming_ann_ingest_grows_index_and_recalls(spark, tmp_path):
+    """maintain_ann: streaming the new-batch vectors through 3
+    micro-batches against the GROWING IVF index. Each arrival is
+    reported exactly once, with neighbors drawn from the corpus AND
+    earlier arrivals (index growth observable whenever the exact truth
+    says a prior arrival belongs in the top-k); per-vector recall vs the
+    numpy exact truth over (corpus + prior arrivals) meets the same
+    floor as the batch IVF paths; restart reprocesses nothing."""
+    import glob
+    import shutil
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tez_spark.sources.catalog import load_table
+    from tez_spark.streaming.ingest import maintain_ann
+
+    K = 5
+    emb = load_table(spark, SF_DIR, "embeddings")
+    h = F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8"))
+    corpus = emb.filter(F.substring(h, 1, 2) < "e6")
+    batch = emb.filter(F.substring(h, 1, 2) >= "e6").select("vec_id", "embedding")
+
+    stream_dir = str(tmp_path / "arrivals")
+    os.makedirs(stream_dir)
+    for i in range(3):
+        batch.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(
+            os.path.join(stream_dir, f"arrival_{i}")
+        )
+    files = sorted(glob.glob(os.path.join(stream_dir, "arrival_*", "*.parquet")))
+    for i, f in enumerate(files):
+        shutil.move(f, os.path.join(stream_dir, f"batch_{i}.parquet"))
+    for d in glob.glob(os.path.join(stream_dir, "arrival_*")):
+        shutil.rmtree(d)
+
+    reported: dict[int, list] = {}
+
+    def report(topk, batch_id):
+        reported[batch_id] = topk.collect()
+
+    maintain_ann(spark, SF_DIR, str(tmp_path / "store"), stream_dir, report, k=K)
+    assert len(reported) >= 3, "stream did not split into micro-batches"
+
+    # numpy exact truth, replaying arrival order
+    def mat(df):
+        rows = df.select("vec_id", "embedding").collect()
+        ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+        V = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        return ids, V
+
+    c_ids, C = mat(corpus)
+    arrival_order = sorted(reported)
+    prior_ids, prior_V = c_ids, C
+    n_hits = n_truth = 0
+    prior_arrival_neighbor_in_truth = prior_arrival_neighbor_reported = False
+    arrival_id_sets = {
+        bid: {r.q_id for r in rows} for bid, rows in reported.items()
+    }
+    for bid in arrival_order:
+        rows = reported[bid]
+        b_ids, B = mat(batch.filter(F.col("vec_id") % 3 == (bid % 3)))
+        id_to_row = {int(i): r for r, i in enumerate(b_ids)}
+        sims = B @ prior_V.T
+        got_by_q: dict[int, set] = {}
+        for r in rows:
+            got_by_q.setdefault(r.q_id, set()).add(r.vec_id)
+        for q_id, got_n in got_by_q.items():
+            s = sims[id_to_row[q_id]]
+            top = prior_ids[np.argsort(-s)[:K]]
+            truth = set(int(x) for x in top)
+            n_truth += len(truth)
+            n_hits += len(truth & got_n)
+            arrived_before = set(int(x) for x in prior_ids) - set(
+                int(x) for x in c_ids
+            )
+            if truth & arrived_before:
+                prior_arrival_neighbor_in_truth = True
+                if got_n & arrived_before:
+                    prior_arrival_neighbor_reported = True
+        prior_ids = np.concatenate([prior_ids, b_ids])
+        prior_V = np.vstack([prior_V, B])
+
+    # exactly once: every arrival's top-k reported in exactly ONE batch
+    # (per-batch q_id sets are pairwise disjoint)
+    total = sum(len(s) for s in arrival_id_sets.values())
+    assert total == len(set().union(*arrival_id_sets.values()))
+    recall = n_hits / max(n_truth, 1)
+    assert recall >= 0.3, f"streaming IVF recall collapsed: {recall:.2f}"
+    # the index really grew: when the truth contains a prior arrival as a
+    # neighbor, the probe (which read the appended cells) found one too
+    if prior_arrival_neighbor_in_truth:
+        assert prior_arrival_neighbor_reported, (
+            "no reported neighbor ever came from an appended batch"
+        )
+
+    replay: dict[int, list] = {}
+    maintain_ann(
+        spark, SF_DIR, str(tmp_path / "store"), stream_dir,
+        lambda t, b: replay.setdefault(b, t.collect()), k=K,
+    )
+    assert replay == {}, "restart re-processed committed batches"

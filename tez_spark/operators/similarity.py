@@ -224,16 +224,25 @@ def ivf_assign(
     n_cells: int = IVF_CELLS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
 ) -> tuple[DataFrame, np.ndarray]:
     """IVF coarse quantizer: (assignments, centroids).
 
     Assignment is map-side: each Arrow batch does one matmul against the
     broadcast normalized centroid matrix and takes argmax — no shuffle;
     the returned assignment table carries the vector so probing needs no
-    join back to the corpus."""
+    join back to the corpus.
+
+    Pass `centroids` (already normalized) to assign NEW vectors into an
+    EXISTING index's cells — the IVF append path a streaming ingest uses
+    (centroids stay fixed so earlier cell assignments remain valid)."""
     import pandas as pd
 
-    Cn = _sample_centroids(df, n_cells, id_col=id_col, vec_col=vec_col)
+    Cn = (
+        centroids
+        if centroids is not None
+        else _sample_centroids(df, n_cells, id_col=id_col, vec_col=vec_col)
+    )
     bcast = df.sparkSession.sparkContext.broadcast(Cn)
 
     def assign(batches):
@@ -688,7 +697,7 @@ def write_ivf_index(
 
 def _probe_index_chunk(
     spark: SparkSession,
-    path: str,
+    vectors: DataFrame,
     q_ids: "np.ndarray",
     Qn: "np.ndarray",
     k: int,
@@ -697,7 +706,9 @@ def _probe_index_chunk(
     Cn: "np.ndarray",
 ) -> DataFrame:
     """One probe job over a bounded, already-normalized query block: rank
-    cells, scan only the probed cell partitions, exact cosine re-rank to
+    cells, scan only the probed cell partitions of `vectors` (a
+    cell-partitioned (cell, id, v) table — the isin filter prunes
+    partition directories at planning time), exact cosine re-rank to
     per-query top-k."""
     import pandas as pd
 
@@ -707,7 +718,7 @@ def _probe_index_chunk(
             cell_to_qrows.setdefault(int(c), []).append(j)
     probed = sorted(cell_to_qrows)
 
-    vec = spark.read.parquet(path + "/vectors").filter(F.col("cell").isin(probed))
+    vec = vectors.filter(F.col("cell").isin(probed))
     bc = spark.sparkContext.broadcast((cell_to_qrows, q_ids, Qn))
 
     def score(batches):
@@ -749,6 +760,7 @@ def ann_ivf_probe_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_chunk_rows: int | None = None,
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a persisted IVF index: per query, rank cells against the
     (tiny, collected) centroid table, scan ONLY the probed cell
@@ -769,6 +781,9 @@ def ann_ivf_probe_index(
     for r in cent:
         Cn[r.cell] = r.centroid
     nprobe = min(nprobe, Cn.shape[0])
+    # `vectors` override: probe a GROWN store (seed index + streamed
+    # appends, maintain_ann) instead of the path's own vectors table
+    vec = vectors if vectors is not None else spark.read.parquet(path + "/vectors")
 
     q_sel = queries.select(F.col(id_col).alias("q_id"), as_double(vec_col).alias("v"))
 
@@ -776,7 +791,7 @@ def ann_ivf_probe_index(
         q_ids = np.array([r.q_id for r in rows], dtype=np.int64)
         Q = np.array([list(r.v) for r in rows], dtype=np.float64)
         Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
-        return _probe_index_chunk(spark, path, q_ids, Qn, k, nprobe, id_col, Cn)
+        return _probe_index_chunk(spark, vec, q_ids, Qn, k, nprobe, id_col, Cn)
 
     if probe_chunk_rows is None:
         out = block(q_sel.collect())

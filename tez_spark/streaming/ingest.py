@@ -136,3 +136,105 @@ def maintain_dedup(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def maintain_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    stream_dir: str,
+    report,
+    k: int = 5,
+) -> None:
+    """Streaming ANN ingest — the continuous form of ann_incremental, and
+    the ANN twin of maintain_dedup: new vectors arrive as a stream, every
+    micro-batch is top-k-probed against a GROWING persisted IVF index
+    (corpus seed + every earlier-committed batch), then IVF-APPENDED into
+    the index's cells — centroids stay fixed, so earlier assignments
+    remain valid and the append is one map-side assignment matmul + a
+    cell-partitioned write (the standard IVF ingest path; periodic
+    centroid re-training is a rebuild via write_ivf_index, out of band).
+
+    Each arrival is reported exactly once, with neighbors drawn from all
+    PRIOR content only (its own batch is probed before the batch
+    commits — same pre-commit-store discipline as maintain_dedup, so a
+    vector never reports itself and replayed batches are idempotent:
+    per-batch append subdirs are overwrite-mode).
+
+    `report(topk_df, batch_id)` receives (q_id, vec_id, sim, rn) rows.
+    """
+    from tez_spark.operators.similarity import (
+        ann_ivf_probe_index,
+        ivf_assign,
+        write_ivf_index,
+    )
+    from tez_spark.sources.catalog import load_table
+
+    import numpy as np
+
+    idx = os.path.join(store_dir, "index")
+    if not os.path.exists(os.path.join(idx, "centroids")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        h = F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8"))
+        corpus = emb.filter(F.substring(h, 1, 2) < "e6")
+        write_ivf_index(corpus, idx)
+
+    cent = spark.read.parquet(os.path.join(idx, "centroids")).collect()
+    Cn = np.zeros((len(cent), len(cent[0].centroid)))
+    for r in cent:
+        Cn[r.cell] = r.centroid
+
+    def store_vectors() -> DataFrame:
+        vec = spark.read.parquet(os.path.join(idx, "vectors"))
+        appends = sorted(
+            d
+            for d in os.listdir(store_dir)
+            if d.startswith("append_")
+            and os.path.isdir(os.path.join(store_dir, d))
+        )
+        for d in appends:
+            vec = vec.unionByName(
+                spark.read.parquet(os.path.join(store_dir, d))
+            )
+        return vec
+
+    schema = "vec_id long, embedding array<float>"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        topk = ann_ivf_probe_index(
+            spark,
+            idx,
+            batch_df,
+            k=k,
+            probe_chunk_rows=10_000,
+            vectors=store_vectors(),
+        )
+        report(topk, batch_id)
+        # commit AFTER reporting: assign the batch into the fixed
+        # centroids' cells and append; overwrite of the batch's OWN
+        # subdir keeps crash replays idempotent
+        assigned, _ = ivf_assign(batch_df, centroids=Cn)
+        (
+            assigned.select(
+                "cell", F.col("_id").alias("vec_id"), F.col("_v").alias("v")
+            )
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(store_dir, f"append_{batch_id}"))
+        )
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(stream_dir)
+    q = (
+        stream.writeStream.option(
+            "checkpointLocation", os.path.join(store_dir, "checkpoint")
+        )
+        .foreachBatch(process)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
