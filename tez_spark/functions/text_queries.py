@@ -87,47 +87,41 @@ def langid_of(docs: DataFrame) -> DataFrame:
     rationale): count marker hits per language, argmax with lexicographic
     tie-break, 'und' when no marker matches.
 
-    Plan shape: explode tokens -> broadcast join against the (tiny) marker
-    table -> two-level agg -> struct-MIN argmax. The explode blowup is
-    linear in corpus size and the join side is broadcast — scales to any
-    corpus.
+    Plan shape (r6 rewrite): ZERO-SHUFFLE map-side scoring. The marker
+    table is 4 langs × 6 words — small enough to live IN the expression:
+    per language, hits = size(filter(tokens, t -> array_contains(markers,
+    t))) over the once-materialized token array, and the argmax is
+    array_min over (−hits, lang) structs. The former shape (explode →
+    broadcast join → two aggregations → join back to docs) shuffled the
+    corpus twice and re-joined it once to compute what is a per-ROW
+    function of the document; per-row work is identical (each token
+    checks the same 24 marker words either way), so at any corpus size
+    this is the same compute minus three exchanges. If the marker
+    vocabulary ever grows beyond expression size (thousands of n-grams),
+    revert to the broadcast-join shape — that is what broadcast is for.
     """
-    spark = docs.sparkSession
-    markers = spark.createDataFrame(
-        [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws],
-        "pred_lang string, word string",
-    )
-    from tez_spark.operators.core import fan_out
+    toks = F.col("_toks")
+    base = docs.select("doc_id", "lang", X.tokens("text").alias("_toks"))
+    def marker_hit(m):
+        # closure, NOT a defaulted second lambda arg: pyspark reads a
+        # 2-arg lambda as the (element, index) form
+        return lambda t: F.array_contains(m, t)
 
-    toks = fan_out(docs.select("doc_id", "text")).select(
-        "doc_id", F.explode(X.tokens("text")).alias("word")
-    )
-    hits = (
-        toks.join(F.broadcast(markers), "word")
-        .groupBy("doc_id", "pred_lang")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    # argmax by (hits DESC, pred_lang ASC) as a struct-MIN aggregate:
-    # partial-aggregable (map-side combine), no extra shuffle+sort the
-    # row_number window would need.
-    best = (
-        hits.groupBy("doc_id")
-        .agg(
-            F.min(
-                F.struct((-F.col("hits")).alias("nh"), F.col("pred_lang"))
-            ).alias("b")
+    lang_structs = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        hits = F.size(F.filter(toks, marker_hit(markers))).cast("long")
+        lang_structs.append(
+            F.struct((-hits).alias("nh"), F.lit(lang).alias("pred_lang"))
         )
-        .select(
-            "doc_id",
-            F.col("b.pred_lang").alias("pred_lang"),
-            (-F.col("b.nh")).cast("long").alias("hits"),
-        )
-    )
-    return docs.select("doc_id", "lang").join(best, "doc_id", "left").select(
+    best = F.array_min(F.array(*lang_structs))
+    return base.select(
         "doc_id",
         "lang",
-        F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
-        F.coalesce("hits", F.lit(0)).alias("hits"),
+        F.when(best["nh"] < 0, best["pred_lang"]).otherwise(F.lit("und")).alias(
+            "pred_lang"
+        ),
+        (-best["nh"]).alias("hits"),
     )
 
 

@@ -471,14 +471,25 @@ def q_tpch21(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
         F.sum("late").alias("n_late_rows")
     )
-    per_o = per_os.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.expr("count_if(n_late_rows > 0)").alias("n_late_supp"),
-    )
+    # per-order supplier counts as a WINDOW over the per-(order,supplier)
+    # aggregate instead of a re-aggregate + self-join: the two-branch
+    # shape recomputed the whole lineitem⋈orders subtree (no exchange
+    # reuse — 5 exchanges, double scan); this is one lineage, one extra
+    # exchange on the order key, same answer (r6 plan audit).
+    from pyspark.sql import Window
+
+    w_o = Window.partitionBy("l_orderkey")
     qual = (
-        per_os.filter(F.col("n_late_rows") > 0)
-        .join(per_o, per_os.l_orderkey == F.col("ok"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w_o))
+        .withColumn(
+            "n_late_supp",
+            F.sum((F.col("n_late_rows") > 0).cast("long")).over(w_o),
+        )
+        .filter(
+            (F.col("n_late_rows") > 0)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
     )
     out = (
         qual.join(F.broadcast(supp), qual.l_suppkey == supp.s_suppkey)
