@@ -507,3 +507,116 @@ def test_streamed_grouped_processor_hot_key_bounded_memory(spark):
         g = got[k]
         assert (g.n_rows, g.first_v, g.last_v) == (r.n_rows, r.first_v, r.last_v), k
         assert g.n_up == g.n_rows - 1  # every adjacent step was ascending
+
+
+def test_dag_custom_edge_routes_rows_exactly(spark):
+    """CUSTOM DataMovement (EdgeManagerPluginOnDemand parity,
+    tez-api/.../dag/api/EdgeManagerPluginOnDemand.java:186-340): a
+    user-supplied router decides each row's destination partition
+    EXACTLY — placement hash/range partitioning cannot express (here:
+    all 'hot' keys pinned to partition 0, the rest spread round-robin).
+    Asserts per-partition contents follow the routing decision and the
+    data survives the RDD hop intact."""
+    import pyspark.sql.functions as F
+
+    from tez_spark.plans import DAGBuilder, DataMovement
+
+    N_PARTS = 4
+
+    def router(row):
+        return 0 if row.k < 100 else 1 + (row.k % (N_PARTS - 1))
+
+    dag = DAGBuilder("custom_route")
+    dag.add_vertex(
+        "src",
+        source=lambda s: s.range(1000).select(F.col("id").alias("k")),
+    )
+    dag.add_vertex("sink", processor=lambda dfs: dfs[0])
+    dag.add_edge(
+        "src", "sink", DataMovement.CUSTOM, num_partitions=N_PARTS,
+        router=router,
+    )
+    out = dag.build(spark)["sink"]
+
+    placed = out.withColumn("p", F.spark_partition_id()).collect()
+    assert {r.k for r in placed} == set(range(1000))  # intact through the hop
+    for r in placed:
+        assert r.p == router(r), (r.k, r.p)
+
+    # the contract is validated at declaration time
+    import pytest as _pytest
+
+    bad = DAGBuilder("no_router")
+    bad.add_vertex("a", source=lambda s: s.range(1))
+    bad.add_vertex("b", processor=lambda dfs: dfs[0])
+    with _pytest.raises(ValueError, match="CUSTOM edge requires"):
+        bad.add_edge("a", "b", DataMovement.CUSTOM, num_partitions=4)
+
+
+def test_mrjob_translator_wordcount_and_mrr_chain(spark):
+    """MR-job-on-engine translator (YARNRunner.createDAG parity,
+    tez-mapreduce/.../client/YARNRunner.java:405-410,479): a Hadoop-shaped
+    mapper/combiner/reducer triple runs unchanged — wordcount equals the
+    DataFrame plan — and `then()` chains a second reduce stage (MRR,
+    MRRSleepJob shape) equal to two declarative groupBys."""
+    import pyspark.sql.functions as F
+
+    from tez_spark.plans.mrjob import MRJob
+    from tez_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        F.col("doc_id").cast("string").alias("key"), F.col("text").alias("value")
+    )
+
+    def tok_mapper(_key, text):  # TokenProcessor (WordCount.java:74-103)
+        for w in text.split(" "):
+            if w:
+                yield (w, 1)
+
+    def sum_reducer(key, values):  # SumProcessor (WordCount.java:114-139)
+        yield (key, sum(values))
+
+    got = {
+        (r.key, r.value)
+        for r in MRJob(tok_mapper, sum_reducer, combiner=sum_reducer)
+        .run(spark, docs)
+        .collect()
+    }
+    want = {
+        (r.word, r.c)
+        for r in load_table(spark, SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == want and got
+
+    # MRR: stage 2 re-keys word counts by count-bucket and counts words
+    # per bucket — map -> reduce -> reduce with one shuffle per stage
+    def bucket_reducer(key, values):
+        yield (str(sum(values) // 10), 1)
+
+    def count_reducer(key, values):
+        yield (key, sum(values))
+
+    mrr = (
+        MRJob(tok_mapper, bucket_reducer, combiner=sum_reducer)
+        .then(count_reducer)
+        .run(spark, docs)
+    )
+    got2 = {(r.key, r.value) for r in mrr.collect()}
+    want2 = {
+        (r.b, r.n)
+        for r in load_table(spark, SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.floor(F.col("c") / 10).cast("string").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    assert got2 == want2 and got2

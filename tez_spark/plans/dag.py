@@ -10,9 +10,11 @@ a plain DataFrame pipeline that Catalyst optimizes end-to-end. The
 physical machinery Tez implements (sorters, shuffle, merges, vertex
 managers) is Spark's — the facade never schedules anything itself.
 
-CUSTOM edges (EdgeManagerPluginOnDemand.java:186-340) and CONCURRENT
-scheduling (EdgeProperty.java:102-107) are unshipped extension points in
-the reference and are out of scope (SURVEY.md §4).
+CUSTOM edges (EdgeManagerPluginOnDemand.java:186-340) are supported as a
+user-supplied row→partition router compiled to one RDD custom-Partitioner
+hop (r6 — see DataMovement.CUSTOM for the tradeoff). CONCURRENT
+scheduling (EdgeProperty.java:102-107) remains out of scope: it is an
+@Unstable unimplemented placeholder in the reference itself (SURVEY.md §4).
 
 Example (WordCount DAG, tez-examples/.../WordCount.java:130-160)::
 
@@ -39,6 +41,17 @@ class DataMovement(enum.Enum):
     ONE_TO_ONE = "one_to_one"          # narrow dependency: no exchange
     BROADCAST = "broadcast"            # ship whole dataset to every consumer
     SCATTER_GATHER = "scatter_gather"  # hash exchange on declared keys
+    # CUSTOM: user-defined routing of rows to destination partitions —
+    # the EdgeManagerPluginOnDemand extension point
+    # (tez-api/.../dag/api/EdgeManagerPluginOnDemand.java:186-340:
+    # routeInputSourceTaskIndexToDestination et al.). Spark's DF surface
+    # has no arbitrary-routing exchange, so this edge drops to an RDD
+    # custom Partitioner for exactly one hop and re-enters the DataFrame
+    # world with the same schema — the honest mapping SURVEY §1.2 names.
+    # Use only when hash/range/broadcast genuinely cannot express the
+    # placement (e.g. locality-pinned routing); Catalyst cannot optimize
+    # across the RDD boundary.
+    CUSTOM = "custom"
 
 
 class CommitScope(enum.Enum):
@@ -74,6 +87,7 @@ class _Edge:
     movement: DataMovement
     keys: Sequence[str] = field(default_factory=tuple)
     num_partitions: int | None = None
+    router: Callable | None = None  # CUSTOM: Row -> destination partition
 
 
 class DAGBuilder:
@@ -114,10 +128,20 @@ class DAGBuilder:
         movement: DataMovement = DataMovement.ONE_TO_ONE,
         keys: Sequence[str] = (),
         num_partitions: int | None = None,
+        router: Callable | None = None,
     ) -> "DAGBuilder":
         if movement is DataMovement.SCATTER_GATHER and not keys:
             raise ValueError("SCATTER_GATHER edge requires partition keys")
-        self._edges.append(_Edge(src, dst, movement, tuple(keys), num_partitions))
+        if movement is DataMovement.CUSTOM and (
+            router is None or not num_partitions
+        ):
+            raise ValueError(
+                "CUSTOM edge requires router (Row -> partition) and "
+                "num_partitions — the EdgeManagerPlugin contract"
+            )
+        self._edges.append(
+            _Edge(src, dst, movement, tuple(keys), num_partitions, router)
+        )
         return self
 
     # -- compile (DAG.verify + createDag analog: topological check, then
@@ -156,6 +180,17 @@ class DAGBuilder:
             if edge.num_partitions:
                 return df.repartition(edge.num_partitions, *edge.keys)
             return df.repartition(*edge.keys)
+        if edge.movement is DataMovement.CUSTOM:
+            # one RDD hop: router decides each row's destination partition
+            # exactly (identity partitionFunc — the index IS the routing
+            # decision), then the same schema re-enters the DF world
+            n, router = edge.num_partitions, edge.router
+            routed = (
+                df.rdd.map(lambda r: (router(r) % n, r))
+                .partitionBy(n, lambda idx: idx)
+                .map(lambda kv: kv[1])
+            )
+            return df.sparkSession.createDataFrame(routed, df.schema)
         return df  # ONE_TO_ONE: narrow chaining
 
     def build(self, spark: SparkSession) -> dict[str, DataFrame]:
