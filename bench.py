@@ -187,6 +187,25 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     n_samples: dict[str, int] = {}
+    all_samples: dict[str, list[float]] = {n: [] for n in queries}
+    failed: set[str] = set()
+
+    def aggregate() -> None:
+        """min/median per query from whatever samples exist so far —
+        callable mid-run (SIGTERM partial emit) or at completion."""
+        for name, s in all_samples.items():
+            if name in failed or not s:
+                timings[name] = -1.0
+                n_samples[name] = len(s)
+                continue
+            # MIN of the samples: bursts only inflate, so the minimum is
+            # the least-contaminated observation of the warm plan's true
+            # cost and is what idle-box medians converge to. Medians stay
+            # in the diagnostics line for cross-checking.
+            s_sorted = sorted(s)
+            timings[name] = round(s_sorted[0], 3)
+            medians[name] = round(s_sorted[len(s_sorted) // 2], 3)
+            n_samples[name] = len(s)
 
     def emit(partial: bool = False) -> None:
         # Two lines, diagnostics FIRST and the headline line LAST: the
@@ -200,13 +219,14 @@ def main() -> None:
         # medians, protocol tag) lives in the diagnostics line. A shrink
         # fallback drops precision if the registry ever outgrows the
         # budget again.
+        aggregate()
         total = round(sum(t for t in timings.values() if t >= 0), 3)
         steal1, total1 = _cpu_jiffies()
         dt = total1 - total0
         steal_pct = round(100.0 * (steal1 - steal0) / dt, 2) if dt > 0 else 0.0
         diag = {
             "bench_diagnostics": {
-                "protocol": "min-of-n-v2-prewarmed",
+                "protocol": "min-of-n-v3-interleaved-prewarmed",
                 "samples": {n: n_samples.get(n, 0) for n in sorted(queries)},
                 "medians": {n: medians[n] for n in sorted(medians)},
                 "loadavg": [round(load_start, 2), round(_load1(), 2)],
@@ -246,41 +266,38 @@ def main() -> None:
     signal.signal(signal.SIGTERM, on_term)
     signal.signal(signal.SIGINT, on_term)
 
-    for name in sorted(queries):
-        fn = queries[name]
-        samples: list[float] = []
-        try:
-            for i in range(runs):
-                elapsed = time.monotonic() - bench_start
-                if i > 0 and elapsed > budget_s:
-                    break
-                # Cap slow queries at 2 samples ONLY once half the budget
-                # is spent: a slow FIRST sample is usually codegen compile
-                # or a steal spike, and those queries are exactly the ones
-                # that need a de-noising third sample when time allows.
-                if i > 1 and samples[0] > slow_cutoff and elapsed > budget_s / 2:
-                    break
+    # INTERLEAVED passes (r6 protocol hardening): sample every query once
+    # per full pass over the registry instead of `runs` consecutive
+    # samples per query. The documented pathology is contention BURSTS of
+    # 3-15 s that only ever INFLATE and hit CONSECUTIVE wall-clock spans:
+    # under consecutive sampling one burst covers all of a query's
+    # samples and poisons even the min (r6 measured dedup_simhash 1.8 ->
+    # 7.9 s min-of-3 inside one burst window, steal 0.02%); under
+    # interleaving a query's samples sit a full pass (~tens of seconds)
+    # apart, so a burst contaminates at most one of them and the min
+    # recovers. Same total work, same min/median aggregation — only the
+    # schedule changes. Budget rules: once the global budget is spent no
+    # further passes start; a query whose first sample exceeded
+    # slow_cutoff skips its 3rd+ pass once half the budget is spent.
+    for p in range(runs):
+        elapsed = time.monotonic() - bench_start
+        if p > 0 and elapsed > budget_s:
+            break
+        for name in sorted(queries):
+            if name in failed:
+                continue
+            s = all_samples[name]
+            if p > 1 and s and s[0] > slow_cutoff and (
+                time.monotonic() - bench_start > budget_s / 2
+            ):
+                continue
+            try:
                 t0 = time.monotonic()
-                _digest_action(fn(spark, sf_dir))
-                samples.append(time.monotonic() - t0)
-            # MIN of the samples: this host's documented pathology is
-            # external contention BURSTS that only ever INFLATE (spans of
-            # 3-15 s hitting consecutive queries, often 2 of 3 samples, at
-            # <1% reported steal — r5 measured warm map-only queries 10x
-            # their idle cost mid-burst, so a median is contaminated
-            # whenever a burst covers two samples). The minimum is the
-            # least-contaminated observation of the warm plan's true cost
-            # and is what idle-box medians converge to. Per-query medians
-            # are still recorded in the diagnostics line so a skeptic can
-            # compare both aggregations.
-            samples.sort()
-            timings[name] = round(samples[0], 3)
-            medians[name] = round(samples[len(samples) // 2], 3)
-            n_samples[name] = len(samples)
-        except Exception as exc:  # never let one query kill the bench line
-            timings[name] = -1.0
-            n_samples[name] = len(samples)
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+                _digest_action(queries[name](spark, sf_dir))
+                s.append(time.monotonic() - t0)
+            except Exception as exc:  # never let one query kill the line
+                failed.add(name)
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
 
     emit()
     spark.stop()
