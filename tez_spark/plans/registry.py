@@ -49,11 +49,13 @@ _PRIORITY: tuple[str, ...] = (
     "unpivot", "window_funcs",
     # 2. new/newly-oracled this round — first driver row
     "approx_distinct", "percentiles_approx", "source_mix",
+    "tpch09", "tpch16",
     # 3. flagship-scale rotations (green r5; code or plan touched this
-    #    round, or the scale path warrants every-round verification)
+    #    round — cross_join_chunked's rank flip, the _verify_pairs
+    #    rewrite consumers — or the scale path warrants every-round
+    #    verification)
     "cross_join_chunked", "dedup_incremental", "dedup_minhash_lsh",
-    "curation_pipeline_lsh", "embedding_incremental", "dedup_clusters",
-    "decontaminate",
+    "curation_pipeline_lsh", "decontaminate",
 )
 
 

@@ -6,7 +6,13 @@ driver fixtures.
 Adaptations, forced by the fixture schema (a TPC-H subset — no partsupp
 table; no comment/phone/shipmode/commitdate/receiptdate/container
 columns):
-- Q2/Q9/Q11/Q16/Q20 need partsupp — omitted.
+- Q2/Q11/Q20 need partsupp columns with no surrogate (supplycost-ranked
+  suppliers, availqty) — omitted.
+- Q9/Q16 (r6): the supplier-part relation is lineitem's own
+  (l_partkey, l_suppkey); Q9's ps_supplycost becomes the fixed margin
+  0.6·p_retailprice, Q16's complaint-supplier exclusion becomes
+  s_acctbal < 1000. Query SHAPE (5-table star expression aggregate;
+  attribute filters + NOT-IN + count-distinct) unchanged.
 - Q3: o_shippriority -> o_orderpriority.
 - Q7/Q8: nation literals are the fixture's NATION_n values.
 - Q8/Q14/Q17/Q19: p_type/p_brand predicates use the fixture's
@@ -226,6 +232,73 @@ def q_tpch08(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mkt_share")
     )
     return out.orderBy("o_year")
+
+
+def q_tpch09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit by nation and year (Q9), adapted: the fixture
+    has no partsupp, so ps_supplycost is surrogated by 0.6·p_retailprice
+    (a fixed margin — deterministic, schema-available, and preserving
+    the query's SHAPE: a 5-table fact-to-dims star with an expression
+    aggregate over two date/part dimensions). The supplier-part relation
+    itself needs no surrogate — lineitem carries (l_partkey, l_suppkey).
+    Plan: lineitem joins orders on the only big key; part/supplier/nation
+    broadcast; one agg shuffle on (nation, year)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    j = (
+        li.join(F.broadcast(part.filter(F.col("p_name").like("%widget%"))),
+                li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    out = (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            profit.alias("_p"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("_p"), 2).alias("sum_profit"))
+    )
+    return out.orderBy("nation", F.desc("o_year"))
+
+
+def q_tpch16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier count per part attribute (Q16), adapted: the partsupp
+    relation is the DISTINCT (l_partkey, l_suppkey) pairs lineitem
+    witnessed (the same pairs partsupp would hold for traded parts), and
+    the "complaint supplier" exclusion becomes s_acctbal < 1000 (no
+    comment column). Structure preserved: attribute filters + NOT-IN
+    anti join + count-distinct suppliers per (brand, type, size).
+    Plan: the anti join broadcasts the tiny excluded-supplier set; part
+    broadcasts into the pair table; one distinct-agg shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    pf = part.filter(
+        (F.col("p_brand") != "Brand#13")
+        & ~F.col("p_type").like("ECONOMY%")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    excluded = supp.filter(F.col("s_acctbal") < 1000).select("s_suppkey")
+    out = (
+        pairs.join(F.broadcast(pf), pairs.l_partkey == pf.p_partkey)
+        .join(F.broadcast(excluded), pairs.l_suppkey == excluded.s_suppkey,
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+    return out.orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
 
 
 def q_tpch10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,6 +690,31 @@ ORACLE: dict[str, str] = {
               AND s_nationkey = n2.n_nationkey AND p_type = 'STANDARD'
         ) GROUP BY o_year ORDER BY o_year
     """,
+    "tpch09": """
+        SELECT nation, o_year, round(SUM(profit), 2) AS sum_profit FROM (
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity AS profit
+            FROM lineitem, part, supplier, nation, orders
+            WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+              AND s_nationkey = n_nationkey AND o_orderkey = l_orderkey
+              AND p_name LIKE '%widget%'
+        ) GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+    "tpch16": """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#13'
+          AND p_type NOT LIKE 'ECONOMY%'
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
     "tpch10": """
         SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
             SELECT c_custkey, c_name,
@@ -747,6 +845,8 @@ QUERIES = {
     "tpch06": q_tpch06,
     "tpch07": q_tpch07,
     "tpch08": q_tpch08,
+    "tpch09": q_tpch09,
+    "tpch16": q_tpch16,
     "tpch10": q_tpch10,
     "tpch12": q_tpch12,
     "tpch13": q_tpch13,
