@@ -322,6 +322,64 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-5 terms by summed TF-IDF (smoothed idf
+    ln((N+1)/(df+1))) — corpus-level feature extraction for source
+    triage. Plan: one exploded-token scan feeds BOTH aggregates
+    (term frequency per (source, token); document frequency per
+    token), joined on token WITHOUT a broadcast hint — at 100 TB the
+    df table is vocabulary-sized (easily >10 GB), so the token-key
+    shuffle join is the scale-correct choice and AQE still broadcasts
+    it when small (it is at every test SF). The one-row corpus count
+    broadcasts via crossJoin; per-source top-5 is a rank over the
+    source partition (sources are few → tiny final shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(X.tokens("text")).alias("token")
+    )
+    tf = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    score = F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select("source", "token", score.alias("_s"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("_s"), "token")
+    out = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "token", F.round("_s", 6).alias("tfidf"))
+    )
+    return out.orderBy("source", F.desc("tfidf"), "token")
+
+
+_TFIDF_SQL = """
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT source, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT source, token, round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+    FROM (
+        SELECT tf.source, tf.token, tf.tf, df.df, n.n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.source
+                   ORDER BY tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) DESC,
+                            tf.token) AS rn
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    ) WHERE rn <= 5
+    ORDER BY source, tfidf DESC, token
+"""
+
+
 _TEXT_REPETITION_SQL = """
     WITH base AS (
         SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
@@ -343,6 +401,7 @@ _TEXT_REPETITION_SQL = """
 
 ORACLE: dict[str, str] = {
     "text_repetition": _TEXT_REPETITION_SQL,
+    "tfidf_top_terms": _TFIDF_SQL,
     "text_metrics": f"""
         WITH base AS (
             SELECT doc_id,
@@ -433,4 +492,5 @@ QUERIES = {
     "text_winnow": q_text_winnow,
     "text_logprob": q_text_logprob,
     "text_repetition": q_text_repetition,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }

@@ -49,13 +49,17 @@ _PRIORITY: tuple[str, ...] = (
     "unpivot", "window_funcs",
     # 2. new/newly-oracled this round — first driver row
     "approx_distinct", "percentiles_approx", "source_mix",
-    "tpch09", "tpch16",
-    # 3. flagship-scale rotations (green r5; code or plan touched this
-    #    round — cross_join_chunked's rank flip, the _verify_pairs
-    #    rewrite consumers — or the scale path warrants every-round
-    #    verification)
-    "cross_join_chunked", "dedup_incremental", "dedup_minhash_lsh",
-    "curation_pipeline_lsh", "decontaminate",
+    "tpch09", "tpch16", "tpch02", "tpch11", "tpch20", "tfidf_top_terms",
+    # 3. flagship-scale rotation (green r5; plan changed this round —
+    #    the rank-flip VERDICT item asks for a fresh driver row at <1s).
+    #    Other candidate rotations (dedup_incremental, dedup_minhash_lsh,
+    #    curation_pipeline_lsh, decontaminate) were displaced by the
+    #    late oracled additions, which MUST be in the window; they keep
+    #    their r5 rows and the every-other-round invariant. NOTE the
+    #    structural cap this policy implies: 50-slot window + two-round
+    #    coverage caps the oracled registry at 100 entries (currently
+    #    99) — relax to a three-round union before exceeding it.
+    "cross_join_chunked",
 )
 
 

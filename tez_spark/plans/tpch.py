@@ -6,8 +6,17 @@ driver fixtures.
 Adaptations, forced by the fixture schema (a TPC-H subset — no partsupp
 table; no comment/phone/shipmode/commitdate/receiptdate/container
 columns):
-- Q2/Q11/Q20 need partsupp columns with no surrogate (supplycost-ranked
-  suppliers, availqty) — omitted.
+- Q2/Q11/Q20 (r6, completing the suite 22/22): the partsupp relation is
+  the (l_partkey, l_suppkey) pairs lineitem witnessed; ps_supplycost is
+  the deterministic key function (l_partkey*31 + l_suppkey*17) % 1000
+  (per-(part,supplier)-varying, so Q2's min-cost ranking and Q11's
+  value product are non-degenerate — a per-part-constant surrogate like
+  0.6·p_retailprice would make every supplier "cheapest");
+  ps_availqty is the witnessed SUM(l_quantity) (Q11) / the 1995
+  shipped quantity held against half of 1996 demand (Q20's
+  stock-vs-demand EXISTS). Query SHAPE unchanged: Q2's per-part min
+  correlated subquery, Q11's group-vs-global-total HAVING, Q20's
+  nested semi-join chain with a correlated quantity aggregate.
 - Q9/Q16 (r6): the supplier-part relation is lineitem's own
   (l_partkey, l_suppkey); Q9's ps_supplycost becomes the fixed margin
   0.6·p_retailprice, Q16's complaint-supplier exclusion becomes
@@ -299,6 +308,132 @@ def q_tpch16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
     return out.orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+
+
+def _ps_cost() -> F.Column:
+    """Deterministic supplycost surrogate over the lineitem-witnessed
+    supplier-part relation (module docstring): varies per (part,
+    supplier) so cost-ranked queries are non-degenerate, and is a pure
+    key function both engines compute identically."""
+    return (F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % 1000
+
+
+def q_tpch02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (Q2): for each part of one size/type, the
+    region's suppliers offering the per-part minimum ps_supplycost.
+    The correlated MIN subquery decorrelates to a window-min over the
+    part key — one shuffle on p_partkey; part filter and the
+    supplier⋈nation⋈region chain both broadcast (dims are tiny).
+    Reference parity: Hive-on-Tez runs Q2 as a broadcast-dim star with
+    a shuffled per-part argmin (tez-tests/.../THBQ2 shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    pf = part.filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey")
+    eur = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        pairs.join(F.broadcast(pf), pairs.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(eur), pairs.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "s_name", "s_acctbal", "n_name",
+            _ps_cost().alias("ps_supplycost"),
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    out = (
+        cand.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_supplycost")
+    )
+    return out.orderBy(
+        F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+    ).limit(100)
+
+
+def q_tpch11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock identification (Q11): per-part inventory value
+    (ps_supplycost · witnessed quantity) over one nation's suppliers,
+    keeping parts above a fixed fraction of the nation's total value.
+    The scalar total is a one-row agg broadcast back via crossJoin —
+    the pair table is aggregated ONCE and reused for both sides of the
+    HAVING (Catalyst dedups the scan through the persisted lineage).
+    Plan: one shuffle for the pair agg, one for the per-part agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    nat_supp = (
+        supp.join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_4")),
+            supp.s_nationkey == nation.n_nationkey,
+        ).select("s_suppkey")
+    )
+    per_part = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("ps_availqty"))
+        .select("l_partkey", (_ps_cost() * F.col("ps_availqty")).alias("v"))
+        .groupBy("l_partkey")
+        .agg(F.sum("v").alias("value"))
+    )
+    total = per_part.agg(F.sum("value").alias("tot"))
+    out = (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > 0.002 * F.col("tot"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.round("value", 2).alias("value"),
+        )
+    )
+    return out.orderBy(F.desc("value"), "ps_partkey")
+
+
+def q_tpch20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (Q20): one nation's suppliers holding
+    1995 stock of a named part family exceeding half the 1996 demand
+    they shipped for it. The EXISTS chain is two stacked semi joins;
+    the correlated per-(part,supplier) quantity aggregate is one
+    conditional-sum pass over two years of lineitem (part filter
+    broadcast into the scan). Output ordered by supplier name."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    small_parts = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    yr = F.year("l_shipdate")
+    qty = (
+        li.filter(yr.isin(1995, 1996))
+        .join(F.broadcast(small_parts), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(yr == 1995, F.col("l_quantity")).otherwise(0.0)).alias("availqty"),
+            F.sum(F.when(yr == 1996, F.col("l_quantity")).otherwise(0.0)).alias("qty96"),
+        )
+    )
+    ok_supp = (
+        qty.filter(F.col("availqty") > 0.5 * F.col("qty96"))
+        .select("l_suppkey").distinct()
+    )
+    out = (
+        supp.join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_7")),
+            supp.s_nationkey == nation.n_nationkey,
+        )
+        .join(ok_supp, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+    return out.orderBy("s_name")
 
 
 def q_tpch10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,6 +850,57 @@ ORACLE: dict[str, str] = {
         GROUP BY 1, 2, 3
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """,
+    "tpch02": """
+        SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost FROM (
+            SELECT s_acctbal, s_name, n_name, p_partkey,
+                   (l_partkey * 31 + l_suppkey * 17) % 1000 AS ps_supplycost,
+                   MIN((l_partkey * 31 + l_suppkey * 17) % 1000)
+                       OVER (PARTITION BY p_partkey) AS min_cost
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+        ) WHERE ps_supplycost = min_cost
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+    "tpch11": """
+        WITH per_part AS (
+            SELECT l_partkey, SUM(value) AS value FROM (
+                SELECT l_partkey,
+                       ((l_partkey * 31 + l_suppkey * 17) % 1000)
+                           * SUM(l_quantity) AS value
+                FROM lineitem
+                WHERE l_suppkey IN (
+                    SELECT s_suppkey FROM supplier JOIN nation
+                      ON s_nationkey = n_nationkey
+                    WHERE n_name = 'NATION_4')
+                GROUP BY l_partkey, l_suppkey
+            ) GROUP BY l_partkey
+        )
+        SELECT l_partkey AS ps_partkey, round(value, 2) AS value
+        FROM per_part
+        WHERE value > 0.002 * (SELECT SUM(value) FROM per_part)
+        ORDER BY value DESC, ps_partkey
+    """,
+    "tpch20": """
+        SELECT s_name, s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+          AND s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE year(l_shipdate) IN (1995, 1996)
+              AND l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE 'small%')
+            GROUP BY l_partkey, l_suppkey
+            HAVING SUM(CASE WHEN year(l_shipdate) = 1995
+                            THEN l_quantity ELSE 0.0 END)
+                 > 0.5 * SUM(CASE WHEN year(l_shipdate) = 1996
+                                  THEN l_quantity ELSE 0.0 END))
+        ORDER BY s_name
+    """,
     "tpch10": """
         SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
             SELECT c_custkey, c_name,
@@ -847,6 +1033,9 @@ QUERIES = {
     "tpch08": q_tpch08,
     "tpch09": q_tpch09,
     "tpch16": q_tpch16,
+    "tpch02": q_tpch02,
+    "tpch11": q_tpch11,
+    "tpch20": q_tpch20,
     "tpch10": q_tpch10,
     "tpch12": q_tpch12,
     "tpch13": q_tpch13,
