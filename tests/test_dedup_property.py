@@ -156,3 +156,70 @@ def test_incremental_dedup_reuses_persisted_corpus_signatures(spark):
         f"warm run shuffled {warm.get('SHUFFLE_BYTES')} >= cold "
         f"{cold.get('SHUFFLE_BYTES')} — the corpus is being re-shingled"
     )
+
+
+def test_winnow_collapse_exact_equals_direct_on_clustered_corpus(spark):
+    """winnow_pairs(collapse_exact=True) must return EXACTLY the direct
+    path's pairs on a corpus with a planted 25-doc identical cluster —
+    and do it from a representative-level candidate set that is O(R²),
+    not O(M²) (the content-hash bucket caveat the collapse exists for).
+    """
+    import random
+
+    from tez_spark.functions.text_queries import winnow_fingerprints
+    from tez_spark.operators.core import release_caches, tracked_persist
+    from tez_spark.operators.dedup import (
+        _pair_jaccard,
+        _winnow_candidates,
+        shingles,
+        winnow_pairs,
+    )
+
+    release_caches()
+    rng = random.Random(11)
+    vocab = [f"w{i:03d}" for i in range(200)]
+    rows = []
+    # a 25-member EXACT-duplicate cluster (the pathological bucket)
+    boiler = " ".join(rng.choice(vocab) for _ in range(30))
+    for i in range(25):
+        rows.append((i, boiler))
+    # a near-dup of the cluster text (cross-cluster J >= 0.8 pair)
+    words = boiler.split()
+    words[3] = "zzz"
+    rows.append((100, " ".join(words)))
+    # unrelated singletons
+    for i in range(20):
+        rows.append((200 + i, " ".join(rng.choice(vocab) for _ in range(30))))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))
+    fps = tracked_persist(winnow_fingerprints(docs))
+
+    exact = {
+        (r.da, r.db, round(r.j, 9))
+        for r in _pair_jaccard(sh).filter(F.col("j") >= 0.8).collect()
+    }
+    direct = {
+        (r.da, r.db, round(r.j, 9))
+        for r in winnow_pairs(docs, fps, sh).collect()
+    }
+    collapsed = {
+        (r.da, r.db, round(r.j, 9))
+        for r in winnow_pairs(docs, fps, sh, collapse_exact=True).collect()
+    }
+    # 25-cluster: C(25,2)=300 intra pairs + 25 cross pairs to doc 100
+    assert len(exact) == 325
+    assert direct == exact
+    assert collapsed == exact
+
+    # candidate-set boundedness: the direct fp self-join materializes
+    # every intra-cluster pair; the collapsed path sees ONE bucket row
+    n_direct = _winnow_candidates(fps).count()
+    rep_ids = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+    n_collapsed = _winnow_candidates(
+        fps.join(rep_ids, "doc_id", "left_semi")
+    ).count()
+    assert n_direct >= 325
+    assert n_collapsed <= n_direct / 40

@@ -456,9 +456,11 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     CONTENT hashes — a group of M exact/near-exact duplicates shares
     fps, so its bucket yields O(M²) candidate pairs. Candidates are
     therefore bounded by the corpus's duplicate-cluster sizes, not
-    uniform; on raw web-scale data run dedup_exact first (standard
-    practice) or prefer dedup_minhash_lsh, whose 128-hash band keys
-    stay uniform regardless of duplication structure.
+    uniform; on raw web-scale data use winnow_pairs(collapse_exact=True)
+    — the IMPLEMENTED mitigation, which pre-collapses identical texts
+    to one representative per cluster with exactness preserved (see
+    winnow_pairs) — or prefer dedup_minhash_lsh, whose 128-hash band
+    keys stay uniform regardless of duplication structure.
 
     Candidate filter: pairs must share >= 2 fingerprints. One shared fp
     is routinely boilerplate (on the template-generated fixtures the
@@ -470,12 +472,21 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     at every SF by the driver (min shared-fp over true pairs is 2 on the
     fixtures; a corpus where true pairs share exactly one fp wants
     dedup_minhash_lsh instead)."""
+    fps = winnow_table(spark, sf_dir)
+    sh = shingle_table(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_pairs(docs, fps, sh).orderBy("da", "db")
+
+
+def _winnow_candidates(fps: DataFrame) -> DataFrame:
+    """≥2-shared-fingerprint candidate pairs from a (doc_id, fp) table —
+    the bucket equijoin + shared-count filter described in
+    q_dedup_winnow. Persisted: verification consumes it twice."""
     from tez_spark.operators.core import tracked_persist
 
-    fps = winnow_table(spark, sf_dir)
     a = fps.alias("a")
     b = fps.alias("b")
-    cand = tracked_persist(
+    return tracked_persist(
         a.join(
             b,
             (F.col("a.fp") == F.col("b.fp"))
@@ -487,8 +498,77 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_nshared") >= 2)
         .select("da", "db")
     )
-    sh = shingle_table(spark, sf_dir)
-    return _verify_pairs(cand, sh).filter(F.col("j") >= 0.8).orderBy("da", "db")
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    fps: DataFrame,
+    sh: DataFrame,
+    t: float = 0.8,
+    collapse_exact: bool = False,
+) -> DataFrame:
+    """(da, db, j) for every pair with Jaccard ≥ t whose candidates share
+    ≥2 winnow fingerprints.
+
+    collapse_exact=True is the implemented mitigation for the
+    content-hash bucket caveat (q_dedup_winnow docstring): identical
+    texts are collapsed to one representative BEFORE the fp self-join,
+    so an M-sized exact-duplicate cluster contributes ONE row per
+    bucket instead of O(M²) candidate pairs. Exactness is preserved,
+    not approximated: identical texts have identical shingle sets, so
+    every intra-cluster pair has J=1 ≥ t by construction, and a member
+    pair (a∈A, b∈B) has exactly J(rep_A, rep_B) — the expansion joins
+    reattach members to verified representative pairs. Equality with
+    the direct path over any corpus is asserted in
+    tests/test_dedup_property.py on a corpus with a planted 25-doc
+    exact cluster (where the direct path's candidate set is 44×
+    larger). The declared registry query keeps it OFF: the driver
+    fixtures contain zero exact duplicates (checked), so the collapse
+    machinery (one text-hash agg + two expansion joins) would be pure
+    overhead there; flip it on for raw web-scale ingest, where giant
+    identical clusters are the norm."""
+    if not collapse_exact:
+        return _verify_pairs(_winnow_candidates(fps), sh).filter(F.col("j") >= t)
+
+    # pairs are defined over shingled docs only (oracle parity: docs
+    # below the shingle length floor never enter the exact all-pairs
+    # computation either)
+    th = (
+        docs.select("doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("_th"))
+        .join(sh.select("doc_id").distinct(), "doc_id", "left_semi")
+    )
+    rep = th.groupBy("_th").agg(F.min("doc_id").alias("rep"))
+    from tez_spark.operators.core import tracked_persist
+
+    mr = tracked_persist(th.join(rep, "_th").select("doc_id", "rep"))
+    rfps = fps.join(
+        mr.select(F.col("rep").alias("doc_id")).distinct(), "doc_id", "left_semi"
+    )
+    rp = _verify_pairs(_winnow_candidates(rfps), sh).filter(F.col("j") >= t)
+    a = mr.alias("a")
+    b = mr.alias("b")
+    intra = (
+        a.join(
+            b,
+            (F.col("a.rep") == F.col("b.rep"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.lit(1.0).alias("j"),
+        )
+    )
+    cross = (
+        rp.join(mr.select(F.col("rep").alias("da"), F.col("doc_id").alias("ma")), "da")
+        .join(mr.select(F.col("rep").alias("db"), F.col("doc_id").alias("mb")), "db")
+        .select(
+            F.least("ma", "mb").alias("da"),
+            F.greatest("ma", "mb").alias("db"),
+            "j",
+        )
+    )
+    return intra.unionByName(cross)
 
 
 # ---------------------------------------------------------------------------
