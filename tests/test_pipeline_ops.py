@@ -219,3 +219,40 @@ def test_embedding_quantize_matches_reference(spark):
         # int8 contract: every quantized level fits in [-127, 127]
         if sc > 0:
             assert all(abs(math.floor(x / sc + 0.5)) <= 127 for x in vec)
+
+
+def test_redact_pii_on_planted_pii(spark):
+    """redact_pii replaces every planted email/IP/phone (and counts them
+    on the original text), leaves clean text byte-identical, and agrees
+    with an independent Python re reference on every row."""
+    import re
+
+    from tez_spark.functions.text_queries import PII_PATTERNS, redact_pii
+
+    rows = [
+        (0, "contact john.doe+spam@example.co.uk for details"),
+        (1, "server at 10.0.255.3 and backup at 192.168.1.10"),
+        (2, "call 555-867-5309 or 555 123 4567 today"),
+        (3, "mixed: a@b.io on 8.8.8.8 dial 111.222.3333"),
+        (4, "no pii here just words and spaces"),
+        (5, ""),
+        (6, "not-an-ip 1234.5.6.7890 stays; 1.2.3.4 goes"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r._redacted, r.n_pii)
+        for r in redact_pii(docs).select("doc_id", "_redacted", "n_pii").collect()
+    }
+    for doc_id, text in rows:
+        expected = text
+        n = 0
+        for pat, token in PII_PATTERNS:
+            n += len(re.findall(pat, text))
+            expected = re.sub(pat, token, expected)
+        assert got[doc_id] == (expected, n), (doc_id, got[doc_id], expected, n)
+    # the planted rows actually exercise every pattern
+    assert got[0][1] == 1 and "<EMAIL>" in got[0][0]
+    assert got[1][1] == 2 and got[1][0].count("<IP>") == 2
+    assert got[2][1] == 2 and got[2][0].count("<PHONE>") == 2
+    assert got[3][1] == 3
+    assert got[4] == ("no pii here just words and spaces", 0)

@@ -37,9 +37,13 @@ def test_driver_window_ordering():
     """The driver's correctness gate reads the first 50 registry entries.
 
     Guard the ROTATION policy (registry._PRIORITY): every entry in the
-    window is oracled, and the union of this window with the PREVIOUS
-    round's driver rows covers every oracled query — each gets a driver
-    row at least every other round.
+    window is oracled, and the union of this window with the previous
+    TWO rounds' driver rows covers every oracled query — each gets a
+    driver row at least every third round. (Two-round coverage held
+    through r6's window build, but it structurally caps the oracled
+    registry at 100 entries — 50-slot window + 50 prior rows — and the
+    registry crossed that when pmi_collocations/pii_redact landed;
+    rotation priority still targets oldest-rowed queries first.)
 
     The previous round is ``registry._WINDOW_ROUND - 1`` — the round the
     current window was built against — NOT the latest CORRECTNESS file on
@@ -62,11 +66,15 @@ def test_driver_window_ordering():
         f"registry._WINDOW_ROUND={_WINDOW_ROUND} but {os.path.basename(prev)} "
         "does not exist — _WINDOW_ROUND is ahead of the driver"
     )
-    with open(prev) as f:
-        prev_rows = set(json.load(f))
+    prev_rows: set[str] = set()
+    for r in (_WINDOW_ROUND - 1, _WINDOW_ROUND - 2):
+        p = os.path.join(repo, f"CORRECTNESS_r{r:02d}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                prev_rows |= set(json.load(f))
     uncovered = set(ORACLES) - (set(window) | prev_rows)
     assert not uncovered, (
-        f"oracled queries with no driver row in {os.path.basename(prev)}"
+        f"oracled queries with no driver row in the last two rounds"
         f" ∪ current window: {uncovered}"
     )
     # a CORRECTNESS file for _WINDOW_ROUND itself (or later) on disk means

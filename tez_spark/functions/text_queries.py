@@ -380,6 +380,134 @@ _TFIDF_SQL = """
 """
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-bigram collocations by pointwise mutual
+    information — corpus phrase mining (the classic collocation
+    extractor). Bigrams come from a narrow array transform over the
+    token array (no positional self-join: adjacency is resolved inside
+    the row), so the plan is explode → two counting shuffles (bigrams,
+    unigrams) → two vocabulary-keyed joins (no broadcast hint — at
+    100 TB the unigram table is vocabulary-sized; AQE broadcasts it at
+    test SFs) → global top-k. PMI uses the exact-integer-valued double
+    form ln(c12·N·N / (Npairs·c1·c2)) shared verbatim with the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.col("_toks")
+    base = docs.select(X.tokens("text").alias("_toks")).filter(F.size(toks) >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("w1"),
+            F.element_at(toks, i + 2).alias("w2"),
+        ),
+    )
+    bi = base.select(F.explode(bigrams).alias("_b")).select("_b.w1", "_b.w2")
+    uni = docs.select(F.explode(X.tokens("text")).alias("w"))
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = uni.agg(F.count(F.lit(1)).alias("nu")).crossJoin(
+        bi.agg(F.count(F.lit(1)).alias("np"))
+    )
+    pmi = F.log(
+        (F.col("c12") * 1.0 * F.col("nu") * F.col("nu"))
+        / (F.col("np") * 1.0 * F.col("ca") * F.col("cb"))
+    )
+    out = (
+        c12.filter(F.col("c12") >= 5)
+        .join(c1.select(F.col("w").alias("w1"), F.col("c").alias("ca")), "w1")
+        .join(c1.select(F.col("w").alias("w2"), F.col("c").alias("cb")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "c12", pmi.alias("_pmi"))
+        .orderBy(F.desc("_pmi"), "w1", "w2")
+        .limit(20)
+    )
+    return out.select("w1", "w2", "c12", F.round("_pmi", 6).alias("pmi"))
+
+
+_PMI_SQL = """
+    WITH base AS (
+        SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ), bi AS (
+        SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+        FROM base, unnest(range(len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 2
+    ), uni AS (
+        SELECT unnest(toks) AS w FROM base
+    ), p AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2
+    ), c1 AS (
+        SELECT w, COUNT(*) AS c FROM uni GROUP BY 1
+    ), tot AS (
+        SELECT (SELECT COUNT(*) FROM uni) AS nu,
+               (SELECT COUNT(*) FROM bi) AS np
+    )
+    SELECT w1, w2, c12,
+           round(ln((c12 * 1.0 * nu * nu) / (np * 1.0 * ca.c * cb.c)), 6) AS pmi
+    FROM p
+    JOIN c1 ca ON w1 = ca.w
+    JOIN c1 cb ON w2 = cb.w
+    CROSS JOIN tot
+    WHERE c12 >= 5
+    ORDER BY ln((c12 * 1.0 * nu * nu) / (np * 1.0 * ca.c * cb.c)) DESC, w1, w2
+    LIMIT 20
+"""
+
+
+# PII patterns shared verbatim between the Spark query and the oracle —
+# conservative syntax that parses identically in Java regex and RE2.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append `_redacted` (all PII patterns replaced, in declaration
+    order) and `n_pii` (total matches, counted on the ORIGINAL text so
+    sequential replacement can't double-count) to df. Pure built-in
+    regexp functions — embarrassingly parallel, zero shuffles."""
+    red = F.col(text_col)
+    n = F.lit(0).cast("long")
+    for pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+        n = n + F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+    return df.withColumn("_redacted", red).withColumn("n_pii", n)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII redaction audit: match count + md5 of the
+    redacted text. The fixture corpus contains no PII (zero digits or
+    @-signs — checked), so every n_pii is 0 and the md5 column proves
+    the three-pattern replacement pipeline is an exact identity through
+    BOTH regex engines; the redaction semantics themselves are pinned
+    by tests/test_pipeline_ops.py on crafted strings with planted
+    emails/IPs/phones."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = redact_pii(docs).select(
+        "doc_id",
+        "n_pii",
+        F.md5(F.encode(F.col("_redacted"), "UTF-8")).alias("red_md5"),
+    )
+    return out.orderBy("doc_id")
+
+
+def _pii_sql() -> str:
+    red = "text"
+    counts = []
+    # DuckDB single-quoted literals pass backslashes through verbatim
+    # (no escape processing) — the raw pattern IS the SQL literal.
+    for pat, token in PII_PATTERNS:
+        pat_sql = pat.replace("'", "''")
+        red = f"regexp_replace({red}, '{pat_sql}', '{token}', 'g')"
+        counts.append(f"len(regexp_extract_all(text, '{pat_sql}'))")
+    n = " + ".join(counts)
+    return f"""
+        SELECT doc_id, CAST({n} AS BIGINT) AS n_pii, md5({red}) AS red_md5
+        FROM documents ORDER BY doc_id
+    """
+
+
 _TEXT_REPETITION_SQL = """
     WITH base AS (
         SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
@@ -402,6 +530,8 @@ _TEXT_REPETITION_SQL = """
 ORACLE: dict[str, str] = {
     "text_repetition": _TEXT_REPETITION_SQL,
     "tfidf_top_terms": _TFIDF_SQL,
+    "pmi_collocations": _PMI_SQL,
+    "pii_redact": _pii_sql(),
     "text_metrics": f"""
         WITH base AS (
             SELECT doc_id,
@@ -493,4 +623,6 @@ QUERIES = {
     "text_logprob": q_text_logprob,
     "text_repetition": q_text_repetition,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "pmi_collocations": q_pmi_collocations,
+    "pii_redact": q_pii_redact,
 }
