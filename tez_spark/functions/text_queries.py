@@ -325,20 +325,33 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source top-5 terms by summed TF-IDF (smoothed idf
     ln((N+1)/(df+1))) — corpus-level feature extraction for source
-    triage. Plan: one exploded-token scan feeds BOTH aggregates
-    (term frequency per (source, token); document frequency per
-    token), joined on token WITHOUT a broadcast hint — at 100 TB the
+    triage. Plan: one exploded-token scan aggregates ONCE into the
+    compact per-(doc, term) count table (persisted); term frequency
+    per (source, token) and document frequency per token are both
+    cheap re-aggs of it, joined on token WITHOUT a broadcast hint — at 100 TB the
     df table is vocabulary-sized (easily >10 GB), so the token-key
     shuffle join is the scale-correct choice and AQE still broadcasts
     it when small (it is at every test SF). The one-row corpus count
     broadcasts via crossJoin; per-source top-5 is a rank over the
     source partition (sources are few → tiny final shuffle)."""
+    from tez_spark.operators.core import tracked_persist
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source", F.explode(X.tokens("text")).alias("token")
     )
-    tf = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # ONE token-stream aggregation into the compact per-(doc, term)
+    # count table; tf and df are both cheap re-aggs of it (persisted —
+    # without it each consumer re-derives the full scan+explode). df
+    # per token is COUNT(*) over dt: one row per (doc, token) pair by
+    # construction, so no countDistinct expand is needed.
+    dt = tracked_persist(
+        toks.groupBy("doc_id", "source", "token").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
+    tf = dt.groupBy("source", "token").agg(F.sum("c").alias("tf"))
+    df_ = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     score = F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0))
     scored = (
@@ -386,10 +399,12 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     extractor). Bigrams come from a narrow array transform over the
     token array (no positional self-join: adjacency is resolved inside
     the row), so the plan is explode → two counting shuffles (bigrams,
-    unigrams) → two vocabulary-keyed joins (no broadcast hint — at
-    100 TB the unigram table is vocabulary-sized; AQE broadcasts it at
-    test SFs) → global top-k. PMI uses the exact-integer-valued double
-    form ln(c12·N·N / (Npairs·c1·c2)) shared verbatim with the oracle."""
+    unigrams) into PERSISTED count tables — corpus totals re-aggregate
+    those instead of rescanning documents — then two vocabulary-keyed
+    joins (no broadcast hint — at 100 TB the unigram table is
+    vocabulary-sized; AQE broadcasts it at test SFs) → global top-k.
+    PMI uses the exact-integer-valued double form
+    ln(c12·N·N / (Npairs·c1·c2)) shared verbatim with the oracle."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.col("_toks")
     base = docs.select(X.tokens("text").alias("_toks")).filter(F.size(toks) >= 2)
@@ -402,10 +417,18 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bi = base.select(F.explode(bigrams).alias("_b")).select("_b.w1", "_b.w2")
     uni = docs.select(F.explode(X.tokens("text")).alias("w"))
-    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    totals = uni.agg(F.count(F.lit(1)).alias("nu")).crossJoin(
-        bi.agg(F.count(F.lit(1)).alias("np"))
+    # persist the two count tables (vocabulary- and bigram-vocabulary-
+    # sized); corpus totals are re-aggs of THEM, so documents is scanned
+    # exactly twice (unigram + bigram stream) instead of once per
+    # consumer
+    from tez_spark.operators.core import tracked_persist
+
+    c12 = tracked_persist(
+        bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    )
+    c1 = tracked_persist(uni.groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    totals = c1.agg(F.sum("c").alias("nu")).crossJoin(
+        c12.agg(F.sum("c12").alias("np"))
     )
     pmi = F.log(
         (F.col("c12") * 1.0 * F.col("nu") * F.col("nu"))

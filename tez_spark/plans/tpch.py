@@ -323,9 +323,7 @@ def q_tpch02(spark: SparkSession, sf_dir: str) -> DataFrame:
     region's suppliers offering the per-part minimum ps_supplycost.
     The correlated MIN subquery decorrelates to a window-min over the
     part key — one shuffle on p_partkey; part filter and the
-    supplier⋈nation⋈region chain both broadcast (dims are tiny).
-    Reference parity: Hive-on-Tez runs Q2 as a broadcast-dim star with
-    a shuffled per-part argmin (tez-tests/.../THBQ2 shape)."""
+    supplier⋈nation⋈region chain both broadcast (dims are tiny)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
@@ -366,10 +364,12 @@ def q_tpch11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Important stock identification (Q11): per-part inventory value
     (ps_supplycost · witnessed quantity) over one nation's suppliers,
     keeping parts above a fixed fraction of the nation's total value.
-    The scalar total is a one-row agg broadcast back via crossJoin —
-    the pair table is aggregated ONCE and reused for both sides of the
-    HAVING (Catalyst dedups the scan through the persisted lineage).
-    Plan: one shuffle for the pair agg, one for the per-part agg."""
+    The per-part value table feeds BOTH sides of the HAVING (the rows
+    and the scalar total), so it is persisted — without it Catalyst
+    re-derives the whole scan→semi→double-agg chain for the one-row
+    total. Plan: one shuffle for the pair agg, one for the per-part
+    agg, then a metadata-sized re-agg of the persisted table for the
+    total, broadcast back via crossJoin."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -379,7 +379,9 @@ def q_tpch11(spark: SparkSession, sf_dir: str) -> DataFrame:
             supp.s_nationkey == nation.n_nationkey,
         ).select("s_suppkey")
     )
-    per_part = (
+    from tez_spark.operators.core import tracked_persist
+
+    per_part = tracked_persist(
         li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("ps_availqty"))
