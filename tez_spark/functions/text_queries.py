@@ -233,9 +233,16 @@ def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-on-token path, scale-correct for 100TB vocabularies (AQE
     broadcasts when the vocab is small); the corpus total rides a 1-row
     broadcast cross join (scalar-subquery shape), never a collect."""
+    from tez_spark.operators.core import tracked_persist
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    # persisted: feeds both the per-token join and the corpus-total
+    # re-agg (vocabulary-sized — without it the total's scalar subtree
+    # re-derives the whole scan+explode+count)
+    freq = tracked_persist(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    )
     total = freq.agg(F.sum("n_tok").alias("n_total"))
     scored = (
         toks.join(freq, "tok")
