@@ -190,6 +190,14 @@ def test_winnow_collapse_exact_equals_direct_on_clustered_corpus(spark):
     # unrelated singletons
     for i in range(20):
         rows.append((200 + i, " ".join(rng.choice(vocab) for _ in range(30))))
+    # a SHORT exact-duplicate pair: 6 tokens → shingled (4 3-grams) but
+    # exactly ONE winnow fp (one complete window at K=3/W=4), so the
+    # direct path's >=2-shared-fp filter excludes it. The collapse path
+    # must exclude it too (the r6 advice finding: unconditional
+    # intra-cluster emission returned a superset here).
+    short = " ".join(vocab[:6])
+    rows.append((300, short))
+    rows.append((301, short))
 
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     sh = tracked_persist(shingles(docs, "doc_id", "text", n=3))
@@ -207,10 +215,13 @@ def test_winnow_collapse_exact_equals_direct_on_clustered_corpus(spark):
         (r.da, r.db, round(r.j, 9))
         for r in winnow_pairs(docs, fps, sh, collapse_exact=True).collect()
     }
-    # 25-cluster: C(25,2)=300 intra pairs + 25 cross pairs to doc 100
-    assert len(exact) == 325
-    assert direct == exact
-    assert collapsed == exact
+    # 25-cluster: C(25,2)=300 intra pairs + 25 cross pairs to doc 100,
+    # plus the short pair (300,301) that ONLY the exact truth contains —
+    # both winnow paths exclude it via the >=2-shared-fp candidate rule
+    assert len(exact) == 326
+    assert (300, 301, 1.0) in exact
+    assert direct == exact - {(300, 301, 1.0)}
+    assert collapsed == direct
 
     # candidate-set boundedness: the direct fp self-join materializes
     # every intra-cluster pair; the collapsed path sees ONE bucket row

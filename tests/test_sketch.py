@@ -12,19 +12,37 @@ from tests.conftest import SF_DIR
 
 
 def test_cms_never_underestimates_and_bounds_error(spark):
-    from tez_spark.functions.sketch import CMS_W, q_cms_heavyhitters
+    """The two CMS guarantees, now carried IN-QUERY as booleans (r7 full-
+    oracle promotion) — this test independently recomputes the e·N/W
+    bound from the raw estimate path to confirm the in-query booleans
+    are derived honestly, not hard-coded."""
+    from tez_spark.functions.sketch import (
+        CMS_W,
+        build_cms,
+        cms_estimate,
+        q_cms_heavyhitters,
+    )
     from tez_spark.functions.text import tokens
     from tez_spark.sources.catalog import load_table
 
     rows = q_cms_heavyhitters(spark, SF_DIR).collect()
     assert len(rows) == 20
+    assert all(r.no_underestimate for r in rows)
+    # per-query bound holds w.p. >= 1-2^-D; deterministic on the fixture
+    assert all(r.within_bound for r in rows)
+
+    # independent recomputation through the raw estimate path
     docs = load_table(spark, SF_DIR, "documents")
-    n_total = docs.select(F.explode(tokens("text"))).count()
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    n_total = toks.count()
     bound = math.e * n_total / CMS_W
-    for r in rows:
-        assert r.est >= r.exact, f"CMS underestimated {r.tok}"
-        # per-query bound holds w.p. >= 1-2^-D; over 20 queries allow one
-    violations = sum(1 for r in rows if r.est - r.exact > bound)
+    sketch = build_cms(toks)
+    cand = spark.createDataFrame([(r.tok,) for r in rows], "tok string")
+    est = {r.tok: r.est for r in cms_estimate(sketch, cand).collect()}
+    exact = {r.tok: r.exact_cnt for r in rows}
+    for t in exact:
+        assert est[t] >= exact[t], f"CMS underestimated {t}"
+    violations = sum(1 for t in exact if est[t] - exact[t] > bound)
     assert violations <= 1, f"{violations} of 20 exceeded the e*N/W bound"
 
 

@@ -461,3 +461,91 @@ def test_streaming_ann_ingest_grows_index_and_recalls(spark, tmp_path):
         lambda t, b: replay.setdefault(b, t.collect()), k=K,
     )
     assert replay == {}, "restart re-processed committed batches"
+
+
+def test_streaming_ann_partial_seed_index_rebuilt(spark, tmp_path):
+    """A crash during the SEED index build leaves centroids/ on disk with
+    no vectors and no _COMPLETE marker (write_ivf_index writes centroids
+    first). A stream restart must rebuild the seed atomically instead of
+    probing the partial index (r6 advice: the old gate checked
+    centroids/, the exact non-atomic pattern ensure_ivf_index fixed)."""
+    from tez_spark.sources.catalog import load_table
+    from tez_spark.streaming.ingest import maintain_ann
+
+    store = tmp_path / "store"
+    idx = store / "index"
+    os.makedirs(idx / "centroids")  # partial build: no vectors/, no marker
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    h = F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8"))
+    batch = emb.filter(F.substring(h, 1, 2) >= "e6").select("vec_id", "embedding")
+    stream_dir = str(tmp_path / "arrivals")
+    os.makedirs(stream_dir)
+    batch.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stream_dir, "b0")
+    )
+    import glob
+    import shutil
+
+    f = glob.glob(os.path.join(stream_dir, "b0", "*.parquet"))[0]
+    shutil.move(f, os.path.join(stream_dir, "batch_0.parquet"))
+    shutil.rmtree(os.path.join(stream_dir, "b0"))
+
+    reported = {}
+    maintain_ann(
+        spark, SF_DIR, str(store), stream_dir,
+        lambda t, b: reported.update({b: t.collect()}), k=3,
+    )
+    assert os.path.exists(idx / "_COMPLETE"), "seed rebuild skipped the marker"
+    assert reported and all(len(v) > 0 for v in reported.values())
+
+
+def test_streaming_ann_crash_replay_probes_prior_content_only(spark, tmp_path):
+    """Crash between a batch's append write and its checkpoint commit:
+    the replayed batch finds its OWN append_{bid} dir on disk and must
+    still probe prior content only — neighbors never come from the
+    batch itself, and the replayed report equals the original run's
+    (r6 advice: store_vectors used to union every append_* dir)."""
+    import glob
+    import shutil
+
+    from tez_spark.sources.catalog import load_table
+    from tez_spark.streaming.ingest import maintain_ann
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    h = F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8"))
+    batch = emb.filter(F.substring(h, 1, 2) >= "e6").select("vec_id", "embedding")
+    batch_ids = {r.vec_id for r in batch.select("vec_id").collect()}
+
+    stream_dir = str(tmp_path / "arrivals")
+    os.makedirs(stream_dir)
+    batch.coalesce(1).write.parquet(os.path.join(stream_dir, "b0"))
+    f = glob.glob(os.path.join(stream_dir, "b0", "*.parquet"))[0]
+    shutil.move(f, os.path.join(stream_dir, "batch_0.parquet"))
+    shutil.rmtree(os.path.join(stream_dir, "b0"))
+
+    # clean first run: builds the seed index and writes append_0
+    store1 = tmp_path / "store1"
+    first = {}
+    maintain_ann(
+        spark, SF_DIR, str(store1), stream_dir,
+        lambda t, b: first.update({b: {tuple(r) for r in t.collect()}}), k=3,
+    )
+    assert 0 in first and os.path.isdir(store1 / "append_0")
+
+    # simulated crash replay: same seed index AND append_0 already on
+    # disk, but a FRESH checkpoint — batch 0 re-fires
+    store2 = tmp_path / "store2"
+    os.makedirs(store2)
+    shutil.copytree(store1 / "index", store2 / "index")
+    shutil.copytree(store1 / "append_0", store2 / "append_0")
+    replayed = {}
+    maintain_ann(
+        spark, SF_DIR, str(store2), stream_dir,
+        lambda t, b: replayed.update({b: {tuple(r) for r in t.collect()}}), k=3,
+    )
+    neighbor_ids = {vec_id for rows in replayed.values() for (_, vec_id, _, _) in rows}
+    assert not (neighbor_ids & batch_ids), (
+        "replayed batch reported neighbors from its own append dir"
+    )
+    assert replayed == first, "crash replay diverged from the original report"

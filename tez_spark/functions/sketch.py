@@ -13,8 +13,12 @@ a streaming/update-mode aggregate or across day-partitioned builds.
 Estimates are biased HIGH only: est(t) = min over rows d of
 cell[d, h_d(t)] ≥ true(t), and with probability ≥ 1-2^-D the
 overestimate is ≤ e·N/W (N = total tokens). Both properties are
-asserted in tests; the declared query is rows-only (sketch cell layout
-is engine-specific — same policy as approx_distinct).
+asserted in tests AND (r7, the approx_distinct promotion pattern)
+carried in-query as booleans next to the exact audit counts, so the
+declared query is a FULL oracle: sketch cell values are engine-specific
+and can never hash-match across engines, but the sketch's CONTRACT —
+no-underestimate + the e·N/W error bound — is portable, and the
+driver's rows+schema+hash comparison now verifies it end-to-end.
 
 All JVM-side: xxhash64-seeded row hashes, explode of a D-element
 struct array, one groupBy. No Python in the build path.
@@ -81,28 +85,68 @@ def cms_estimate(sketch: DataFrame, candidates: DataFrame, col: str = "tok") -> 
 
 
 def q_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 exact heavy hitters with their CMS estimates side by side:
-    (tok, exact, est). Rows-only by design; est >= exact and the CMS
-    error bound are asserted in tests/test_sketch.py. The candidate set
-    here is the exact top-20 so the output is deterministic — a pure
-    production flow would instead point-query a externally-supplied
-    watchlist against the sketch without any exact pass."""
+    """Top-20 exact heavy hitters with the two CMS guarantees checked
+    in-query: (tok, exact_cnt, no_underestimate, within_bound).
+
+    FULL oracle (r7; promoted the same way approx_distinct was in r6):
+    the raw estimates are engine-specific, but `no_underestimate`
+    (est ≥ exact — deterministic, min-of-cells ≥ any contributor) and
+    `within_bound` (est − exact ≤ e·N/W, the Cormode-Muthukrishnan
+    error bound; holds w.p. ≥ 1−2^−D per query and deterministically on
+    the fixtures — worst observed excess is 0 at every SF) ARE the
+    sketch's portable contract; the DuckDB oracle emits the same exact
+    top-20 with literal TRUEs. The candidate set is the exact top-20 so
+    the output is deterministic — a production flow instead point-queries
+    an externally-supplied watchlist against the sketch with no exact
+    pass; the exact side here is the AUDIT the oracle needs, dropped at
+    100TB where the bounded-key sketch is the whole point."""
+    import math
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens("text")).alias("tok"))
-    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact"))
-    w = Window.orderBy(F.desc("exact"), F.asc("tok"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    w = Window.orderBy(F.desc("exact_cnt"), F.asc("tok"))
     top = (
         exact.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
-        .select("tok", "exact")
+        .select("tok", "exact_cnt")
     )
+    # N = total tokens: a single-row re-agg of the exact wordcount
+    # already computed above (no second corpus scan), broadcast onto the
+    # 20 output rows
+    n_total = exact.agg(F.sum("exact_cnt").alias("_n_total"))
     sketch = build_cms(toks)
     est = cms_estimate(sketch, top.select("tok"))
     return (
         top.join(est, "tok")
-        .select("tok", "exact", "est")
-        .orderBy(F.desc("exact"), F.asc("tok"))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "tok",
+            "exact_cnt",
+            (F.col("est") >= F.col("exact_cnt")).alias("no_underestimate"),
+            (
+                (F.col("est") - F.col("exact_cnt"))
+                <= F.lit(math.e) * F.col("_n_total") / F.lit(CMS_W)
+            ).alias("within_bound"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
     )
 
+
+ORACLE = {
+    "cms_heavyhitters": """
+        WITH toks AS (
+            SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+            FROM documents
+        )
+        SELECT tok, COUNT(*) AS exact_cnt,
+               TRUE AS no_underestimate,
+               TRUE AS within_bound
+        FROM toks
+        GROUP BY tok
+        ORDER BY exact_cnt DESC, tok ASC
+        LIMIT 20
+    """,
+}
 
 QUERIES = {"cms_heavyhitters": q_cms_heavyhitters}

@@ -515,14 +515,17 @@ def winnow_pairs(
     texts are collapsed to one representative BEFORE the fp self-join,
     so an M-sized exact-duplicate cluster contributes ONE row per
     bucket instead of O(M²) candidate pairs. Exactness is preserved,
-    not approximated: identical texts have identical shingle sets, so
-    every intra-cluster pair has J=1 ≥ t by construction, and a member
-    pair (a∈A, b∈B) has exactly J(rep_A, rep_B) — the expansion joins
-    reattach members to verified representative pairs. Equality with
-    the direct path over any corpus is asserted in
-    tests/test_dedup_property.py on a corpus with a planted 25-doc
-    exact cluster (where the direct path's candidate set is 44×
-    larger). The declared registry query keeps it OFF: the driver
+    not approximated: identical texts have identical shingle sets (so
+    every intra-cluster pair has J=1 ≥ t) AND identical fingerprint
+    sets (so the direct path's ≥2-shared-fp filter admits an exact pair
+    iff its text carries ≥2 fps — intra emission is gated on exactly
+    that, keeping 3-6-token exact duplicates out of both paths alike);
+    a member pair (a∈A, b∈B) has exactly J(rep_A, rep_B) and shares
+    exactly rep_A∩rep_B's fps — the expansion joins reattach members to
+    verified representative pairs. Equality with the direct path over
+    any corpus is asserted in tests/test_dedup_property.py on a corpus
+    with a planted 25-doc exact cluster (where the direct path's
+    candidate set is 44× larger) plus a planted short-exact-dup pair. The declared registry query keeps it OFF: the driver
     fixtures contain zero exact duplicates (checked), so the collapse
     machinery (one text-hash agg + two expansion joins) would be pure
     overhead there; flip it on for raw web-scale ingest, where giant
@@ -547,12 +550,26 @@ def winnow_pairs(
     rp = _verify_pairs(_winnow_candidates(rfps), sh).filter(F.col("j") >= t)
     a = mr.alias("a")
     b = mr.alias("b")
+    # Intra-cluster pairs are emitted only for clusters whose
+    # representative carries >= 2 fingerprints: identical texts share ALL
+    # their fps, so the direct path's >=2-shared-fp candidate filter
+    # admits an exact-duplicate pair iff its text has >=2 fps — without
+    # this gate, identical 3-6-token docs (shingled, but too short for 2
+    # winnow windows at K=3/W=4) would appear here and not in the direct
+    # path, breaking the documented equality.
+    eligible = (
+        rfps.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_nfp"))
+        .filter(F.col("_nfp") >= 2)
+        .select(F.col("doc_id").alias("_elig_rep"))
+    )
     intra = (
         a.join(
             b,
             (F.col("a.rep") == F.col("b.rep"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .join(eligible, F.col("a.rep") == F.col("_elig_rep"), "left_semi")
         .select(
             F.col("a.doc_id").alias("da"),
             F.col("b.doc_id").alias("db"),

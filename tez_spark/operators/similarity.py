@@ -866,16 +866,23 @@ def ensure_ivf_index(corpus: DataFrame, sf_dir: str) -> str:
     write_ivf_index(corpus, scratch)
     with open(os.path.join(scratch, "_COMPLETE"), "w") as f:
         f.write("ok\n")
-    try:
-        os.rename(scratch, idx)
-    except OSError:
-        # target exists: either a concurrent builder won (use theirs if
-        # complete) or a pre-fix partial build squats the path (replace)
-        if os.path.exists(os.path.join(idx, "_COMPLETE")):
-            shutil.rmtree(scratch, ignore_errors=True)
-        else:
-            shutil.rmtree(idx, ignore_errors=True)
+    # Loop until one of the two terminal outcomes holds: OUR build is
+    # renamed in, or a COMPLETE build from a concurrent builder is at the
+    # path (r6 advice: a single retry had a TOCTOU window between rmtree
+    # and the second rename — a concurrent winner landing there made the
+    # rename raise instead of falling back to the winner's index).
+    while True:
+        try:
             os.rename(scratch, idx)
+            break
+        except OSError:
+            # target exists: a concurrent builder won (use theirs if
+            # complete) or a pre-fix partial build squats the path
+            # (clear it and retry)
+            if os.path.exists(os.path.join(idx, "_COMPLETE")):
+                shutil.rmtree(scratch, ignore_errors=True)
+                break
+            shutil.rmtree(idx, ignore_errors=True)
     return idx
 
 

@@ -155,11 +155,14 @@ def maintain_ann(
     cell-partitioned write (the standard IVF ingest path; periodic
     centroid re-training is a rebuild via write_ivf_index, out of band).
 
-    Each arrival is reported exactly once, with neighbors drawn from all
-    PRIOR content only (its own batch is probed before the batch
-    commits — same pre-commit-store discipline as maintain_dedup, so a
-    vector never reports itself and replayed batches are idempotent:
-    per-batch append subdirs are overwrite-mode).
+    Reports are AT-LEAST-ONCE across crash replays (the report runs
+    before the batch's append commits, so a crash between them replays
+    the batch and re-reports it); within any run that doesn't crash
+    mid-batch each arrival is reported once. Neighbors are drawn from
+    PRIOR content only — the probe excludes the replayed batch's own
+    append subdir, so a vector never reports itself even when a crash
+    landed its append before the checkpoint commit. Per-batch append
+    subdirs are overwrite-mode, keeping the committed store idempotent.
 
     `report(topk_df, batch_id)` receives (q_id, vec_id, sim, rn) rows.
     """
@@ -171,25 +174,49 @@ def maintain_ann(
     from tez_spark.sources.catalog import load_table
 
     import numpy as np
+    import shutil
+    import uuid
 
+    # Seed index, built ATOMICALLY (same scratch + _COMPLETE marker +
+    # rename discipline as similarity.ensure_ivf_index): gating on the
+    # marker — not on centroids/, which write_ivf_index writes FIRST —
+    # means a crash mid-seed-build followed by a stream restart rebuilds
+    # instead of probing a vectors-less or partial index.
     idx = os.path.join(store_dir, "index")
-    if not os.path.exists(os.path.join(idx, "centroids")):
+    if not os.path.exists(os.path.join(idx, "_COMPLETE")):
         emb = load_table(spark, sf_dir, "embeddings")
         h = F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8"))
         corpus = emb.filter(F.substring(h, 1, 2) < "e6")
-        write_ivf_index(corpus, idx)
+        scratch = f"{idx}.build-{uuid.uuid4().hex[:12]}"
+        write_ivf_index(corpus, scratch)
+        with open(os.path.join(scratch, "_COMPLETE"), "w") as f:
+            f.write("ok\n")
+        while True:
+            try:
+                os.rename(scratch, idx)
+                break
+            except OSError:
+                if os.path.exists(os.path.join(idx, "_COMPLETE")):
+                    shutil.rmtree(scratch, ignore_errors=True)
+                    break
+                shutil.rmtree(idx, ignore_errors=True)
 
     cent = spark.read.parquet(os.path.join(idx, "centroids")).collect()
     Cn = np.zeros((len(cent), len(cent[0].centroid)))
     for r in cent:
         Cn[r.cell] = r.centroid
 
-    def store_vectors() -> DataFrame:
+    def store_vectors(exclude_batch_id: int) -> DataFrame:
+        # Exclude the in-flight batch's OWN append dir: a crash between
+        # its append write and the checkpoint commit leaves the dir on
+        # disk, and the replayed batch must still probe prior content
+        # only (not its own vectors).
         vec = spark.read.parquet(os.path.join(idx, "vectors"))
         appends = sorted(
             d
             for d in os.listdir(store_dir)
             if d.startswith("append_")
+            and d != f"append_{exclude_batch_id}"
             and os.path.isdir(os.path.join(store_dir, d))
         )
         for d in appends:
@@ -207,7 +234,7 @@ def maintain_ann(
             batch_df,
             k=k,
             probe_chunk_rows=10_000,
-            vectors=store_vectors(),
+            vectors=store_vectors(exclude_batch_id=batch_id),
         )
         report(topk, batch_id)
         # commit AFTER reporting: assign the batch into the fixed
