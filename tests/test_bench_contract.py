@@ -1,0 +1,111 @@
+"""bench.py stdout contract: the headline JSON line must fit the
+driver's ~2000-char stdout tail at ANY registry size and value mix — the
+r5 parsed-null truncation must be unreproducible (VERDICT r6 task 8).
+No Spark session needed; pure formatting."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _line(partial: bool = False) -> dict:
+    d = {
+        "metric": "tez_spark_total_wall_clock",
+        "value": 123456.789,
+        "unit": "sec",
+        "queries": {},
+        "sf": "/root/testdata/sf0.1",
+        "steal_pct": 99.99,
+    }
+    if partial:
+        d["partial"] = True
+    return d
+
+
+def _real_names() -> list[str]:
+    from tez_spark.plans.registry import all_queries
+
+    return list(all_queries())
+
+
+def test_headline_fits_tail_at_125_queries_3_digit_values():
+    """125 realistically-named queries all burst-inflated to 999.99s —
+    far beyond anything a physical window produces — must still
+    serialize under 2000 chars, parse, and account for every query
+    (entries present + queries_omitted == 125; omission is explicit,
+    never silent)."""
+    names = _real_names()
+    names = names + [f"next_round_q{i:02d}" for i in range(125 - len(names))]
+    assert len(names) == 125
+    timings = {n: 999.99 for n in names}
+    out = bench.format_headline(_line(), timings, names)
+    assert len(out) < 2000, f"headline overflows the driver tail: {len(out)}"
+    parsed = json.loads(out)
+    assert parsed["metric"] == "tez_spark_total_wall_clock"
+    assert parsed["value"] == 123456.789
+    assert len(parsed["queries"]) + parsed.get("queries_omitted", 0) == 125
+    assert all(v == 1000 for v in parsed["queries"].values())
+
+
+def test_headline_partial_all_failed_fits_without_omission():
+    """A driver-timeout partial emit (every query -1.0) at the CURRENT
+    registry was measured at 2105 chars under the old tiers — the
+    integral-shorten tier must carry it whole, with no entry omitted."""
+    names = _real_names()
+    out = bench.format_headline(_line(partial=True), {}, names)
+    assert len(out) < 2000, f"partial emit overflows: {len(out)}"
+    parsed = json.loads(out)
+    assert parsed["partial"] is True
+    assert "queries_omitted" not in parsed
+    assert len(parsed["queries"]) == len(names)
+    assert all(v == -1 for v in parsed["queries"].values())
+
+
+def test_headline_realistic_mix_keeps_subsecond_precision():
+    """Today's realistic shape (0.2–3s values at the full registry) must
+    keep at least 1dp for sub-second entries — integer rounding a 0.3s
+    query to 0 would destroy the per-query BENCH record the judge
+    compares across rounds."""
+    import random
+
+    names = _real_names()
+    rng = random.Random(3)
+    timings = {n: round(rng.uniform(0.2, 3.0), 3) for n in names}
+    out = bench.format_headline(_line(), timings, names)
+    assert len(out) < 2000
+    parsed = json.loads(out)
+    assert "queries_omitted" not in parsed
+    assert len(parsed["queries"]) == len(names)
+    for n, v in parsed["queries"].items():
+        if timings[n] < 0.95:
+            assert v != 0 and abs(v - timings[n]) <= 0.051, (n, v, timings[n])
+        else:
+            assert abs(v - timings[n]) <= 0.51, (n, v, timings[n])
+
+
+def test_headline_keeps_2dp_precision_when_it_fits():
+    """A smaller registry (or one with short names) keeps the 2dp tier
+    untouched — the shrink tiers only fire on overflow."""
+    names = _real_names()[:80]
+    timings = {n: 1.23 for n in names}
+    out = bench.format_headline(_line(), timings, names)
+    assert len(out) < 2000
+    parsed = json.loads(out)
+    assert "queries_omitted" not in parsed
+    assert all(v == 1.23 for v in parsed["queries"].values())
+
+
+def test_headline_never_overflows_even_at_absurd_scale():
+    """Property sweep: 200 long-named queries, mixed failed/3-digit
+    values — the ladder must ALWAYS return a parseable line under
+    budget with the contract fields intact."""
+    names = [f"extremely_long_query_name_for_growth_{i:03d}" for i in range(200)]
+    timings = {n: (999.99 if i % 2 else -1.0) for i, n in enumerate(names)}
+    out = bench.format_headline(_line(partial=True), timings, names)
+    assert len(out) <= 1980
+    parsed = json.loads(out)
+    assert parsed["metric"] == "tez_spark_total_wall_clock"
+    assert parsed["unit"] == "sec"
+    assert len(parsed["queries"]) + parsed.get("queries_omitted", 0) == 200

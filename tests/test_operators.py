@@ -620,3 +620,98 @@ def test_mrjob_translator_wordcount_and_mrr_chain(spark):
         .collect()
     }
     assert got2 == want2 and got2
+
+
+def test_rank_dominance_bucketed_equals_exact_on_wide_key(spark):
+    """rank_dominance_bucketed on a >10k-value right key: exact equality
+    with an independent numpy all-pairs truth, candidate volume bounded
+    by the bucket histograms (the reason the operator exists), and no
+    CartesianProduct anywhere in the plan."""
+    import numpy as np
+
+    from tez_spark.operators.core import rank_dominance_bucketed
+
+    rng = np.random.default_rng(7)
+    K = 12_000
+    S = 24_000
+    C = 3_000
+    G = 15
+    B = 256
+    s_keys = np.concatenate([np.arange(K), rng.integers(0, K, S - K)])
+    s_vals = np.round(rng.uniform(-1000, 10_000, S), 2)
+    c_groups = rng.integers(0, G, C)
+    c_vals = np.round(rng.uniform(-1000, 10_000, C), 2)
+
+    left = spark.createDataFrame(
+        [(int(g), float(v)) for g, v in zip(c_groups, c_vals)],
+        "grp int, bal double",
+    )
+    right = spark.createDataFrame(
+        [(int(k), float(v)) for k, v in zip(s_keys, s_vals)],
+        "key int, bal double",
+    )
+    out = rank_dominance_bucketed(
+        left, right, "grp", "key", "bal", "bal", n_buckets=B
+    )
+    assert "CartesianProduct" not in out._jdf.queryExecution().executedPlan().toString()
+    got = {(r.grp, r.key): r.n_dominant for r in out.collect()}
+
+    # numpy truth: per right key, sorted values; dominance count per
+    # customer via searchsorted(side=left) == #vals strictly below
+    order = np.argsort(s_keys, kind="stable")
+    sk, sv = s_keys[order], s_vals[order]
+    starts = np.searchsorted(sk, np.arange(K), side="left")
+    ends = np.searchsorted(sk, np.arange(K), side="right")
+    want: dict[tuple[int, int], int] = {}
+    for k in range(K):
+        vals = np.sort(sv[starts[k]:ends[k]])
+        if not len(vals):
+            continue
+        below = np.searchsorted(vals, c_vals, side="left")
+        per_group = np.bincount(c_groups, weights=below, minlength=G)
+        for g in range(G):
+            n = int(per_group[g])
+            if n > 0:
+                want[(g, k)] = n
+    assert got == want
+
+    # candidate boundedness: the within-bucket equijoin's pair volume is
+    # sum_b n_l[b]*n_r[b] — a ~B-fold reduction vs the C*S product the
+    # window/cartesian forms would touch
+    lo = min(s_vals.min(), c_vals.min())
+    hi = max(s_vals.max(), c_vals.max())
+    w = (hi - lo) / B
+    lb = np.minimum(((c_vals - lo) / w).astype(int), B - 1)
+    rb = np.minimum(((s_vals - lo) / w).astype(int), B - 1)
+    nl = np.bincount(lb, minlength=B)
+    nr = np.bincount(rb, minlength=B)
+    candidates = int((nl * nr).sum())
+    assert candidates * 10 < C * S, (
+        f"within-bucket candidates {candidates} not bounded vs {C * S} pairs"
+    )
+    assert int(nl.max()) <= C // B + 64 and int(nr.max()) <= S // B + 64, (
+        "per-bucket occupancy unbounded — bucketing is not spreading rows"
+    )
+
+
+def test_rank_dominance_bucketed_matches_window_plan_on_fixture(spark):
+    """On the fixture's 25-value nation key the bucketed twin must return
+    exactly what the registry's rank-window plan returns."""
+    from tests.conftest import SF_DIR
+    from tez_spark.operators.core import rank_dominance_bucketed
+    from tez_spark.plans.queries_ext import q_cross_join_chunked
+    from tez_spark.sources.catalog import load_table
+
+    want = {
+        (r.c_nationkey, r.s_nationkey, r.n_dominant)
+        for r in q_cross_join_chunked(spark, SF_DIR).collect()
+    }
+    c = load_table(spark, SF_DIR, "customer").select("c_nationkey", "c_acctbal")
+    s = load_table(spark, SF_DIR, "supplier").select("s_nationkey", "s_acctbal")
+    got = {
+        (r.c_nationkey, r.s_nationkey, r.n_dominant)
+        for r in rank_dominance_bucketed(
+            c, s, "c_nationkey", "s_nationkey", "c_acctbal", "s_acctbal"
+        ).collect()
+    }
+    assert got == want and got

@@ -527,6 +527,122 @@ def chunked_cross_join(
     return out.filter(theta) if theta is not None else out
 
 
+def rank_dominance_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_group: str,
+    right_key: str,
+    left_val: str,
+    right_val: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """(left_group, right_key, n_dominant): per-group counts over the
+    left×right theta product of pairs where left_val > right_val — the
+    HIGH-CARDINALITY-right_key twin of q_cross_join_chunked's rank
+    window (the quantile-bucket pre-aggregation its docstring promises;
+    FairCartesianProductVertexManager.java:75's objective — output-size-
+    bounded parallelism for an all-pairs theta — met by pre-aggregation
+    instead of grid chunking).
+
+    Why the window form dies on a wide key: it replicates every left
+    row once per distinct right_key (fine for a 25-value nation dim,
+    C×K rows for a 10k+-value one) and sorts C+S rows inside each of K
+    window partitions. This form never replicates by K and never sorts
+    the raw rows. Both sides are histogrammed into `n_buckets` monotone
+    value buckets:
+
+    - CROSS-BUCKET pairs (s strictly below c's bucket) are counted from
+      aggregates alone: per-key cumulative supplier histograms (dense
+      K×B grid, B rows per window partition — parallelism scales WITH
+      key cardinality) joined to the left histogram on bucket, with the
+      tiny left histogram broadcast.
+    - WITHIN-BUCKET pairs are compared exactly via a bucket equijoin:
+      candidates per bucket are n_left[b]×n_right[b] ≈ C·S/B² — size
+      n_buckets so C·S/B fits the cluster (the task count is B for this
+      stage; B is the knob trading candidate volume against
+      parallelism).
+
+    Exact, not approximate: bucketing is monotone (floor over a fixed
+    grid), so a strictly-lower bucket implies a strictly smaller value,
+    and equal values always share a bucket where the strict `>` is
+    evaluated on the raw columns. Equality with the exact plan on a
+    >10k-value key and candidate-boundedness are asserted in
+    tests/test_operators.py."""
+    spark = left.sparkSession
+    bounds = (
+        left.select(F.col(left_val).cast("double").alias("_v"))
+        .unionByName(right.select(F.col(right_val).cast("double").alias("_v")))
+        .agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    )
+
+    def bucket_of(val: str) -> Column:
+        w = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
+        return (
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((F.col(val).cast("double") - F.col("_lo")) / w),
+                    F.lit(n_buckets - 1),
+                )
+            )
+            .cast("int")
+        )
+
+    lb = left.crossJoin(F.broadcast(bounds)).select(
+        F.col(left_group).alias("_g"),
+        F.col(left_val).alias("_lv"),
+        bucket_of(left_val).alias("_b"),
+    )
+    rb = right.crossJoin(F.broadcast(bounds)).select(
+        F.col(right_key).alias("_k"),
+        F.col(right_val).alias("_rv"),
+        bucket_of(right_val).alias("_b"),
+    )
+
+    l_hist = lb.groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_nl"))
+    r_hist = rb.groupBy("_k", "_b").agg(F.count(F.lit(1)).alias("_nr"))
+
+    # dense per-key cumulative histogram: every (key, bucket) cell, with
+    # the count of right rows in STRICTLY lower buckets
+    grid = (
+        rb.select("_k").distinct()
+        .crossJoin(F.broadcast(spark.range(n_buckets).select(F.col("id").cast("int").alias("_b"))))
+        .join(r_hist, ["_k", "_b"], "left")
+    )
+    wcum = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r_below = grid.withColumn(
+        "_below", F.coalesce(F.sum("_nr").over(wcum), F.lit(0))
+    ).filter(F.col("_below") > 0)
+
+    cross_part = (
+        r_below.join(F.broadcast(l_hist), "_b")
+        .groupBy("_g", "_k")
+        .agg(F.sum(F.col("_nl") * F.col("_below")).alias("_n_cross"))
+    )
+    within_part = (
+        lb.join(rb, "_b")
+        .filter(F.col("_lv") > F.col("_rv"))
+        .groupBy("_g", "_k")
+        .agg(F.count(F.lit(1)).alias("_n_within"))
+    )
+    merged = cross_part.join(within_part, ["_g", "_k"], "full_outer")
+    return (
+        merged.select(
+            F.col("_g").alias(left_group),
+            F.col("_k").alias(right_key),
+            (
+                F.coalesce(F.col("_n_cross"), F.lit(0))
+                + F.coalesce(F.col("_n_within"), F.lit(0))
+            ).alias("n_dominant"),
+        )
+        .filter(F.col("n_dominant") > 0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts
 # ---------------------------------------------------------------------------

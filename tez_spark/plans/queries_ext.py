@@ -792,7 +792,42 @@ def q_cross_join_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dom.orderBy("c_nationkey", "s_nationkey")
 
 
+def q_cross_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-dominance theta product over a HIGH-CARDINALITY partition
+    key: per (customer nation, individual supplier) count of customers
+    whose balance dominates that supplier's — q_cross_join_chunked's
+    semantics with s_suppkey (one partition per supplier; thousands at
+    sf0.1, millions at 100TB) in place of the 25-value nation dim.
+
+    The window form above replicates every customer once per distinct
+    key and sorts C+S rows in each of K window partitions — exactly the
+    shape its own docstring warns about for wide dims. This query runs
+    the promised twin, operators.core.rank_dominance_bucketed: both
+    sides pre-aggregated into monotone balance-bucket histograms,
+    cross-bucket pairs counted from per-key cumulative histograms
+    (aggregate arithmetic, no pair ever materialized), within-bucket
+    pairs compared exactly via a bucket equijoin whose candidate volume
+    is ~C·S/B. Work scales with output size + C·S/B, never C×K rows —
+    FairCartesianProductVertexManager.java:75's output-bounded-
+    parallelism objective met by pre-aggregation. Equality with the
+    exact plan on a 12k-value key: tests/test_operators.py."""
+    from tez_spark.operators.core import rank_dominance_bucketed
+
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    return rank_dominance_bucketed(
+        c, s, "c_nationkey", "s_suppkey", "c_acctbal", "s_acctbal"
+    ).orderBy("c_nationkey", "s_suppkey")
+
+
 ORACLE: dict[str, str] = {
+    "cross_join_bucketed": """
+        SELECT c_nationkey, s_suppkey, COUNT(*) AS n_dominant
+        FROM customer, supplier
+        WHERE c_acctbal > s_acctbal
+        GROUP BY c_nationkey, s_suppkey
+        ORDER BY c_nationkey, s_suppkey
+    """,
     "cross_join_chunked": """
         SELECT c_nationkey, s_nationkey, COUNT(*) AS n_dominant
         FROM customer, supplier
@@ -1161,6 +1196,7 @@ QUERIES = {
     "event_anomalies": q_event_anomalies,
     "source_quality": q_source_quality,
     "cross_join_chunked": q_cross_join_chunked,
+    "cross_join_bucketed": q_cross_join_bucketed,
 }
 
 # the source_quality oracle shares the engine's stopword list verbatim
