@@ -44,14 +44,61 @@ def test_resize_fixed_size(spark):
 
 
 def test_real_decode_path_is_marked(spark):
-    """The non-fake path must fail loudly, not silently fake."""
+    """Where PIL is absent the non-fake path must fail loudly, not
+    silently fake (where PIL IS present, the real branch is exercised by
+    the PIL-gated tests below instead)."""
     import pytest
 
-    from tez_spark.operators.multimodal import decode_image_meta
+    from tez_spark.operators.multimodal import _pil_image, decode_image_meta
 
+    if _pil_image() is not None:
+        pytest.skip("PIL installed — real branch covered by PIL-gated tests")
     df = decode_image_meta(_payloads(spark), fake=False)
-    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+    with pytest.raises(Exception, match="NotImplementedError|requires PIL"):
         df.collect()
+
+
+def test_pil_decode_reads_real_png_dimensions(spark):
+    """PIL branch (runs only where PIL is installed): generated PNGs of
+    known sizes come back with their TRUE width/height and intact
+    checksum through the Arrow mapInPandas pipeline."""
+    import hashlib
+    import io
+
+    import pytest
+
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    from tez_spark.operators.multimodal import decode_image_meta, resize_image
+
+    rows = []
+    sizes = [(13, 7), (64, 64), (3, 100), (640, 1)]
+    for i, (w, h) in enumerate(sizes):
+        im = Image.new("RGB", (w, h), color=(i * 11 % 256, 50, 200))
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        rows.append((i, bytearray(buf.getvalue())))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    got = {r.doc_id: r for r in decode_image_meta(df, fake=False).collect()}
+    for i, (w, h) in enumerate(sizes):
+        assert (got[i].width, got[i].height) == (w, h)
+        assert got[i].n_bytes == len(rows[i][1])
+        assert got[i].checksum == hashlib.md5(bytes(rows[i][1])).hexdigest()
+
+    # real resize: every payload becomes exactly 8*6 grayscale bytes
+    pix = {r.doc_id: r.pixels for r in resize_image(df, 8, 6, fake=False).collect()}
+    assert set(pix) == set(range(len(sizes)))
+    assert all(len(p) == 48 for p in pix.values())
+    # and matches a direct PIL reference for one image
+    ref = (
+        Image.open(io.BytesIO(bytes(rows[0][1])))
+        .convert("L")
+        .resize((8, 6))
+        .tobytes()
+    )
+    assert bytes(pix[0]) == ref
 
 
 def test_features_feed_similarity(spark):

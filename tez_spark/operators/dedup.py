@@ -236,10 +236,20 @@ def _verify_pairs(
             .agg(F.collect_set("sh").alias(out))
         )
 
-    a_sets = doc_sets(sh, cand.select(F.col("da").alias(id_col)).distinct(), "sha")
+    # In the broadcast regime, no .distinct() on the id projections: the
+    # broadcast hash relation the left_semi builds is a SET, so duplicate
+    # ids collapse in the build anyway — the distinct added one exchange
+    # + one AQE job per side for nothing (r7 stage-floor profile:
+    # dedup_incremental's wall is driver orchestration, not bytes; see
+    # PERF.md round 7). In the shuffle regime (broadcast_small=False) the
+    # distinct stays: there the dup ids would travel the exchange.
+    maybe_distinct = (lambda df: df) if broadcast_small else (lambda df: df.distinct())
+    a_sets = doc_sets(
+        sh, maybe_distinct(cand.select(F.col("da").alias(id_col))), "sha"
+    )
     b_sets = doc_sets(
         sh_b if sh_b is not None else sh,
-        cand.select(F.col("db").alias(id_col)).distinct(),
+        maybe_distinct(cand.select(F.col("db").alias(id_col))),
         "shb",
     )
     return (
@@ -361,13 +371,17 @@ def band_signatures(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def candidates_from_bands(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def candidates_from_bands(
+    banded: DataFrame, id_col: str = "doc_id", dedupe: bool = True
+) -> DataFrame:
     """Bucket equijoin over a (persisted) banded-signature table ->
     distinct candidate pairs. Shuffle key (band, sig) is ~uniform (hash
-    values), so no skew."""
+    values), so no skew. dedupe=False returns the raw (multi-band) pair
+    stream for callers that fold several candidate branches into ONE
+    union-wide distinct (q_dedup_incremental)."""
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -375,8 +389,8 @@ def candidates_from_bands(banded: DataFrame, id_col: str = "doc_id") -> DataFram
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("da"), F.col(f"b.{id_col}").alias("db"))
-        .distinct()
     )
+    return pairs.distinct() if dedupe else pairs
 
 
 def lsh_candidates(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -619,10 +633,16 @@ def corpus_artifacts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
         ("corpus_shingles", sf_abs, fp),
         lambda: shingles(corpus_docs(), "doc_id", "text", n=3),
     )
+    # The band table is memoized PRE-PARTITIONED on the band-join key:
+    # the persisted partitioning satisfies the equijoin's clustering
+    # requirement, so every incremental batch joins against the store
+    # WITHOUT re-exchanging the corpus side (r7 stage-floor profile —
+    # this is the store-side analog of writing the production parquet
+    # signature store bucketed by (band, sig)).
     bands = shared_artifact(
         spark,
         ("corpus_bands", sf_abs, fp),
-        lambda: band_signatures(minhash_signatures(sh)),
+        lambda: band_signatures(minhash_signatures(sh)).repartition("band", "sig"),
     )
     return sh, bands
 
@@ -654,6 +674,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
     batch_docs = docs.filter(F.substring(h, 1, 2) >= "e6")
     batch_sh = tracked_persist(shingles(batch_docs, "doc_id", "text", n=3))
+    # Both persists below are load-bearing (r7 profile, A/B-measured):
+    # the un-persisted form re-runs the minhash aggregation and band
+    # joins inside every broadcast-subquery consumer — AQE exchange
+    # reuse does NOT span those subtrees — and measured >=2x slower
+    # (7.9s vs 3.8s idle min at sf0.1).
     batch_bands = tracked_persist(band_signatures(minhash_signatures(batch_sh)))
 
     cross = (
@@ -664,18 +689,26 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("c.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
     )
-    within = candidates_from_bands(batch_bands)
-    # distinct per branch, not over the union: cross pairs (corpus,batch)
-    # and within pairs (batch,batch) are disjoint SETS, so deduping each
-    # branch separately gives the same candidates minus one union-wide
-    # shuffle (within is already distinct inside candidates_from_bands).
-    cand = tracked_persist(cross.distinct().unionByName(within))
+    within = candidates_from_bands(batch_bands, dedupe=False)
+    # ONE union-wide distinct, not one per branch (r7 flip of the r6
+    # shape): the branches' pre-distinct pair streams carry the same
+    # rows either way, so a single exchange over the (narrow) union
+    # moves identical bytes through HALF the distinct stages/AQE jobs —
+    # and the profile showed this query's floor is stage orchestration,
+    # not shuffle bytes.
+    cand = tracked_persist(cross.unionByName(within).distinct())
 
     sh_all = corpus_sh.unionByName(batch_sh)
+    # Single-partition sort instead of orderBy: the verified report is
+    # candidate-bounded (hundreds of rows at any SF here), and orderBy's
+    # range partitioner costs a separate SAMPLING job — one more
+    # serialized driver round-trip on a query whose floor is driver
+    # orchestration. At true 100TB output sizes swap back to orderBy.
     return (
         _verify_pairs(cand, sh_all, sh_b=batch_sh)
         .filter(F.col("j") >= 0.8)
-        .orderBy("da", "db")
+        .coalesce(1)
+        .sortWithinPartitions("da", "db")
     )
 
 

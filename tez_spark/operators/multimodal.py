@@ -5,12 +5,14 @@ is its closest native concept, made columnar here).
 
 The Spark-side plumbing is real and tested: binary columns, Arrow-batched
 mapInPandas decode, stable output schema, partition-preserving shape. The
-actual media decode is STUBBED (image/audio libs are not in this
-container): ``decode_image_meta`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder (pure function
-of the payload bytes) stands in. Swap `_decode_one` for a real
-PIL/ffmpeg call on a cluster with the libs installed — the pipeline
-around it does not change.
+real media decode (``fake=False``) uses PIL when importable (r7) —
+``decode_image_meta`` reads actual width/height/mode from the payload and
+``resize_image`` runs Image.resize; property-tested on generated PNGs in
+tests/test_multimodal.py (skipped where PIL is absent). Where PIL is
+genuinely missing — this container — the real branch raises
+NotImplementedError and the deterministic fake decoder (pure function of
+the payload bytes) remains the oracled driver surface. Audio/video
+(soundfile/ffmpeg) stay honestly stubbed.
 
 Scale notes: mapInPandas streams Arrow batches — no row-at-a-time serde,
 no driver collection; payloads stay partitioned exactly as scanned.
@@ -34,15 +36,36 @@ DECODE_SCHEMA = (
 )
 
 
+def _pil_image():
+    """PIL.Image when importable, else None — resolved once per
+    executor-side import of this module."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
 def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, int, str]:
-    """Stub decode: deterministic fake 'image header' from the payload.
-    A real implementation would call PIL.Image.open / soundfile / ffmpeg."""
-    if not fake:
-        raise NotImplementedError(
-            "real media decode requires PIL/ffmpeg — not in this container; "
-            "pass fake=True for the deterministic stand-in"
-        )
+    """Decode one payload to (n_bytes, width, height, checksum).
+
+    fake=True: deterministic fake 'image header' (pure function of the
+    bytes) — the oracled driver surface. fake=False: REAL decode via
+    PIL.Image.open when PIL is importable; NotImplementedError only when
+    it is genuinely absent."""
     n = len(payload)
+    if not fake:
+        Image = _pil_image()
+        if Image is None:
+            raise NotImplementedError(
+                "real image decode requires PIL, which is not installed; "
+                "pass fake=True for the deterministic stand-in"
+            )
+        import io
+
+        with Image.open(io.BytesIO(bytes(payload))) as im:
+            return n, im.width, im.height, hashlib.md5(payload).hexdigest()
     return n, n % 640, n % 480, hashlib.md5(payload).hexdigest()
 
 
@@ -115,17 +138,36 @@ def frame_sample(df: DataFrame, n_frames: int = 4, payload_col: str = "payload")
 def resize_image(
     df: DataFrame, width: int, height: int, payload_col: str = "payload", fake: bool = True
 ) -> DataFrame:
-    """Resize stub: real impl is PIL Image.resize; the fake truncates/pads
-    the byte plane to width*height so schema and sizing logic are real."""
-    if not fake:
-        raise NotImplementedError("real resize requires PIL — pass fake=True")
+    """Resize to a fixed width×height grayscale pixel plane.
+
+    fake=True: the byte plane is truncated/padded to width*height —
+    schema and sizing logic real, no codec. fake=False: REAL
+    PIL.Image.open → convert('L') → resize((width, height)) when PIL is
+    importable (tested on generated PNGs); NotImplementedError only when
+    PIL is genuinely absent. Either way the output is exactly
+    width*height bytes per row — the fixed-shape tensor a training
+    pipeline feeds downstream."""
     target = width * height
+    if not fake and _pil_image() is None:
+        raise NotImplementedError(
+            "real resize requires PIL, which is not installed; "
+            "pass fake=True for the byte-plane stand-in"
+        )
 
     def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        Image = _pil_image()
         for pdf in batches:
-            out = [
-                (bytes(p) + b"\0" * target)[:target] for p in pdf[payload_col]
-            ]
+            out = []
+            for p in pdf[payload_col]:
+                if fake:
+                    out.append((bytes(p) + b"\0" * target)[:target])
+                else:
+                    with Image.open(io.BytesIO(bytes(p))) as im:
+                        out.append(
+                            im.convert("L").resize((width, height)).tobytes()
+                        )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "pixels": out})
 
     return df.mapInPandas(proc, "doc_id long, pixels binary")

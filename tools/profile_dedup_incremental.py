@@ -11,9 +11,12 @@ but 2x ambient wall inflation produced meaningless attributions).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def profile(sf_dir: str, runs: int = 2) -> None:
