@@ -715,3 +715,48 @@ def test_rank_dominance_bucketed_matches_window_plan_on_fixture(spark):
         ).collect()
     }
     assert got == want and got
+
+
+def test_rank_dominance_bucketed_stats_bounds_and_clamping(spark):
+    """Supplied bucket bounds (the footer-stats fast path) must give
+    exactly the computed-bounds answer — including with deliberately
+    LOOSE bounds and with values OUTSIDE the supplied range (clamped to
+    edge buckets, compared exactly in the within-bucket join)."""
+    from tez_spark.operators.core import rank_dominance_bucketed
+
+    left = spark.createDataFrame(
+        [(0, -50.0), (0, 5.0), (1, 99.0), (1, 500.0)], "grp int, bal double"
+    )
+    right = spark.createDataFrame(
+        [(10, -100.0), (10, 4.0), (11, 99.0), (12, 450.0)], "key int, bal double"
+    )
+
+    def run(**kw):
+        return {
+            (r.grp, r.key): r.n_dominant
+            for r in rank_dominance_bucketed(
+                left, right, "grp", "key", "bal", "bal", n_buckets=8, **kw
+            ).collect()
+        }
+
+    want = run()  # computed bounds
+    assert want  # sanity: some dominance exists
+    assert run(bounds=(-100.0, 500.0)) == want  # exact stats
+    assert run(bounds=(-1000.0, 10_000.0)) == want  # loose stats
+    assert run(bounds=(0.0, 100.0)) == want  # STALE stats: values outside
+    assert run(bounds=(7.0, 7.0)) == want  # degenerate: one bucket
+
+
+def test_table_column_minmax_matches_scan(spark):
+    """Footer statistics equal the scanned min/max on a fixture column."""
+    from tests.conftest import SF_DIR
+    from tez_spark.sources.catalog import load_table, table_column_minmax
+
+    mm = table_column_minmax(SF_DIR, "supplier", "s_acctbal")
+    assert mm is not None
+    row = (
+        load_table(spark, SF_DIR, "supplier")
+        .agg(F.min("s_acctbal"), F.max("s_acctbal"))
+        .collect()[0]
+    )
+    assert mm == (float(row[0]), float(row[1]))

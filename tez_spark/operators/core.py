@@ -535,6 +535,7 @@ def rank_dominance_bucketed(
     left_val: str,
     right_val: str,
     n_buckets: int = 256,
+    bounds: "tuple[float, float] | None" = None,
 ) -> DataFrame:
     """(left_group, right_key, n_dominant): per-group counts over the
     left×right theta product of pairs where left_val > right_val — the
@@ -543,6 +544,14 @@ def rank_dominance_bucketed(
     FairCartesianProductVertexManager.java:75's objective — output-size-
     bounded parallelism for an all-pairs theta — met by pre-aggregation
     instead of grid chunking).
+
+    `bounds=(lo, hi)`: the value domain, when the caller has it from
+    table statistics (catalog.table_column_minmax reads it from parquet
+    row-group footers with no scan) — skips the min/max aggregation job
+    over both sides. ANY monotone bucketing is correct regardless of the
+    supplied bounds (out-of-range values clamp to the edge buckets and
+    compare exactly in the within-bucket join), so stale or loose stats
+    cost balance, never correctness.
 
     Why the window form dies on a wide key: it replicates every left
     row once per distinct right_key (fine for a 25-value nation dim,
@@ -569,35 +578,66 @@ def rank_dominance_bucketed(
     >10k-value key and candidate-boundedness are asserted in
     tests/test_operators.py."""
     spark = left.sparkSession
-    bounds = (
-        left.select(F.col(left_val).cast("double").alias("_v"))
-        .unionByName(right.select(F.col(right_val).cast("double").alias("_v")))
-        .agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
-    )
+    if bounds is not None:
+        lo, hi = float(bounds[0]), float(bounds[1])
 
-    def bucket_of(val: str) -> Column:
-        w = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
-        return (
-            F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
-            .otherwise(
-                F.least(
-                    F.floor((F.col(val).cast("double") - F.col("_lo")) / w),
-                    F.lit(n_buckets - 1),
+        def bucket_of(val: str) -> Column:
+            if hi == lo:
+                return F.lit(0).cast("int")
+            w = (hi - lo) / float(n_buckets)
+            return (
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.floor((F.col(val).cast("double") - F.lit(lo)) / F.lit(w)),
+                        F.lit(n_buckets - 1),
+                    ),
                 )
-            )
-            .cast("int")
+            ).cast("int")
+
+        lb = left.select(
+            F.col(left_group).alias("_g"),
+            F.col(left_val).alias("_lv"),
+            bucket_of(left_val).alias("_b"),
+        )
+        rb = right.select(
+            F.col(right_key).alias("_k"),
+            F.col(right_val).alias("_rv"),
+            bucket_of(right_val).alias("_b"),
+        )
+    else:
+        bounds_df = (
+            left.select(F.col(left_val).cast("double").alias("_v"))
+            .unionByName(right.select(F.col(right_val).cast("double").alias("_v")))
+            .agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
         )
 
-    lb = left.crossJoin(F.broadcast(bounds)).select(
-        F.col(left_group).alias("_g"),
-        F.col(left_val).alias("_lv"),
-        bucket_of(left_val).alias("_b"),
-    )
-    rb = right.crossJoin(F.broadcast(bounds)).select(
-        F.col(right_key).alias("_k"),
-        F.col(right_val).alias("_rv"),
-        bucket_of(right_val).alias("_b"),
-    )
+        def bucket_of(val: str) -> Column:
+            w = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
+            return (
+                F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+                .otherwise(
+                    F.greatest(
+                        F.lit(0),
+                        F.least(
+                            F.floor((F.col(val).cast("double") - F.col("_lo")) / w),
+                            F.lit(n_buckets - 1),
+                        ),
+                    )
+                )
+                .cast("int")
+            )
+
+        lb = left.crossJoin(F.broadcast(bounds_df)).select(
+            F.col(left_group).alias("_g"),
+            F.col(left_val).alias("_lv"),
+            bucket_of(left_val).alias("_b"),
+        )
+        rb = right.crossJoin(F.broadcast(bounds_df)).select(
+            F.col(right_key).alias("_k"),
+            F.col(right_val).alias("_rv"),
+            bucket_of(right_val).alias("_b"),
+        )
 
     l_hist = lb.groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_nl"))
     r_hist = rb.groupBy("_k", "_b").agg(F.count(F.lit(1)).alias("_nr"))

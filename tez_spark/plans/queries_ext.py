@@ -810,13 +810,34 @@ def q_cross_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ~C·S/B. Work scales with output size + C·S/B, never C×K rows —
     FairCartesianProductVertexManager.java:75's output-bounded-
     parallelism objective met by pre-aggregation. Equality with the
-    exact plan on a 12k-value key: tests/test_operators.py."""
+    exact plan on a 12k-value key: tests/test_operators.py.
+
+    Bucket bounds come from parquet row-group STATISTICS
+    (catalog.table_column_minmax — a footer read, no scan), so the
+    min/max aggregation job over both sides disappears from the query
+    path; any monotone bounds are correct, so stats staleness costs
+    bucket balance, never the answer."""
+    import math
+
     from tez_spark.operators.core import rank_dominance_bucketed
+    from tez_spark.sources.catalog import table_column_minmax, table_row_count
 
     c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    cb = table_column_minmax(sf_dir, "customer", "c_acctbal")
+    sb = table_column_minmax(sf_dir, "supplier", "s_acctbal")
+    bounds = (min(cb[0], sb[0]), max(cb[1], sb[1])) if cb and sb else None
+    # Bucket count sized from footer ROW counts: the dense per-key grid
+    # costs K·B rows and the within-bucket join ~C·S/B candidates; they
+    # balance at B = sqrt(C·S/K) (here K = S, so B = sqrt(C)). Clamped
+    # so degenerate stats can't produce a 1-bucket (quadratic) or
+    # million-bucket (grid-dominated) plan.
+    n_c = table_row_count(sf_dir, "customer")
+    n_s = table_row_count(sf_dir, "supplier")
+    b = max(16, min(1024, int(math.isqrt(max(1, n_c * n_s // max(1, n_s))))))
     return rank_dominance_bucketed(
-        c, s, "c_nationkey", "s_suppkey", "c_acctbal", "s_acctbal"
+        c, s, "c_nationkey", "s_suppkey", "c_acctbal", "s_acctbal",
+        n_buckets=b, bounds=bounds,
     ).orderBy("c_nationkey", "s_suppkey")
 
 

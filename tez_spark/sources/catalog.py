@@ -164,6 +164,50 @@ def table_row_count(sf_dir: str, name: str) -> int:
     return n
 
 
+_MINMAX_CACHE: dict = {}
+
+
+def table_column_minmax(sf_dir: str, name: str, column: str):
+    """(min, max) of a fixture-table numeric column from parquet
+    ROW-GROUP statistics — no Spark job, no scan (numeric parquet stats
+    are exact; this is what a catalog serves as column statistics).
+    Feeds value-domain hints (rank_dominance_bucketed's bucket bounds)
+    instead of a min/max aggregation job in the query path. Returns None
+    when any row group lacks stats for the column; fingerprint-keyed so
+    a regenerated fixture refreshes."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (os.path.abspath(sf_dir), name, column, path_fingerprint(path))
+    if key in _MINMAX_CACHE:
+        return _MINMAX_CACHE[key]
+    files = []
+    if os.path.isdir(path):
+        for root, _, fs in os.walk(path):
+            files += [os.path.join(root, f) for f in fs if f.endswith(".parquet")]
+    else:
+        files = [path]
+    mins, maxs = [], []
+    for f in files:
+        md = pq.read_metadata(f)
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                if col.path_in_schema != column:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mins.append(st.min)
+                maxs.append(st.max)
+    out = (float(min(mins)), float(max(maxs))) if mins else None
+    for k in [k for k in _MINMAX_CACHE if k[:3] == key[:3]]:
+        del _MINMAX_CACHE[k]
+    _MINMAX_CACHE[key] = out
+    return out
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Scan every fixture table present in sf_dir — through load_table,
     so the events nanos handling applies (a raw spark.read.parquet of
