@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from tez_spark.operators.core import bounded_sort
 
 from tez_spark.functions import text as X
 from tez_spark.sources.catalog import load_table
@@ -367,7 +368,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("source", "token", F.round("_s", 6).alias("tfidf"))
     )
-    return out.orderBy("source", F.desc("tfidf"), "token")
+    return bounded_sort(out, "source", F.desc("tfidf"), "token")
 
 
 _TFIDF_SQL = """

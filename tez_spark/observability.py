@@ -370,7 +370,11 @@ def q_observability_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, counters = capture(spark, lambda: QUERIES["q08"](spark, sf_dir).collect())
     rows = sorted(counters.items())
-    return spark.createDataFrame(rows, "counter string, value long").orderBy("counter")
+    from tez_spark.operators.core import bounded_sort
+
+    return bounded_sort(
+        spark.createDataFrame(rows, "counter string, value long"), "counter"
+    )
 
 
 QUERIES = {

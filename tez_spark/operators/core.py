@@ -687,6 +687,31 @@ def rank_dominance_bucketed(
 # Sorts
 # ---------------------------------------------------------------------------
 
+def bounded_sort(df: DataFrame, *order: ColumnOrName) -> DataFrame:
+    """Total order for a result KNOWN to be small (per-group summaries,
+    candidate-bounded pair reports, top-k unions — anything whose row
+    count is bounded by groups/candidates, not the corpus): coalesce to
+    one partition and sort in place. Identical output order to
+    orderBy(), but skips the range partitioner's separate SAMPLING job —
+    one less serialized driver round-trip, which the r7 stage-floor
+    profile showed is where sub-second registry queries spend their
+    time (~0.15-0.2 s/query measured at sf0.1; see PERF.md round 7).
+
+    repartition(1), NOT coalesce(1): coalesce is a narrow dependency
+    that merges partitions back through the lineage to the previous
+    shuffle — on a map-only plan that single-threads the whole query
+    (A/B: multimodal_decode's Arrow decode went 0.9 → 3.7 s under
+    coalesce). The round-robin exchange keeps every upstream stage at
+    full parallelism and costs one sampler-free shuffle of the bounded
+    output — measured equal to coalesce on aggregated plans and strictly
+    safer. Corpus-scaled outputs (per-doc reports, q02-style
+    projections) still keep orderBy: funnelling an unbounded result
+    through one partition does not survive a 100x scale-up, sampler or
+    not. orderBy+limit(k) callers also keep orderBy: Catalyst compiles
+    that to TakeOrdered, which is already sampler-free."""
+    return df.repartition(1).sortWithinPartitions(*order)
+
+
 def global_sort(df: DataFrame, *order: ColumnOrName) -> DataFrame:
     """Global sort via sampled range partitioning (tez-tests/.../examples/
     Sort.java:102-170 uses InputSampler + TotalOrderPartitioner; Spark's

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tez_spark.functions.text import tokens
+from tez_spark.operators.core import bounded_sort
 from tez_spark.sources.catalog import load_table
 
 # ---------------------------------------------------------------------------
@@ -298,7 +299,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact — "materialize the shingle table once", the standard
     pipeline shape, now shared across the seven consumers."""
     sh = shingle_table(spark, sf_dir)
-    return _pair_jaccard(sh).filter(F.col("j") >= 0.8).orderBy("da", "db")
+    return bounded_sort(_pair_jaccard(sh).filter(F.col("j") >= 0.8), "da", "db")
 
 
 # ---------------------------------------------------------------------------
@@ -442,7 +443,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate table is also session-memoized: curation_pipeline_lsh
     # consumes the identical pipeline in the same run.
     cand = lsh_candidate_table(spark, sf_dir)
-    return _verify_pairs(cand, sh).filter(F.col("j") >= 0.8).orderBy("da", "db")
+    return bounded_sort(_verify_pairs(cand, sh).filter(F.col("j") >= 0.8), "da", "db")
 
 
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,7 +490,7 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = winnow_table(spark, sf_dir)
     sh = shingle_table(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    return winnow_pairs(docs, fps, sh).orderBy("da", "db")
+    return bounded_sort(winnow_pairs(docs, fps, sh), "da", "db")
 
 
 def _winnow_candidates(fps: DataFrame) -> DataFrame:
@@ -790,7 +791,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     with its component id (= min doc id in the cluster)."""
     sh = shingle_table(spark, sf_dir)
     pairs = _pair_jaccard(sh).filter(F.col("j") >= 0.8)
-    return connected_components(pairs).orderBy("component", "doc_id")
+    return bounded_sort(connected_components(pairs), "component", "doc_id")
 
 
 def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -810,9 +811,11 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("va").alias("da"), F.col("vb").alias("db")
         )
     )
-    return connected_components(pairs).withColumnRenamed(
-        "doc_id", "vec_id"
-    ).orderBy("component", "vec_id")
+    return bounded_sort(
+        connected_components(pairs).withColumnRenamed("doc_id", "vec_id"),
+        "component",
+        "vec_id",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -911,7 +914,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count(xor).cast("long").alias("hamming"),
         )
     )
-    return pairs.filter(F.col("hamming") <= HAMMING_MAX).orderBy("da", "db")
+    return bounded_sort(pairs.filter(F.col("hamming") <= HAMMING_MAX), "da", "db")
 
 
 # ---------------------------------------------------------------------------

@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tez_spark.operators.core import bounded_sort
 from tez_spark.sources.catalog import load_table
 
 DECODE_SCHEMA = (

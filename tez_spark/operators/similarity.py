@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from tez_spark.functions.vectors import as_double, cosine
 from tez_spark.sources.catalog import load_table
+from tez_spark.operators.core import bounded_sort
 
 K = 5
 N_QUERIES = 10  # query set = vec_id < 10, fixed for oracle reproducibility
@@ -106,7 +107,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     out = brute_force_topk(emb, queries)
-    return out.orderBy("q_id", "rn")
+    return bounded_sort(out, "q_id", "rn")
 
 
 def _planes(dim: int) -> np.ndarray:
@@ -178,10 +179,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = fan_out_vectors(emb)
     scored = base.mapInPandas(sign_and_score, "q_id long, vec_id long, sim double")
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
+    return bounded_sort(
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= K)
-        .orderBy("q_id", "rn")
+        .filter(F.col("rn") <= K),
+        "q_id",
+        "rn",
     )
 
 
@@ -326,10 +328,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = fan_out_vectors(emb)
     scored = base.mapInPandas(assign_and_score, "q_id long, vec_id long, sim double")
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
+    return bounded_sort(
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= K)
-        .orderBy("q_id", "rn")
+        .filter(F.col("rn") <= K),
+        "q_id",
+        "rn",
     )
 
 
@@ -520,7 +523,7 @@ def q_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = all_pairs_cosine(batch, threshold=0.45).select(
         F.col("va").alias("da"), F.col("vb").alias("db"), "sim"
     )
-    return cross.unionByName(within).orderBy("da", "db")
+    return bounded_sort(cross.unionByName(within), "da", "db")
 
 
 def dedup_embedding_lsh(
@@ -607,7 +610,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_similarity.py). Deterministic output: hyperplanes are
     seed-fixed."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup_embedding_lsh(emb, threshold=0.45, dim=64).orderBy("va", "vb")
+    return bounded_sort(dedup_embedding_lsh(emb, threshold=0.45, dim=64), "va", "vb")
 
 
 ORACLE: dict[str, str] = {
@@ -810,7 +813,7 @@ def ann_ivf_probe_index(
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-    return out.orderBy("q_id", "rn")
+    return bounded_sort(out, "q_id", "rn")
 
 
 def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tez_spark.operators.core import bounded_sort
+
 QUALITY_MIN = 0.68
 TOKENS_MIN = 30
 JACCARD_MIN = 0.8
@@ -47,7 +49,7 @@ def _curation_summary(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         F.sum("n_tokens").alias("sum_tokens"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
     )
-    return out.orderBy("pred_lang")
+    return bounded_sort(out, "pred_lang")
 
 
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,7 +127,7 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_n_tokens").alias("sum_tokens"),
         )
     )
-    return out.orderBy("split")
+    return bounded_sort(out, "split")
 
 
 SOURCE_CAP = 50  # max docs kept per source (quality-ranked)
@@ -161,7 +163,7 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("kept_tokens"),
         F.round(F.min(F.when(kept, F.col("quality"))), 6).alias("min_kept_quality"),
     )
-    return out.orderBy("source")
+    return bounded_sort(out, "source")
 
 
 def _source_cap_sql() -> str:
@@ -307,7 +309,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("keep") / F.count(F.lit(1)), 6).alias("sample_rate"),
         )
     )
-    return out.orderBy("source")
+    return bounded_sort(out, "source")
 
 
 _STRATIFIED_SAMPLE_SQL = """
@@ -415,7 +417,7 @@ def q_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("sum_tokens"),
         )
     )
-    return out.orderBy("source", "decile")
+    return bounded_sort(out, "source", "decile")
 
 
 _LENGTH_CURRICULUM_SQL = """
@@ -495,7 +497,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return out.orderBy("source")
+    return bounded_sort(out, "source")
 
 
 _DECONTAMINATE_SQL = f"""
@@ -671,7 +673,7 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("alloc_docs"),
         )
     )
-    return out.orderBy("source")
+    return bounded_sort(out, "source")
 
 
 _SOURCE_MIX_SQL = f"""

@@ -84,7 +84,7 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         ],
     )
-    return out.orderBy("l_returnflag", "l_linestatus")
+    return ops.bounded_sort(out, "l_returnflag", "l_linestatus")
 
 
 def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,7 +102,7 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     j = ops.hash_join(orders, cust, orders.o_custkey == cust.c_custkey)
-    return ops.count_by(j, "c_mktsegment", out="n").orderBy("c_mktsegment")
+    return ops.bounded_sort(ops.count_by(j, "c_mktsegment", out="n"), "c_mktsegment")
 
 
 def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,7 +111,7 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     j = ops.broadcast_join(sup, nation, sup.s_nationkey == nation.n_nationkey)
-    return ops.count_by(j, "n_name", out="n").orderBy("n_name")
+    return ops.bounded_sort(ops.count_by(j, "n_name", out="n"), "n_name")
 
 
 def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,7 +128,7 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.groupBy("o_orderpriority")
         .agg(F.sum("l_quantity").alias("sum_qty"))
-        .orderBy("o_orderpriority")
+        .transform(lambda d: ops.bounded_sort(d, "o_orderpriority"))
     )
 
 
@@ -159,7 +159,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ops.cross_join(
         region, nation, F.col("n_regionkey") != F.col("r_regionkey")
     ).select("r_name", "n_name")
-    return out.orderBy("r_name", "n_name")
+    return ops.bounded_sort(out, "r_name", "n_name")
 
 
 def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,7 +179,7 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     inner = orders.groupBy(
         F.col("o_orderpriority").alias("pri"), "o_custkey"
     ).agg(F.count(F.lit(1)).alias("c"))
-    return ops.count_by(inner, "pri", out="n").orderBy("pri")
+    return ops.bounded_sort(ops.count_by(inner, "pri", out="n"), "pri")
 
 
 # --- step 5: sorts ----------------------------------------------------------
@@ -217,7 +217,7 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
-    return out.orderBy("h", "event_type")
+    return ops.bounded_sort(out, "h", "event_type")
 
 
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,7 +227,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     cust = _t(spark, sf_dir, "customer")
     j = ev.join(cust, ev.user_id % 1000 == cust.c_custkey % 1000)
-    return ops.count_by(j, "event_type", out="n").orderBy("event_type")
+    return ops.bounded_sort(ops.count_by(j, "event_type", out="n"), "event_type")
 
 
 # --- oracle SQL (DuckDB) ------------------------------------------------------

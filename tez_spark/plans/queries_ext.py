@@ -16,6 +16,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tez_spark.operators.core import bounded_sort
 from tez_spark.sources.catalog import load_table
 
 
@@ -71,7 +72,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
-    return out.orderBy("event_type")
+    return bounded_sort(out, "event_type")
 
 
 def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,7 +87,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("y", "m")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("sum_price"))
     )
-    return out.orderBy("y", "m")
+    return bounded_sort(out, "y", "m")
 
 
 # --- rollup / grouping sets (gap #3) ---------------------------------------
@@ -104,7 +105,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping_id().cast("long").alias("gid"),
         )
     )
-    return out.orderBy("gid", "l_returnflag", "l_linestatus")
+    return bounded_sort(out, "gid", "l_returnflag", "l_linestatus")
 
 
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,7 +124,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").alias("sum_qty"),
         F.grouping_id().cast("long").alias("gid"),
     )
-    return out.orderBy("gid", "l_returnflag", "l_linestatus")
+    return bounded_sort(out, "gid", "l_returnflag", "l_linestatus")
 
 
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,7 +136,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_extendedprice").alias("sum_price"),
         F.grouping_id().cast("long").alias("gid"),
     )
-    return out.orderBy("gid", "l_returnflag", "l_linestatus")
+    return bounded_sort(out, "gid", "l_returnflag", "l_linestatus")
 
 
 # --- approximate aggregates (gap #3) ---------------------------------------
@@ -239,7 +240,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = orders.union(cust).distinct().agg(F.count(F.lit(1)).alias("n")).select(
         F.lit("union_distinct").alias("op"), "n"
     )
-    return both.unionByName(only_c).unionByName(uni).orderBy("op")
+    return bounded_sort(both.unionByName(only_c).unionByName(uni), "op")
 
 
 # --- multi-join star chain (Catalyst join planning over 4 tables) ----------
@@ -261,7 +262,7 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
     )
-    return out.orderBy("n_name")
+    return bounded_sort(out, "n_name")
 
 
 # --- pivot (gap: no reshaping ops in Tez at all) ---------------------------
@@ -278,7 +279,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("O", "qty_o")
         .withColumnRenamed("F", "qty_f")
     )
-    return out.orderBy("l_returnflag")
+    return bounded_sort(out, "l_returnflag")
 
 
 # --- embedding-cosine near-dup (prompt: dedup family) ----------------------
@@ -292,7 +293,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tez_spark.operators.similarity import all_pairs_cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return all_pairs_cosine(emb, threshold=0.45).orderBy("va", "vb")
+    return bounded_sort(all_pairs_cosine(emb, threshold=0.45), "va", "vb")
 
 
 # --- correlated subqueries (EXISTS / NOT EXISTS as semi/anti joins) --------
@@ -381,7 +382,7 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p90", 4).alias("p90_cont"),
         "n",
     )
-    return out.orderBy("l_returnflag")
+    return bounded_sort(out, "l_returnflag")
 
 
 def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,7 +415,7 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_within_bound"
         ),
     )
-    return out.orderBy("l_returnflag")
+    return bounded_sort(out, "l_returnflag")
 
 
 # --- ordered string aggregation (listagg) ----------------------------------
@@ -430,7 +431,7 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
         F.countDistinct("n_name").alias("n_nations"),
     )
-    return out.orderBy("r_name")
+    return bounded_sort(out, "r_name")
 
 
 # --- batch interval join (the stream-stream join's oracle-checked twin) ----
@@ -512,7 +513,7 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(c, "2_click"))
         .unionByName(stage(p, "3_purchase"))
     )
-    return out.orderBy("stage")
+    return bounded_sort(out, "stage")
 
 
 def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,7 +549,7 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         F.round(F.coalesce(F.col("sum_value"), F.lit(0.0)), 6).alias("sum_value"),
     )
-    return out.orderBy("event_type", "h")
+    return bounded_sort(out, "event_type", "h")
 
 
 def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,7 +576,7 @@ def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("d") == F.date_add("d0", 7), F.col("user_id"))
         ).alias("retained_d7"),
     )
-    return out.orderBy("d0")
+    return bounded_sort(out, "d0")
 
 
 # --- unpivot / melt (reverse reshaping of q_pivot) -------------------------
@@ -589,7 +590,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.expr("stack(2, 'O', qty_o, 'F', qty_f) AS (status, qty)"),
     )
-    return out.orderBy("l_returnflag", "status")
+    return bounded_sort(out, "l_returnflag", "status")
 
 
 # --- argmax/conditional aggregates (max_by / min_by / count_if) ------------
@@ -609,7 +610,7 @@ def q_argmax_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("count_if(c_acctbal > 0)").alias("n_positive"),
         F.count(F.lit(1)).alias("n"),
     )
-    return out.orderBy("c_mktsegment")
+    return bounded_sort(out, "c_mktsegment")
 
 
 # --- grouped vector aggregation (per-label centroids) ----------------------
@@ -633,11 +634,10 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_dims"),
     )
     counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
-    return (
-        counts.join(norms, "label")
-        .select("label", "n_vecs", "n_dims", "centroid_norm")
-        .orderBy("label")
+    out = counts.join(norms, "label").select(
+        "label", "n_vecs", "n_dims", "centroid_norm"
     )
+    return bounded_sort(out, "label")
 
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -678,7 +678,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("scale"), 6).alias("avg_scale"),
         F.round(F.avg("mse"), 6).alias("avg_mse"),
     )
-    return out.orderBy("label")
+    return bounded_sort(out, "label")
 
 
 def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,7 +706,7 @@ def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sd_n", 6).alias("sd_n"),
         )
     )
-    return out.orderBy("event_type", "h")
+    return bounded_sort(out, "event_type", "h")
 
 
 # --- per-source corpus profiling -------------------------------------------
@@ -726,7 +726,7 @@ def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("sum_tokens"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
     )
-    return out.orderBy("source")
+    return bounded_sort(out, "source")
 
 
 def q_cross_join_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -789,7 +789,7 @@ def q_cross_join_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_below").alias("n_dominant"))
         .filter(F.col("n_dominant") > 0)
     )
-    return dom.orderBy("c_nationkey", "s_nationkey")
+    return bounded_sort(dom, "c_nationkey", "s_nationkey")
 
 
 def q_cross_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -835,10 +835,11 @@ def q_cross_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_c = table_row_count(sf_dir, "customer")
     n_s = table_row_count(sf_dir, "supplier")
     b = max(16, min(1024, int(math.isqrt(max(1, n_c * n_s // max(1, n_s))))))
-    return rank_dominance_bucketed(
+    dom = rank_dominance_bucketed(
         c, s, "c_nationkey", "s_suppkey", "c_acctbal", "s_acctbal",
         n_buckets=b, bounds=bounds,
-    ).orderBy("c_nationkey", "s_suppkey")
+    )
+    return dom.orderBy("c_nationkey", "s_suppkey")
 
 
 ORACLE: dict[str, str] = {

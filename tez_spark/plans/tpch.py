@@ -46,6 +46,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from tez_spark.operators.core import bounded_sort
 
 from tez_spark.sources.catalog import load_table
 
@@ -73,7 +74,7 @@ def q_tpch01(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
-    return out.orderBy("l_returnflag", "l_linestatus")
+    return bounded_sort(out, "l_returnflag", "l_linestatus")
 
 
 def q_tpch03(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,7 +119,7 @@ def q_tpch04(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).join(late, orders.o_orderkey == late.lk, "left_semi")
     )
     out = j.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
-    return out.orderBy("o_orderpriority")
+    return bounded_sort(out, "o_orderpriority")
 
 
 def q_tpch05(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,7 +147,7 @@ def q_tpch05(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = j.groupBy("n_name").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
-    return out.orderBy(F.desc("revenue"), "n_name")
+    return bounded_sort(out, F.desc("revenue"), "n_name")
 
 
 def q_tpch06(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,7 +204,7 @@ def q_tpch07(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
-    return out.orderBy("supp_nation", "cust_nation", "l_year")
+    return bounded_sort(out, "supp_nation", "cust_nation", "l_year")
 
 
 def q_tpch08(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,7 +241,7 @@ def q_tpch08(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mkt_share")
     )
-    return out.orderBy("o_year")
+    return bounded_sort(out, "o_year")
 
 
 def q_tpch09(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,7 +279,7 @@ def q_tpch09(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation", "o_year")
         .agg(F.round(F.sum("_p"), 2).alias("sum_profit"))
     )
-    return out.orderBy("nation", F.desc("o_year"))
+    return bounded_sort(out, "nation", F.desc("o_year"))
 
 
 def q_tpch16(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,7 +308,7 @@ def q_tpch16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
-    return out.orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    return bounded_sort(out, F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
 
 
 def _ps_cost() -> F.Column:
@@ -398,7 +399,7 @@ def q_tpch11(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("value"),
         )
     )
-    return out.orderBy(F.desc("value"), "ps_partkey")
+    return bounded_sort(out, F.desc("value"), "ps_partkey")
 
 
 def q_tpch20(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,7 +436,7 @@ def q_tpch20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ok_supp, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
     )
-    return out.orderBy("s_name")
+    return bounded_sort(out, "s_name")
 
 
 def q_tpch10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,7 +489,7 @@ def q_tpch12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
         )
     )
-    return out.orderBy("l_returnflag")
+    return bounded_sort(out, "l_returnflag")
 
 
 def q_tpch13(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -508,7 +509,7 @@ def q_tpch13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     out = per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
-    return out.orderBy(F.desc("custdist"), F.desc("c_count"))
+    return bounded_sort(out, F.desc("custdist"), F.desc("c_count"))
 
 
 def q_tpch14(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,7 +574,7 @@ def q_tpch15(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total_revenue", 4).alias("total_revenue"),
         )
     )
-    return out.orderBy("s_suppkey")
+    return bounded_sort(out, "s_suppkey")
 
 
 def q_tpch17(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -731,7 +732,7 @@ def q_tpch22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
     )
-    return out.orderBy("cntrycode")
+    return bounded_sort(out, "cntrycode")
 
 
 ORACLE: dict[str, str] = {

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from tez_spark.operators.core import bounded_sort
 
 from tez_spark.sources.catalog import load_table
 
@@ -35,7 +36,7 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("ws"), "event_type", "n", "sum_value"
         )
     )
-    return out.orderBy("ws", "event_type")
+    return bounded_sort(out, "ws", "event_type")
 
 
 def sessionize(
