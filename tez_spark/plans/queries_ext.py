@@ -318,7 +318,11 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- exact percentiles (distribution stats for data curation) --------------
 
 def _exact_percentiles_by(
-    df: DataFrame, group: str, col: str, quantiles: Sequence[float]
+    df: DataFrame,
+    group: str,
+    col: str,
+    quantiles: Sequence[float],
+    extra_partition_aggs: "dict[str, F.Column] | None" = None,
 ) -> DataFrame:
     """Exact continuous (R-7 / quantile_cont) percentiles per group via
     RANK SELECTION instead of the percentile() aggregate: one window sort
@@ -329,15 +333,22 @@ def _exact_percentiles_by(
     the same single shuffle but sorts in place and aggregates O(groups ×
     quantiles) rows (~0.5 s). Same R-7 interpolation as Spark percentile
     and DuckDB quantile_cont: pos = 1 + (n-1)·q, linear between
-    floor/ceil ranks. Returns (group, n, p_<q> ... unrounded)."""
+    floor/ceil ranks. Returns (group, n, p_<q> ... unrounded).
+
+    extra_partition_aggs: {name: aggregate Column} evaluated as window
+    aggregates over the SAME per-group partition and carried through to
+    the output — this is how q_percentiles_approx rides its t-digest
+    sketches on the rank-selection plan's one scan + one exchange
+    instead of paying a second lineitem pass (r7: 1.1 → 0.7 s)."""
     w = Window.partitionBy(group).orderBy(col)
+    wp = Window.partitionBy(group)
     ranked = (
         df.select(group, col)
         .withColumn("_rn", F.row_number().over(w))
-        .withColumn(
-            "_n", F.count(F.lit(1)).over(Window.partitionBy(group))
-        )
+        .withColumn("_n", F.count(F.lit(1)).over(wp))
     )
+    for name, agg_col in (extra_partition_aggs or {}).items():
+        ranked = ranked.withColumn(name, agg_col.over(wp))
     pos = {q: F.lit(1.0) + (F.col("_n") - 1) * F.lit(q) for q in quantiles}
     keep = None
     for q in quantiles:
@@ -346,6 +357,7 @@ def _exact_percentiles_by(
     kept = ranked.filter(keep)
 
     aggs = [F.first("_n").alias("n")]
+    aggs += [F.first(name).alias(name) for name in (extra_partition_aggs or {})]
     for i, q in enumerate(quantiles):
         aggs += [
             F.max(F.when(F.col("_rn") == F.floor(pos[q]), F.col(col))).alias(f"_lo{i}"),
@@ -353,6 +365,7 @@ def _exact_percentiles_by(
         ]
     g = kept.groupBy(group).agg(*aggs)
     out_cols = [F.col(group), F.col("n")]
+    out_cols += [F.col(name) for name in (extra_partition_aggs or {})]
     for i, q in enumerate(quantiles):
         p = F.lit(1.0) + (F.col("n") - 1) * F.lit(q)
         frac = p - F.floor(p)
@@ -398,12 +411,21 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the driver's full rows+schema+hash comparison verifies the sketch
     end-to-end instead of the weaker rows-only check."""
     li = load_table(spark, sf_dir, "lineitem")
-    approx = li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("_p50a"),
-        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("_p90a"),
+    # The sketches ride the exact plan's own scan + per-group exchange as
+    # WINDOW aggregates over the same partition (extra_partition_aggs) —
+    # one lineitem pass total instead of a second scan + shuffle for a
+    # separate approx groupBy (r7: 1.1 → 0.7 s at sf0.1).
+    exact = _exact_percentiles_by(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        (0.5, 0.9),
+        extra_partition_aggs={
+            "_p50a": F.expr("approx_percentile(l_extendedprice, 0.5, 10000)"),
+            "_p90a": F.expr("approx_percentile(l_extendedprice, 0.9, 10000)"),
+        },
     )
-    exact = _exact_percentiles_by(li, "l_returnflag", "l_extendedprice", (0.5, 0.9))
-    out = exact.join(F.broadcast(approx), "l_returnflag").select(
+    out = exact.select(
         "l_returnflag",
         "n",
         F.round(F.col("p50"), 4).alias("p50_cont"),
