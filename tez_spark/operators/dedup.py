@@ -737,10 +737,18 @@ def connected_components(
     the large-star/small-star variant if diameters grow."""
     from tez_spark.operators.core import tracked_persist
 
+    # Persisted PRE-PARTITIONED on the per-round join key: every
+    # iteration joins edges.dst against that round's labels.node, and a
+    # cached hash partitioning on dst satisfies the join's clustering
+    # requirement — the edge table is exchanged once at build, never per
+    # round (the same store-side economy as corpus_bands; labels come
+    # out of each round's join already partitioned on node, so the only
+    # per-round exchange left is the groupBy(src)).
     edges = tracked_persist(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        .repartition("dst")
     )
     persisted = tracked_persist(
         edges.select(F.col("src").alias("node")).distinct()
