@@ -760,3 +760,26 @@ def test_table_column_minmax_matches_scan(spark):
         .collect()[0]
     )
     assert mm == (float(row[0]), float(row[1]))
+
+
+def test_bounded_sort_equals_orderby_without_range_partitioning(spark):
+    """bounded_sort must produce exactly orderBy's row order with NO
+    range partitioning in the plan (the sampler job is the cost it
+    exists to avoid), and must keep upstream stages parallel (it
+    repartitions — never coalesces through the lineage)."""
+    from tez_spark.operators.core import bounded_sort
+
+    df = (
+        spark.range(0, 10_000, 1, 8)
+        .selectExpr("id % 37 AS k", "id AS v")
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+    )
+    want = [tuple(r) for r in df.orderBy(F.desc("s"), "k").collect()]
+    got_df = bounded_sort(df, F.desc("s"), "k")
+    got = [tuple(r) for r in got_df.collect()]
+    assert got == want and len(got) == 37
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "Coalesce" not in plan, plan
