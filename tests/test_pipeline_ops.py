@@ -256,3 +256,40 @@ def test_redact_pii_on_planted_pii(spark):
     assert got[2][1] == 2 and got[2][0].count("<PHONE>") == 2
     assert got[3][1] == 3
     assert got[4] == ("no pii here just words and spaces", 0)
+
+
+def test_text_dup_spans_planted_verbatim_duplication(spark, tmp_path):
+    """Exact-substring semantics pinned on a planted corpus: a verbatim
+    6-token span shared by two docs marks exactly its occurrences in
+    BOTH docs; a within-doc repeat counts too; a fully unique doc
+    reports zero."""
+    import os
+
+    from tez_spark.functions.text_queries import q_text_dup_spans
+
+    docs = [
+        # 0 and 1 share the verbatim 6-token span "a b c d e f"
+        (0, "a b c d e f unique0 tail0 words here now"),
+        (1, "prefix1 one a b c d e f closing1 two"),
+        # 2 repeats its own 6-token span twice (within-doc duplication)
+        (2, "x1 x2 x3 x4 x5 x6 mid x1 x2 x3 x4 x5 x6"),
+        # 3 is fully unique
+        (3, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"),
+        # 4 too short to carry a 6-gram
+        (4, "s1 s2 s3"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    got = {r.doc_id: r for r in q_text_dup_spans(spark, sf).collect()}
+    assert 4 not in got  # below the gram floor, excluded by construction
+    assert got[3].n_dup_grams == 0 and got[3].n_grams == 5
+    # doc 0: 11 tokens -> 6 grams; exactly one (the shared span) is dup
+    assert (got[0].n_grams, got[0].n_dup_grams) == (6, 1)
+    # doc 1: 10 tokens -> 5 grams; the shared span is at offset 2
+    assert (got[1].n_grams, got[1].n_dup_grams) == (5, 1)
+    # doc 2: 13 tokens -> 8 grams; the repeated x1..x6 span appears at
+    # offsets 0 and 7 -> both occurrences marked dup
+    assert got[2].n_grams == 8 and got[2].n_dup_grams >= 2
+    assert abs(got[0].dup_fraction - 1 / 6) < 1e-6

@@ -640,6 +640,91 @@ ORACLE: dict[str, str] = {
 
 ORACLE["text_logprob"] = _TEXT_LOGPROB_SQL
 
+DUP_SPAN_L = 6  # tokens per exact-substring gram
+
+
+def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — the
+    ExactSubstr signal): per document, how many of its length-L token
+    windows appear VERBATIM elsewhere in the corpus (including repeats
+    inside the same document). Output (doc_id, n_grams, n_dup_grams,
+    dup_fraction) — the report that drives span-trimming/dedup
+    decisions; complements dedup_ngram_jaccard (whole-doc set
+    similarity) and text_winnow (sampled fingerprints) with the
+    verbatim-repetition dimension neither captures.
+
+    Plan: one gram explode (codegen transform/slice — the wordcount
+    shape), one corpus-wide gram-frequency aggregation (mergeable,
+    partial-agg'd map-side; the vocabulary-sized exchange IS the scale
+    cost, same class as q03), then occurrences join counts on the gram
+    key — both sides derive from the same exchange, so Catalyst reuses
+    it — and a per-doc aggregation. Grams travel as 16-hex-char md5
+    prefixes (identical expression in the DuckDB oracle): 8x smaller
+    than raw 6-token strings through both exchanges; a 64-bit prefix
+    collision would need ~2^32 distinct spans per false dup — at that
+    scale switch to the full digest, not raw strings."""
+    docs = load_table(spark, sf_dir, "documents")
+    L = DUP_SPAN_L
+    base = docs.select(
+        "doc_id", X.tokens("text").alias("_toks")
+    ).filter(F.size("_toks") >= L)
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(_toks) - {L}),"
+                f" i -> array_join(slice(_toks, i + 1, {L}), ' '))"
+            )
+        ).alias("gram"),
+    ).select(
+        "doc_id",
+        F.substring(F.md5(F.col("gram").cast("binary")), 1, 16).alias("g"),
+    )
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = (
+        grams.join(counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("_c") >= 2).cast("long")).alias("n_dup_grams"),
+        )
+    )
+    out = per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_fraction"),
+    )
+    # per-doc output: corpus-scaled, keeps the parallel range sort
+    return out.orderBy("doc_id")
+
+
+ORACLE["text_dup_spans"] = f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               substring(md5(array_to_string(
+                   list_slice(toks, i + 1, i + {DUP_SPAN_L}), ' ')), 1, 16) AS g
+        FROM base, unnest(range(len(toks) - {DUP_SPAN_L - 1})) AS u(i)
+        WHERE len(toks) >= {DUP_SPAN_L}
+    ), counts AS (
+        SELECT g, COUNT(*) AS c FROM grams GROUP BY g
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+           round(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS dup_fraction
+    FROM grams JOIN counts USING (g)
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_metrics": text_metrics,
     "text_fingerprint": text_fingerprint,
@@ -650,4 +735,5 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "pmi_collocations": q_pmi_collocations,
     "pii_redact": q_pii_redact,
+    "text_dup_spans": q_text_dup_spans,
 }

@@ -29,25 +29,26 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # Round-7 window: (1) the two oracled queries whose last driver row is
 # round 4 (set_ops, string_agg — the only entries the three-round union
-# would otherwise lose), (2) cms_heavyhitters + cross_join_bucketed,
-# newly oracled this round — first driver rows, (3) the three NEVER-rowed
-# rows-only entries (bpe_train, observability_counters, ann_incremental —
-# VERDICT r6 item 3: the driver records its weaker rows-only check for
-# them, which is still their first driver contact; the window-ordering
-# guard admits exactly the rows-only entries listed in _PRIORITY), (4) 43
-# of the 49 oracled queries whose last driver row is round 5 — the
-# q01–q18 + tpch01/03/04/… block the rotation ritual targets, keeping
-# every entry whose code changed this round (dedup_winnow's collapse
-# gate, dedup_incremental's stage-floor work). Displaced to round 8,
-# keeping their green r5 rows under the three-round union: ann_topk,
-# multimodal_decode, source_cap, text_fingerprint, text_repetition,
-# window_sliding.
+# would otherwise lose), (2) cms_heavyhitters + cross_join_bucketed +
+# text_dup_spans, newly oracled this round — first driver rows, (3) the
+# three NEVER-rowed rows-only entries (bpe_train, observability_counters,
+# ann_incremental — VERDICT r6 item 3: the driver records its weaker
+# rows-only check for them, which is still their first driver contact;
+# the window-ordering guard admits exactly the rows-only entries listed
+# in _PRIORITY), (4) 42 of the 49 oracled queries whose last driver row
+# is round 5 — the q01–q18 + tpch01/03/04/… block the rotation ritual
+# targets, keeping every entry whose code changed this round
+# (dedup_winnow's collapse gate, dedup_incremental's stage-floor work).
+# Displaced to round 8, keeping their green r5 rows under the
+# three-round union: ann_topk, multimodal_decode, source_cap,
+# text_fingerprint, text_repetition, train_split, window_sliding.
 _WINDOW_ROUND = 7
 _PRIORITY: tuple[str, ...] = (
     # 1. oracled queries whose last driver row is round 4
     "set_ops", "string_agg",
-    # 2. newly oracled this round — first driver rows
-    "cms_heavyhitters", "cross_join_bucketed",
+    # 2. newly oracled this round — first driver rows (text_dup_spans
+    #    displaced train_split, which keeps its green r5 row)
+    "cms_heavyhitters", "cross_join_bucketed", "text_dup_spans",
     # 3. never-driver-rowed rows-only entries — first (rows-only) rows
     "bpe_train", "observability_counters", "ann_incremental",
     # 4. oracled queries whose last driver row is round 5
@@ -60,7 +61,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_winnow",
     "curation_pipeline", "curation_pipeline_lsh", "decontaminate",
     "embedding_incremental", "asof_join", "text_langid", "text_metrics",
-    "train_split",
 )
 
 
