@@ -234,3 +234,71 @@ def test_winnow_collapse_exact_equals_direct_on_clustered_corpus(spark):
     ).count()
     assert n_direct >= 325
     assert n_collapsed <= n_direct / 40
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain DP Levenshtein — the reference implementation for the
+    editdistance_pairs property test."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_editdistance_pairs_equals_bruteforce(spark):
+    """editdistance_pairs == brute-force DP over all pairs, on a corpus
+    whose lengths straddle every bucket boundary the equijoin candidate
+    scheme depends on (empties, lengths K-1/K/K+1, |dL| exactly K) and
+    whose edits span 0..K+4 (so both sides of the threshold appear)."""
+    import random
+
+    from tez_spark.operators.dedup import K_ED, editdistance_pairs
+
+    rng = random.Random(11)
+    alphabet = "abcdef "
+
+    def mutate(s: str, n: int) -> str:
+        out = list(s)
+        for _ in range(n):
+            op = rng.randrange(3)
+            if op == 0 and out:  # substitute
+                out[rng.randrange(len(out))] = rng.choice(alphabet)
+            elif op == 1:  # insert
+                out.insert(rng.randrange(len(out) + 1), rng.choice(alphabet))
+            elif out:  # delete
+                del out[rng.randrange(len(out))]
+        return "".join(out)
+
+    rows: list[tuple[int, str]] = [(0, ""), (1, "")]
+    i = 2
+    for base_len in (1, K_ED - 1, K_ED, K_ED + 1, 2 * K_ED, 37, 55):
+        s = "".join(rng.choice(alphabet) for _ in range(base_len))
+        rows.append((i, s))
+        i += 1
+        for n_ed in (1, K_ED // 2, K_ED, K_ED + 4):
+            rows.append((i, mutate(s, n_ed)))
+            i += 1
+    # a pair with |dL| exactly K (candidate window edge: ed == K iff
+    # the longer string extends the shorter by K pure insertions)
+    tail = "".join(rng.choice(alphabet) for _ in range(30))
+    rows.append((i, tail))
+    rows.append((i + 1, tail + "x" * K_ED))
+
+    expected = {
+        (da, db, _lev(ta, tb))
+        for (da, ta) in rows
+        for (db, tb) in rows
+        if da < db and _lev(ta, tb) <= K_ED
+    }
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.da, r.db, r.dist) for r in editdistance_pairs(docs).collect()}
+    assert got == expected
+    assert any(d == K_ED for _, _, d in expected)  # threshold edge hit
+    assert (0, 1, 0) in expected  # empty-string pair survives bucketing

@@ -783,3 +783,37 @@ def test_bounded_sort_equals_orderby_without_range_partitioning(spark):
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower(), plan
     assert "Coalesce" not in plan, plan
+
+
+def test_profile_columns_planted_nulls(spark):
+    """profile_columns semantics pinned on shapes the orders fixture
+    lacks: nulls in every column, an ALL-null column (min/max render
+    NULL, n_distinct 0), duplicate values, and money rounding through
+    the DECIMAL(18,2) formatter (2.005 -> '2.01', trailing zero kept)."""
+    from tez_spark.plans.queries_ext import (
+        fmt_long,
+        fmt_money,
+        fmt_str,
+        profile_columns,
+    )
+
+    rows = [
+        (1, 2.005, "b", None),
+        (2, 1.0, None, None),
+        (None, 1.0, "a", None),
+        (2, None, "a", None),
+    ]
+    df = spark.createDataFrame(rows, "k long, m double, s string, e string")
+    out = {
+        r.col_name: (r.n_nulls, r.n_distinct, r.min_val, r.max_val)
+        for r in profile_columns(
+            df,
+            [("e", fmt_str), ("k", fmt_long), ("m", fmt_money), ("s", fmt_str)],
+        ).collect()
+    }
+    assert out == {
+        "e": (4, 0, None, None),
+        "k": (1, 2, "1", "2"),
+        "m": (1, 2, "1.00", "2.01"),
+        "s": (1, 2, "a", "b"),
+    }

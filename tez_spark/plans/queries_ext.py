@@ -864,7 +864,144 @@ def q_cross_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dom.orderBy("c_nationkey", "s_suppkey")
 
 
+# Cross-engine-stable value formatters for column profiles: longs and
+# strings render verbatim, money through DECIMAL(18,2) (same text in
+# Spark and DuckDB; raw DOUBLE->string differs), timestamps truncated
+# to the day (fixture timestamps are midnight; fractional-second
+# rendering differs across engines).
+def fmt_long(e):  # noqa: ANN001, ANN201 - column-expr formatter
+    return e.cast("string")
+
+
+def fmt_str(e):  # noqa: ANN001, ANN201
+    return e
+
+
+def fmt_money(e):  # noqa: ANN001, ANN201
+    return F.round(e, 2).cast("decimal(18,2)").cast("string")
+
+
+def fmt_day(e):  # noqa: ANN001, ANN201
+    return e.cast("date").cast("string")
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column table statistics over orders in ONE scan:
+    null count, exact distinct count, min/max — one output row per
+    column, every value rendered through a cross-engine-stable
+    formatter (longs/strings verbatim, timestamps day-truncated,
+    doubles as DECIMAL(18,2)) so the whole profile is hash-oracled.
+
+    The reference reports per-vertex data statistics (data size, item
+    counts) through InputStatistics/OutputStatistics
+    (tez-api/src/main/java/org/apache/tez/runtime/api/
+    InputStatistics.java:31, OutputStatistics.java:29) and its
+    speculation layer keeps running mean/variance estimates
+    (tez-dag/.../speculation/legacy/DataStatistics.java:23); a
+    column-level profile is the relational generalization every
+    warehouse ANALYZE runs.
+
+    Plan shape: a single full scan feeding one aggregation. min/max and
+    null counts are map-side partial everywhere; the exact multi-column
+    countDistinct goes through Spark's expand strategy (rows x columns
+    in ONE exchange — still a single shuffle, the same trade DuckDB
+    makes). At 100TB the per-column knob is approx_count_distinct
+    (sketch contract oracled separately in approx_distinct); the plan is
+    otherwise unchanged. The 1-row aggregate explodes into per-column
+    rows driver-free (explode of a literal struct array, no collect)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = [
+        ("o_custkey", fmt_long),
+        ("o_orderdate", fmt_day),
+        ("o_orderkey", fmt_long),
+        ("o_orderpriority", fmt_str),
+        ("o_orderstatus", fmt_str),
+        ("o_totalprice", fmt_money),
+    ]
+    return bounded_sort(profile_columns(orders, cols), "col_name")
+
+
+def profile_columns(df: DataFrame, cols) -> DataFrame:
+    """One-scan per-column profile: (col_name, n_nulls, n_distinct,
+    min_val, max_val) for each (name, formatter) in ``cols`` — the
+    single-aggregation + struct-explode plan described in
+    q_column_profile."""
+    aggs = []
+    for name, fmt in cols:
+        c = F.col(name)
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{name}__nulls"),
+            F.countDistinct(c).alias(f"{name}__ndv"),
+            fmt(F.min(c)).alias(f"{name}__min"),
+            fmt(F.max(c)).alias(f"{name}__max"),
+        ]
+    row = df.agg(*aggs)
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("col_name"),
+                        F.col(f"{name}__nulls").alias("n_nulls"),
+                        F.col(f"{name}__ndv").alias("n_distinct"),
+                        F.col(f"{name}__min").alias("min_val"),
+                        F.col(f"{name}__max").alias("max_val"),
+                    )
+                    for name, _ in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+
+
+def _profile_col_sql(name: str, min_expr: str, max_expr: str) -> str:
+    return f"""
+        SELECT '{name}' AS col_name,
+               COUNT(*) - COUNT({name}) AS n_nulls,
+               COUNT(DISTINCT {name}) AS n_distinct,
+               {min_expr} AS min_val,
+               {max_expr} AS max_val
+        FROM orders
+    """
+
+
+_COLUMN_PROFILE_SQL = (
+    " UNION ALL ".join(
+        [
+            _profile_col_sql(
+                "o_custkey",
+                "CAST(MIN(o_custkey) AS VARCHAR)",
+                "CAST(MAX(o_custkey) AS VARCHAR)",
+            ),
+            _profile_col_sql(
+                "o_orderdate",
+                "CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR)",
+                "CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR)",
+            ),
+            _profile_col_sql(
+                "o_orderkey",
+                "CAST(MIN(o_orderkey) AS VARCHAR)",
+                "CAST(MAX(o_orderkey) AS VARCHAR)",
+            ),
+            _profile_col_sql(
+                "o_orderpriority", "MIN(o_orderpriority)", "MAX(o_orderpriority)"
+            ),
+            _profile_col_sql(
+                "o_orderstatus", "MIN(o_orderstatus)", "MAX(o_orderstatus)"
+            ),
+            _profile_col_sql(
+                "o_totalprice",
+                "CAST(CAST(ROUND(MIN(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR)",
+                "CAST(CAST(ROUND(MAX(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR)",
+            ),
+        ]
+    )
+    + " ORDER BY col_name"
+)
+
+
 ORACLE: dict[str, str] = {
+    "column_profile": _COLUMN_PROFILE_SQL,
     "cross_join_bucketed": """
         SELECT c_nationkey, s_suppkey, COUNT(*) AS n_dominant
         FROM customer, supplier
@@ -1241,6 +1378,7 @@ QUERIES = {
     "source_quality": q_source_quality,
     "cross_join_chunked": q_cross_join_chunked,
     "cross_join_bucketed": q_cross_join_bucketed,
+    "column_profile": q_column_profile,
 }
 
 # the source_quality oracle shares the engine's stopword list verbatim

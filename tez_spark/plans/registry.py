@@ -41,14 +41,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (dedup_winnow's collapse gate, dedup_incremental's stage-floor work).
 # Displaced to round 8, keeping their green r5 rows under the
 # three-round union: ann_topk, multimodal_decode, source_cap,
-# text_fingerprint, text_repetition, train_split, window_sliding.
+# text_fingerprint, text_langid, text_metrics, text_repetition,
+# train_split, window_sliding.
 _WINDOW_ROUND = 7
 _PRIORITY: tuple[str, ...] = (
     # 1. oracled queries whose last driver row is round 4
     "set_ops", "string_agg",
     # 2. newly oracled this round — first driver rows (text_dup_spans
-    #    displaced train_split, which keeps its green r5 row)
+    #    displaced train_split; dedup_editdistance + column_profile
+    #    displaced text_langid + text_metrics — all three displaced
+    #    entries keep their green r5 rows under the three-round union)
     "cms_heavyhitters", "cross_join_bucketed", "text_dup_spans",
+    "dedup_editdistance", "column_profile",
     # 3. never-driver-rowed rows-only entries — first (rows-only) rows
     "bpe_train", "observability_counters", "ann_incremental",
     # 4. oracled queries whose last driver row is round 5
@@ -60,7 +64,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_winnow",
     "curation_pipeline", "curation_pipeline_lsh", "decontaminate",
-    "embedding_incremental", "asof_join", "text_langid", "text_metrics",
+    "embedding_incremental", "asof_join",
 )
 
 
