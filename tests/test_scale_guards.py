@@ -51,6 +51,12 @@ CASES = [
     ("curation_pipeline_lsh", 5_000_000),
     ("dedup_winnow", 5_000_000),
     ("decontaminate", 5_000_000),
+    # sequence-metric profile rides the shared shingle truth: candidate
+    # pairs + the shingle build are the only exchanges (424 KB measured)
+    ("dedup_editdistance", 2_000_000),
+    # distinct exchange carries (column, value) vocabularies, never
+    # rows x columns (51 KB measured vs a ~1 MB+ expand-strategy plan)
+    ("column_profile", 300_000),
 ]
 
 
