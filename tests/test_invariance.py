@@ -14,9 +14,13 @@ from tests.conftest import SF_DIR, canon_rows
 # plus the round-5 additions whose plans mix persisted-store reads with
 # fresh shuffles (incremental dedup) and an explicit partition grid
 # (chunked cartesian — its repartition(n) must not change the answer)
+# ...and the r7 additions: the broadcast-chained editdistance profile
+# (pair-bounded broadcasts must not depend on partitioning) and the
+# two-pass column profile (keyless agg + stacked distinct + outer join)
 SAMPLE = (
     "q05", "q06", "q08", "q12", "q14", "dedup_minhash_lsh",
     "dedup_incremental", "cross_join_chunked", "source_cap",
+    "dedup_editdistance", "column_profile",
 )
 
 
