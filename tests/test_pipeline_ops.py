@@ -293,3 +293,34 @@ def test_text_dup_spans_planted_verbatim_duplication(spark, tmp_path):
     # offsets 0 and 7 -> both occurrences marked dup
     assert got[2].n_grams == 8 and got[2].n_dup_grams >= 2
     assert abs(got[0].dup_fraction - 1 / 6) < 1e-6
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """q_weighted_sample == a pure-Python recomputation of the
+    Efraimidis-Spirakis draw over the fixture (independent of the DuckDB
+    oracle): same integer-hash u, same ln(u)/w key, same top-k — and the
+    heaviest documents are overrepresented vs their population share
+    (the point of importance sampling)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_DIR
+    from tez_spark.plans.curation import WS_A, WS_K, WS_P, q_weighted_sample
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "n_chars"])
+    rows = list(zip(tbl["doc_id"].to_pylist(), tbl["n_chars"].to_pylist()))
+    keyed = [
+        (math.log(((i * WS_A) % WS_P + 0.5) / float(WS_P)) / max(w, 1), i, w)
+        for i, w in rows
+    ]
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    want = [(rk + 1, i, w) for rk, (_, i, w) in enumerate(keyed[:WS_K])]
+
+    got = [tuple(r) for r in q_weighted_sample(spark, SF_DIR).collect()]
+    assert got == want
+
+    # importance property: the sampled mean weight exceeds the corpus mean
+    corpus_mean = sum(w for _, w in rows) / len(rows)
+    sample_mean = sum(w for _, _, w in want) / len(want)
+    assert sample_mean > corpus_mean

@@ -696,8 +696,80 @@ _SOURCE_MIX_SQL = f"""
 """
 
 
+# --- weighted sampling without replacement (Efraimidis-Spirakis) ----------
+
+# Multiplicative hash over the Mersenne prime 2^31-1 (Knuth constant):
+# pure BIGINT arithmetic, so BOTH engines compute bit-identical u. The
+# max doc_id * constant product stays < 2^62 (ANSI-safe) up to ~3.4e9 ids.
+WS_P = (1 << 31) - 1
+WS_A = 2654435761
+WS_K = 100
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: the top-WS_K documents by
+    the Efraimidis-Spirakis exponential key ln(u)/w (equivalent to
+    u^(1/w); w = n_chars, u deterministic per doc) — the standard
+    one-pass distributed weighted sampler (Efraimidis & Spirakis, IPL
+    2006): every executor keeps a partial top-k, the driver merges k-row
+    heaps, and no global shuffle of the corpus ever happens (Spark plans
+    orderBy+limit as TakeOrderedAndProject). Complements the fixed-rate
+    samplers here (stratified_sample: per-source rate; source_mix:
+    temperature allocation) with importance sampling: P(doc in sample)
+    rises with its weight, sampling is exact without replacement, and
+    the whole draw is reproducible across runs, partitionings and
+    engines because u comes from integer arithmetic, not a PRNG stream.
+
+    Cross-engine determinism: u = (doc_id*A mod P + 0.5)/P in (0,1) is
+    bit-identical BIGINT/double math in Spark and DuckDB; ln() may
+    differ in the last ulp between libms, but the output exposes only
+    the RANK ORDER (rank, doc_id, weight) — adjacent key gaps across a
+    corpus are ~1e-3, so an ulp can never flip the order or the top-k
+    boundary. The raw float key is deliberately not an output column.
+
+    Reference tie: partitioned top-k merge is the §2.3 global-sort/
+    top-k pattern (q13/q14) with a computed sort key; the weighted-
+    sampling semantics are new capability."""
+    from tez_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (F.pmod(F.col("doc_id") * F.lit(WS_A), F.lit(WS_P)) + F.lit(0.5)) / F.lit(
+        float(WS_P)
+    )
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        (F.log(u) / w).alias("_key"),
+    )
+    top = keyed.orderBy(F.desc("_key"), "doc_id").limit(WS_K)
+    # rank the bounded k-row result (window over <= WS_K rows)
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(Window.orderBy(F.desc("_key"), "doc_id"))
+    out = top.select(rk.cast("long").alias("rk"), "doc_id", "weight")
+    return bounded_sort(out, "rk")
+
+
+_WEIGHTED_SAMPLE_SQL = f"""
+    WITH k AS (
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS weight,
+               ln(((doc_id * {WS_A}) % {WS_P} + 0.5) / {float(WS_P)})
+                   / greatest(n_chars, 1) AS key
+        FROM documents
+    )
+    SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rk,
+           doc_id, weight
+    FROM k
+    ORDER BY key DESC, doc_id
+    LIMIT {WS_K}
+"""
+
+
 QUERIES = {
     "source_mix": q_source_mix,
+    "weighted_sample": q_weighted_sample,
     "curation_pipeline": q_curation_pipeline,
     "curation_pipeline_lsh": q_curation_pipeline_lsh,
     "train_split": q_train_split,
@@ -710,6 +782,7 @@ QUERIES = {
 }
 ORACLE = {
     "source_mix": _SOURCE_MIX_SQL,
+    "weighted_sample": _WEIGHTED_SAMPLE_SQL,
     "source_cap": _source_cap_sql(),
     "curation_pipeline": _oracle_sql(),
     # the LSH twin verifies exactly on candidates; same oracle (see

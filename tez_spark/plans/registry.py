@@ -40,9 +40,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # targets, keeping every entry whose code changed this round
 # (dedup_winnow's collapse gate, dedup_incremental's stage-floor work).
 # Displaced to round 8, keeping their green r5 rows under the
-# three-round union: ann_topk, multimodal_decode, source_cap,
-# text_fingerprint, text_langid, text_metrics, text_repetition,
-# train_split, window_sliding.
+# three-round union: ann_topk, decontaminate, multimodal_decode,
+# source_cap, text_fingerprint, text_langid, text_metrics,
+# text_repetition, train_split, window_sliding.
 _WINDOW_ROUND = 7
 _PRIORITY: tuple[str, ...] = (
     # 1. oracled queries whose last driver row is round 4
@@ -52,7 +52,7 @@ _PRIORITY: tuple[str, ...] = (
     #    displaced text_langid + text_metrics — all three displaced
     #    entries keep their green r5 rows under the three-round union)
     "cms_heavyhitters", "cross_join_bucketed", "text_dup_spans",
-    "dedup_editdistance", "column_profile",
+    "dedup_editdistance", "column_profile", "weighted_sample",
     # 3. never-driver-rowed rows-only entries — first (rows-only) rows
     "bpe_train", "observability_counters", "ann_incremental",
     # 4. oracled queries whose last driver row is round 5
@@ -63,7 +63,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_clusters", "dedup_embedding_clusters", "dedup_exact",
     "dedup_incremental", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_winnow",
-    "curation_pipeline", "curation_pipeline_lsh", "decontaminate",
+    "curation_pipeline", "curation_pipeline_lsh",
     "embedding_incremental", "asof_join",
 )
 
