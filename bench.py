@@ -38,7 +38,12 @@ def format_headline(line: dict, timings: dict, names, budget: int = 1980) -> str
     4. integer seconds for everything and failed queries as -1 — at 109
        real names a partial emit full of "-1.0" was measured at 2105
        chars, over the tail, so the r6 tiers alone were not a guarantee;
-    5. drop per-query entries from the (name-sorted) tail of the map
+    5. drop FAILED (-1) entries from the map, recording the count in
+       "queries_failed" — at 113 names even the all-"-1" tier-4 partial
+       emit crossed the budget, and dropping entries that carry no
+       timing signal is strictly better than dropping successful ones
+       (an all-failed partial now renders a near-empty map + count);
+    6. drop remaining per-query entries from the (name-sorted) tail
        until the line fits, recording how many in "queries_omitted" —
        never silent, and the contract fields plus the total always
        survive. Only reachable in windows no physical run produces
@@ -68,11 +73,22 @@ def format_headline(line: dict, timings: dict, names, budget: int = 1980) -> str
         out = render(tier)
         if len(out) <= budget:
             return out
-    kept = list(ordered)
+    # tier 5: failed entries carry no timing signal — drop them (with an
+    # explicit count) before any successful timing is sacrificed
+    kept = [n for n in ordered if timings.get(n, -1.0) >= 0]
+    if len(kept) < len(ordered):
+        line["queries_failed"] = len(ordered) - len(kept)
+    line["queries"] = {n: int(round(timings.get(n, -1.0))) for n in kept}
+    out = json.dumps(line, separators=(",", ":"))
+    if len(out) <= budget:
+        return out
+    # tier 6: tail omission of successful entries, never silent
     while kept:
         kept.pop()
         line["queries"] = {n: int(round(timings.get(n, -1.0))) for n in kept}
-        line["queries_omitted"] = len(ordered) - len(kept)
+        line["queries_omitted"] = len(ordered) - len(kept) - line.get(
+            "queries_failed", 0
+        )
         out = json.dumps(line, separators=(",", ":"))
         if len(out) <= budget:
             return out

@@ -51,15 +51,21 @@ def test_headline_fits_tail_at_125_queries_3_digit_values():
 
 def test_headline_partial_all_failed_fits_without_omission():
     """A driver-timeout partial emit (every query -1.0) at the CURRENT
-    registry was measured at 2105 chars under the old tiers — the
-    integral-shorten tier must carry it whole, with no entry omitted."""
+    registry must fit with every query ACCOUNTED FOR and no successful
+    timing omitted. Registry growth history: the all-"-1.0" emit was
+    2105 chars at 109 names (r6 added the integral tier), and at 113
+    names even the all-"-1" integer tier crossed 1980 — failed entries
+    now collapse into an explicit "queries_failed" count instead
+    (tier 5), which scales to any registry size because -1 entries
+    carry no timing signal."""
     names = _real_names()
     out = bench.format_headline(_line(partial=True), {}, names)
     assert len(out) < 2000, f"partial emit overflows: {len(out)}"
     parsed = json.loads(out)
     assert parsed["partial"] is True
     assert "queries_omitted" not in parsed
-    assert len(parsed["queries"]) == len(names)
+    n_acct = len(parsed["queries"]) + parsed.get("queries_failed", 0)
+    assert n_acct == len(names)
     assert all(v == -1 for v in parsed["queries"].values())
 
 
@@ -108,4 +114,11 @@ def test_headline_never_overflows_even_at_absurd_scale():
     parsed = json.loads(out)
     assert parsed["metric"] == "tez_spark_total_wall_clock"
     assert parsed["unit"] == "sec"
-    assert len(parsed["queries"]) + parsed.get("queries_omitted", 0) == 200
+    accounted = (
+        len(parsed["queries"])
+        + parsed.get("queries_omitted", 0)
+        + parsed.get("queries_failed", 0)
+    )
+    assert accounted == 200
+    # failed entries are dropped BEFORE any successful timing
+    assert all(v >= 0 for v in parsed["queries"].values())

@@ -20,7 +20,7 @@ from tests.conftest import SF_DIR, canon_rows
 SAMPLE = (
     "q05", "q06", "q08", "q12", "q14", "dedup_minhash_lsh",
     "dedup_incremental", "cross_join_chunked", "source_cap",
-    "dedup_editdistance", "column_profile",
+    "dedup_editdistance", "column_profile", "weighted_sample",
 )
 
 
