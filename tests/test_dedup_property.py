@@ -302,3 +302,57 @@ def test_editdistance_pairs_equals_bruteforce(spark):
     assert got == expected
     assert any(d == K_ED for _, _, d in expected)  # threshold edge hit
     assert (0, 1, 0) in expected  # empty-string pair survives bucketing
+
+
+def test_passjoin_pairs_equals_length_window_exact(spark):
+    """passjoin_pairs (segment-indexed candidates, the declared 100TB
+    ed-discovery path) == editdistance_pairs (length-window exact, which
+    the test above pins to brute-force DP) on random mutated corpora
+    with small k — including empties, sub-k+1-length docs (the short
+    stratum), bucket-boundary lengths, and |dL| == k pairs."""
+    import random
+
+    from tez_spark.operators.dedup import editdistance_pairs, passjoin_pairs
+
+    k = 4
+    rng = random.Random(23)
+    alphabet = "abcde "
+
+    def mutate(s: str, n: int) -> str:
+        out = list(s)
+        for _ in range(n):
+            op = rng.randrange(3)
+            if op == 0 and out:
+                out[rng.randrange(len(out))] = rng.choice(alphabet)
+            elif op == 1:
+                out.insert(rng.randrange(len(out) + 1), rng.choice(alphabet))
+            elif out:
+                del out[rng.randrange(len(out))]
+        return "".join(out)
+
+    for seed in (5, 29):
+        rng.seed(seed)
+        rows: list[tuple[int, str]] = [(0, ""), (1, "ab"), (2, "abcd")]
+        i = 3
+        for base_len in (k, k + 1, 2 * k, 11, 23, 40):
+            s = "".join(rng.choice(alphabet) for _ in range(base_len))
+            rows.append((i, s))
+            i += 1
+            for n_ed in (1, k, k + 2):
+                rows.append((i, mutate(s, n_ed)))
+                i += 1
+        rows.append((i, "x" * 20))
+        rows.append((i + 1, "x" * (20 + k)))  # |dL| == k, ed == k
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        want = {
+            (r.da, r.db, r.dist)
+            for r in editdistance_pairs(docs, k=k).collect()
+        }
+        got = {
+            (r.da, r.db, r.dist) for r in passjoin_pairs(docs, k=k).collect()
+        }
+        assert got == want, (
+            f"seed {seed}: missing {want - got}, extra {got - want}"
+        )
+        assert want, "degenerate test corpus: no pairs at all"

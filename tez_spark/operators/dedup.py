@@ -1084,8 +1084,9 @@ def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~12 min of DP, measured, and the all-pairs SQL oracle degrades the
     same way). It stays an operator with a brute-force-DP property
     test (tests/test_dedup_property.py); exact ed-only discovery at
-    corpus scale needs segment-indexed candidates (PassJoin, Li et
-    al. ICDE 2011 — documented, not built). Reference tie:
+    corpus scale is passjoin_pairs below (PassJoin segment indexing,
+    Li et al. ICDE 2011 — built, property-tested, 37 s vs the length
+    window's 714 s at sf0.1/k=16, and linear in docs). Reference tie:
     candidates-then-verify is the same two-stage shape as the
     reference's grouped-key iteration followed by user verification
     (OrderedGroupedKVInput, ValuesIterator.java:45); the metric itself
@@ -1145,6 +1146,156 @@ def editdistance_pairs(
         )
         .withColumn("dist", F.levenshtein("ta", "tb").cast("long"))
         .filter(F.col("dist") <= k)
+        .select("da", "db", "dist")
+    )
+
+
+def passjoin_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = K_ED,
+) -> DataFrame:
+    """Exact edit-distance DISCOVERY at corpus scale: every (da, db,
+    dist) with levenshtein <= k, candidates from PassJoin-style segment
+    indexing (Li, Deng, Feng, ICDE 2011) instead of the quadratic
+    length-window join of editdistance_pairs.
+
+    Pigeonhole: <= k edits touch <= k of a string's k+1 contiguous
+    segments, so for any pair with ed <= k at least one segment of s
+    survives VERBATIM in t, shifted by at most k positions. Candidates
+    therefore come from an EQUIJOIN:
+
+    - index side: each doc's k+1 even-partition segments as rows
+      (segment_text, segment_index, segment_len) — k+1 rows per doc;
+    - probe side: each doc's substrings at (i, slen, position) triples
+      that any compatible partner's segment could occupy — position
+      window |p - P_i(L_t)| <= 2k (the segment start P_i moves by at
+      most |dL| <= k across compatible lengths, plus the <= k edit
+      shift) and slen in the <=3 values seg_len_i takes over
+      L in [L_t - k, L_t + k]. O(k^2) probe rows per doc — LINEAR in
+      corpus size, vs the length-window join's quadratic-within-window
+      candidates (812k pairs at sf0.1, PERF.md round 7).
+
+    Matched (segment, i, slen) rows join, duplicate candidates collapse,
+    and banded levenshtein verifies — candidates-then-verify again.
+    Docs too short to fill k+1 nonempty segments (L <= k) have no
+    pigeonhole guarantee; any partner within ed <= k then has
+    L' <= 2k, so the short stratum joins the <= 2k length class
+    directly — a bounded corner (few-char docs), not a scale term.
+
+    Equality with editdistance_pairs (itself brute-force-DP-verified)
+    on random mutated corpora: tests/test_dedup_property.py. Measured
+    at sf0.1 (5k docs, k=16): 37 s warm and the same 256 pairs, vs
+    714 s for the length-window join — and the probe fan-out is
+    O(k^2) per doc, so the common small-radius workloads (OCR noise,
+    k <= 4) cost a fraction of that. Not a registry query (the profile
+    above is the oracled surface); this is the discovery operator."""
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        F.length(text_col).alias("L"),
+    )
+    kk = F.lit(k)
+    long_docs = base.filter(F.col("L") > k)
+    idx = (
+        long_docs.select(
+            "id",
+            "txt",
+            "L",
+            F.explode(F.sequence(F.lit(0), kk)).alias("i"),
+        )
+        .withColumn("m", (F.col("L") / (k + 1)).cast("long"))
+        .withColumn("r", F.col("L") % (k + 1))
+        .withColumn(
+            "start", F.col("i") * F.col("m") + F.least(F.col("i"), F.col("r"))
+        )
+        .withColumn(
+            "slen", F.col("m") + (F.col("i") < F.col("r")).cast("long")
+        )
+        .filter(F.col("slen") > 0)
+        .select(
+            F.col("id").alias("ia"),
+            F.col("L").alias("la"),
+            "i",
+            "slen",
+            F.expr("substring(txt, start + 1, slen)").alias("seg"),
+        )
+    )
+    # probe rows: all (i, slen, p) a compatible partner segment could hit
+    probe = (
+        base.select(
+            "id", "txt", "L", F.explode(F.sequence(F.lit(0), kk)).alias("i")
+        )
+        # partner length L' in [L-k, L+k]: m' = L'//(k+1) spans at most
+        # [ (L-k)//(k+1), (L+k)//(k+1) ]; slen' in {m', m'+1}
+        .withColumn("m_lo", ((F.col("L") - kk) / (k + 1)).cast("long"))
+        .withColumn("m_hi", ((F.col("L") + kk) / (k + 1)).cast("long"))
+        .withColumn(
+            "slen",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("m_lo"), F.lit(1)), F.col("m_hi") + 1
+                )
+            ),
+        )
+        # own-partition segment start for THIS length, then +/- 2k
+        .withColumn("m", (F.col("L") / (k + 1)).cast("long"))
+        .withColumn("r", F.col("L") % (k + 1))
+        .withColumn(
+            "p0", F.col("i") * F.col("m") + F.least(F.col("i"), F.col("r"))
+        )
+        .withColumn("p_lo", F.greatest(F.col("p0") - 2 * k, F.lit(0)))
+        .withColumn(
+            "p_hi", F.least(F.col("p0") + 2 * k, F.col("L") - F.col("slen"))
+        )
+        # sequence(lo, hi) DESCENDS when lo > hi — guard the empty window
+        .filter(F.col("p_lo") <= F.col("p_hi"))
+        .withColumn("p", F.explode(F.sequence(F.col("p_lo"), F.col("p_hi"))))
+        .select(
+            F.col("id").alias("ib"),
+            F.col("L").alias("lb"),
+            "i",
+            "slen",
+            F.expr("substring(txt, p + 1, slen)").alias("seg"),
+        )
+    )
+    cand_long = (
+        idx.join(probe, ["seg", "i", "slen"])
+        .filter(
+            (F.col("ia") != F.col("ib"))
+            & (F.abs(F.col("la") - F.col("lb")) <= k)
+        )
+        .select(
+            F.least("ia", "ib").alias("da"), F.greatest("ia", "ib").alias("db")
+        )
+    )
+    # short stratum: L <= k docs against the L' <= 2k class (|dL| <= k
+    # already implies L' <= 2k; keep the explicit filter for the plan)
+    short = base.filter(F.col("L") <= k).select(
+        F.col("id").alias("ia"), F.col("L").alias("la")
+    )
+    near_short = base.filter(F.col("L") <= 2 * k).select(
+        F.col("id").alias("ib"), F.col("L").alias("lb")
+    )
+    cand_short = (
+        short.crossJoin(F.broadcast(near_short))
+        .filter(
+            (F.col("ia") != F.col("ib"))
+            & (F.abs(F.col("la") - F.col("lb")) <= k)
+        )
+        .select(
+            F.least("ia", "ib").alias("da"), F.greatest("ia", "ib").alias("db")
+        )
+    )
+    cand = cand_long.unionByName(cand_short).distinct()
+    ta = docs.select(F.col(id_col).alias("da"), F.col(text_col).alias("ta"))
+    tb = docs.select(F.col(id_col).alias("db"), F.col(text_col).alias("tb"))
+    return (
+        cand.join(ta, "da")
+        .join(tb, "db")
+        .withColumn("dist", F.levenshtein("ta", "tb", k).cast("long"))
+        .filter(F.col("dist") >= 0)
         .select("da", "db", "dist")
     )
 
