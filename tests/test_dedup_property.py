@@ -252,6 +252,21 @@ def _lev(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _mutate(rng, alphabet: str, s: str, n: int) -> str:
+    """n random edits (substitute/insert/delete) — the shared edit model
+    for both edit-distance property tests."""
+    out = list(s)
+    for _ in range(n):
+        op = rng.randrange(3)
+        if op == 0 and out:  # substitute
+            out[rng.randrange(len(out))] = rng.choice(alphabet)
+        elif op == 1:  # insert
+            out.insert(rng.randrange(len(out) + 1), rng.choice(alphabet))
+        elif out:  # delete
+            del out[rng.randrange(len(out))]
+    return "".join(out)
+
+
 def test_editdistance_pairs_equals_bruteforce(spark):
     """editdistance_pairs == brute-force DP over all pairs, on a corpus
     whose lengths straddle every bucket boundary the equijoin candidate
@@ -264,18 +279,6 @@ def test_editdistance_pairs_equals_bruteforce(spark):
     rng = random.Random(11)
     alphabet = "abcdef "
 
-    def mutate(s: str, n: int) -> str:
-        out = list(s)
-        for _ in range(n):
-            op = rng.randrange(3)
-            if op == 0 and out:  # substitute
-                out[rng.randrange(len(out))] = rng.choice(alphabet)
-            elif op == 1:  # insert
-                out.insert(rng.randrange(len(out) + 1), rng.choice(alphabet))
-            elif out:  # delete
-                del out[rng.randrange(len(out))]
-        return "".join(out)
-
     rows: list[tuple[int, str]] = [(0, ""), (1, "")]
     i = 2
     for base_len in (1, K_ED - 1, K_ED, K_ED + 1, 2 * K_ED, 37, 55):
@@ -283,7 +286,7 @@ def test_editdistance_pairs_equals_bruteforce(spark):
         rows.append((i, s))
         i += 1
         for n_ed in (1, K_ED // 2, K_ED, K_ED + 4):
-            rows.append((i, mutate(s, n_ed)))
+            rows.append((i, _mutate(rng, alphabet, s, n_ed)))
             i += 1
     # a pair with |dL| exactly K (candidate window edge: ed == K iff
     # the longer string extends the shorter by K pure insertions)
@@ -318,18 +321,6 @@ def test_passjoin_pairs_equals_length_window_exact(spark):
     rng = random.Random(23)
     alphabet = "abcde "
 
-    def mutate(s: str, n: int) -> str:
-        out = list(s)
-        for _ in range(n):
-            op = rng.randrange(3)
-            if op == 0 and out:
-                out[rng.randrange(len(out))] = rng.choice(alphabet)
-            elif op == 1:
-                out.insert(rng.randrange(len(out) + 1), rng.choice(alphabet))
-            elif out:
-                del out[rng.randrange(len(out))]
-        return "".join(out)
-
     for seed in (5, 29):
         rng.seed(seed)
         rows: list[tuple[int, str]] = [(0, ""), (1, "ab"), (2, "abcd")]
@@ -339,7 +330,7 @@ def test_passjoin_pairs_equals_length_window_exact(spark):
             rows.append((i, s))
             i += 1
             for n_ed in (1, k, k + 2):
-                rows.append((i, mutate(s, n_ed)))
+                rows.append((i, _mutate(rng, alphabet, s, n_ed)))
                 i += 1
         rows.append((i, "x" * 20))
         rows.append((i + 1, "x" * (20 + k)))  # |dL| == k, ed == k

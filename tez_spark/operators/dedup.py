@@ -1222,9 +1222,13 @@ def passjoin_pairs(
             F.expr("substring(txt, start + 1, slen)").alias("seg"),
         )
     )
-    # probe rows: all (i, slen, p) a compatible partner segment could hit
+    # probe rows: all (i, slen, p) a compatible partner segment could
+    # hit. Probing only long docs is still complete: a short doc's
+    # (L <= k) partners all sit at L' <= 2k, so cand_short below already
+    # generates every such pair — probe fan-out from short docs would be
+    # O(k^2) rows per doc for zero unique candidates.
     probe = (
-        base.select(
+        long_docs.select(
             "id", "txt", "L", F.explode(F.sequence(F.lit(0), kk)).alias("i")
         )
         # partner length L' in [L-k, L+k]: m' = L'//(k+1) spans at most
@@ -1307,14 +1311,16 @@ def passjoin_pairs(
 _EDITDISTANCE_SQL = f"""
     WITH pairs AS (
         SELECT da, db FROM ({_SH_CTE}) WHERE j >= 0.8
+    ), d AS (
+        SELECT p.da, p.db, levenshtein(a.text, b.text) AS raw
+        FROM pairs p
+        JOIN documents a ON a.doc_id = p.da
+        JOIN documents b ON b.doc_id = p.db
     )
-    SELECT p.da, p.db,
-           CASE WHEN levenshtein(a.text, b.text) <= {K_ED}
-                THEN CAST(levenshtein(a.text, b.text) AS BIGINT)
+    SELECT da, db,
+           CASE WHEN raw <= {K_ED} THEN CAST(raw AS BIGINT)
                 ELSE CAST(-1 AS BIGINT) END AS dist
-    FROM pairs p
-    JOIN documents a ON a.doc_id = p.da
-    JOIN documents b ON b.doc_id = p.db
+    FROM d
     ORDER BY da, db
 """
 

@@ -905,7 +905,7 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     nulls/min/max pass and a stacked (column, value) distinct pass
     whose exchange is bounded by the per-column vocabularies (see
     profile_columns for the A/B against Spark's native expand-based
-    multi-countDistinct, which this form beats ~5x at sf0.1 and
+    multi-countDistinct, which this form beats ~2x at sf0.1 and
     dominates at scale). At 100TB the per-column knob for truly
     vocabulary-unbounded columns is approx_count_distinct (sketch
     contract oracled separately in approx_distinct); the plan is

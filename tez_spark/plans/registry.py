@@ -29,13 +29,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # Round-7 window: (1) the two oracled queries whose last driver row is
 # round 4 (set_ops, string_agg — the only entries the three-round union
-# would otherwise lose), (2) cms_heavyhitters + cross_join_bucketed +
-# text_dup_spans, newly oracled this round — first driver rows, (3) the
+# would otherwise lose), (2) the SIX queries newly oracled this round
+# (cms_heavyhitters, cross_join_bucketed, text_dup_spans,
+# dedup_editdistance, column_profile, weighted_sample) — first driver
+# rows, (3) the
 # three NEVER-rowed rows-only entries (bpe_train, observability_counters,
 # ann_incremental — VERDICT r6 item 3: the driver records its weaker
 # rows-only check for them, which is still their first driver contact;
 # the window-ordering guard admits exactly the rows-only entries listed
-# in _PRIORITY), (4) 42 of the 49 oracled queries whose last driver row
+# in _PRIORITY), (4) 39 of the 49 oracled queries whose last driver row
 # is round 5 — the q01–q18 + tpch01/03/04/… block the rotation ritual
 # targets, keeping every entry whose code changed this round
 # (dedup_winnow's collapse gate, dedup_incremental's stage-floor work).
