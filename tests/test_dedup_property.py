@@ -347,3 +347,54 @@ def test_passjoin_pairs_equals_length_window_exact(spark):
             f"seed {seed}: missing {want - got}, extra {got - want}"
         )
         assert want, "degenerate test corpus: no pairs at all"
+
+
+def test_ed_discovery_oracle_sql_equals_bruteforce():
+    """The DuckDB ORACLE for editdistance_discovery re-implements the
+    PassJoin candidate equijoin in SQL; if its candidate windows were
+    subtly narrower than the Spark side's, both engines could agree
+    while both miss pairs. Pin the SQL twin DIRECTLY to all-pairs
+    brute-force truth on random mutated corpora (no Spark involved),
+    covering empties, the short stratum, bucket-boundary lengths and
+    |dL| == k pairs — the same corpus family the Spark-side property
+    test uses."""
+    import random
+
+    import duckdb
+
+    from tez_spark.operators.dedup import K_ED_DISCOVERY, _passjoin_oracle_sql
+
+    k = K_ED_DISCOVERY
+    rng = random.Random(31)
+    alphabet = "abcde "
+
+    for seed in (7, 41):
+        rng.seed(seed)
+        rows: list[tuple[int, str]] = [(0, ""), (1, "ab"), (2, "abcd")]
+        i = 3
+        for base_len in (k, k + 1, 2 * k, 11, 23, 40):
+            s = "".join(rng.choice(alphabet) for _ in range(base_len))
+            rows.append((i, s))
+            i += 1
+            for n_ed in (1, k, k + 2):
+                rows.append((i, _mutate(rng, alphabet, s, n_ed)))
+                i += 1
+        rows.append((i, "x" * 20))
+        rows.append((i + 1, "x" * (20 + k)))
+
+        expected = {
+            (da, db, _lev(ta, tb))
+            for (da, ta) in rows
+            for (db, tb) in rows
+            if da < db and _lev(ta, tb) <= k
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents (doc_id BIGINT, text VARCHAR)"
+        )
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        got = {tuple(r) for r in con.execute(_passjoin_oracle_sql(k)).fetchall()}
+        assert got == expected, (
+            f"seed {seed}: missing {expected - got}, extra {got - expected}"
+        )
+        assert expected, "degenerate test corpus: no pairs at all"

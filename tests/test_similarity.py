@@ -20,12 +20,14 @@ def test_lsh_recall_vs_brute_force(spark):
 
 
 def test_ivf_recall_vs_brute_force(spark):
-    from tez_spark.operators.similarity import q_ann_ivf, q_ann_topk
+    from tez_spark.operators.similarity import ann_ivf_neighbors, q_ann_topk
 
     truth = {
         (r.q_id, r.vec_id) for r in q_ann_topk(spark, SF_DIR).collect()
     }
-    got = {(r.q_id, r.vec_id) for r in q_ann_ivf(spark, SF_DIR).collect()}
+    got = {
+        (r.q_id, r.vec_id) for r in ann_ivf_neighbors(spark, SF_DIR).collect()
+    }
     assert truth, "brute force returned nothing"
     recall = len(truth & got) / len(truth)
     # nprobe/cells = 16/64 on uniform-random data (IVF's worst case —
@@ -34,6 +36,33 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.3, f"IVF recall collapsed: {recall:.2f}"
     # every query must return a full top-k block
     assert len(got) == len(truth)
+
+
+def test_ivf_contract_query_agrees_with_neighbor_surface(spark):
+    """The oracled q_ann_ivf contract rows must be DERIVABLE from the
+    two surfaces they summarize: k_returned == the neighbor query's
+    per-query row count, and recall_ok == (ann_ivf_neighbors ∩
+    q_ann_topk nonempty per query) — i.e. the fused single-pass plan
+    computes the same thing as running the two queries separately."""
+    from collections import defaultdict
+
+    from tez_spark.operators.similarity import (
+        ann_ivf_neighbors,
+        q_ann_ivf,
+        q_ann_topk,
+    )
+
+    truth = defaultdict(set)
+    for r in q_ann_topk(spark, SF_DIR).collect():
+        truth[r.q_id].add(r.vec_id)
+    ivf = defaultdict(set)
+    for r in ann_ivf_neighbors(spark, SF_DIR).collect():
+        ivf[r.q_id].add(r.vec_id)
+    contract = {r.q_id: r for r in q_ann_ivf(spark, SF_DIR).collect()}
+    assert set(contract) == set(truth)
+    for q in truth:
+        assert contract[q].k_returned == len(ivf[q])
+        assert contract[q].recall_ok == bool(truth[q] & ivf[q])
 
 
 def test_ivf_assign_builds_reusable_index(spark):

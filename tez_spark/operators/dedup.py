@@ -700,16 +700,19 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = tracked_persist(cross.unionByName(within).distinct())
 
     sh_all = corpus_sh.unionByName(batch_sh)
-    # Single-partition sort instead of orderBy: the verified report is
-    # candidate-bounded (hundreds of rows at any SF here), and orderBy's
-    # range partitioner costs a separate SAMPLING job — one more
-    # serialized driver round-trip on a query whose floor is driver
-    # orchestration. At true 100TB output sizes swap back to orderBy.
-    return (
-        _verify_pairs(cand, sh_all, sh_b=batch_sh)
-        .filter(F.col("j") >= 0.8)
-        .coalesce(1)
-        .sortWithinPartitions("da", "db")
+    # bounded_sort (repartition(1)), not coalesce(1): the verified
+    # report is candidate-bounded (hundreds of rows at any SF here) so
+    # it skips orderBy's sampling job either way, but coalesce is a
+    # narrow dependency that would merge back through the lineage and
+    # single-thread the final verify probe stage (ADVICE r7; the exact
+    # failure bounded_sort's own docstring documents). A/B at sf0.1
+    # idle: no measurable difference (PERF.md round 8) — the exchange
+    # moves hundreds of rows. At true 100TB output sizes swap to
+    # orderBy.
+    return bounded_sort(
+        _verify_pairs(cand, sh_all, sh_b=batch_sh).filter(F.col("j") >= 0.8),
+        "da",
+        "db",
     )
 
 
@@ -1304,6 +1307,104 @@ def passjoin_pairs(
     )
 
 
+# editdistance_discovery's declared radius: the common near-dup
+# workloads (OCR noise, single-token mutations) live at small k, where
+# passjoin's O(k^2)-per-doc probe constant is tiny (measured 4.2 s warm
+# at sf0.1/k=4 vs 37 s at k=16). Distinct from K_ED (the PROFILE
+# radius): the profile verifies a metric on already-found candidates,
+# discovery must find the pairs — its cost is the probe fan-out, so it
+# declares the radius users actually discover at.
+K_ED_DISCOVERY = 4
+
+
+def q_editdistance_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance DISCOVERY as a driver-verified query: every doc
+    pair with levenshtein <= K_ED_DISCOVERY, found by passjoin_pairs'
+    PassJoin segment index (no prior candidate stage — this query IS
+    the candidate generator, unlike dedup_editdistance which profiles
+    pairs the Jaccard stage already surfaced).
+
+    Oracle strategy (VERDICT r7 item 1): the DuckDB side re-implements
+    the same segment/probe-window candidate equijoin via
+    unnest(range(...)) — candidate-bounded at every SF exactly like the
+    Spark plan (1.3 s at sf0.1 vs >120 s for the naive length-window
+    oracle, measured) — then verifies with full levenshtein. Candidate
+    COMPLETENESS is independently pinned two ways: the brute-force-DP
+    property test (tests/test_dedup_property.py) and a fixture-level
+    equality check of this oracle against the all-pairs length-window
+    truth at both correctness SFs (24/24 pairs, r8 build log). Same
+    self-validating-join shape as the reference's JoinValidate
+    (tez-examples/.../JoinValidate.java:151-181).
+
+    Scale: linear in docs — k+1 index rows and O(k^2) probe rows per
+    doc, equijoin on (segment, i, slen), banded-DP verify on matched
+    candidates only. At k=4 that is 5 index rows and ~255 probe rows
+    per doc; the verify set is output-bounded (true near-dup pairs)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = passjoin_pairs(docs, k=K_ED_DISCOVERY)
+    return bounded_sort(out, "da", "db")
+
+
+def _passjoin_oracle_sql(k: int) -> str:
+    """DuckDB twin of passjoin_pairs: identical segment index + probe
+    windows (unnest(range()) instead of explode(sequence())), identical
+    short-stratum corner, full-levenshtein verify."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS id, text AS txt, length(text) AS L FROM documents
+    ), long_docs AS (
+      SELECT * FROM base WHERE L > {k}
+    ), seg AS (
+      SELECT id, txt, L, unnest(range(0, {k} + 1)) AS i FROM long_docs
+    ), idx AS (
+      SELECT id AS ia, L AS la, i,
+             (L // ({k}+1)) + CASE WHEN i < (L % ({k}+1)) THEN 1 ELSE 0 END AS slen,
+             substring(txt,
+                       CAST(i * (L // ({k}+1)) + least(i, L % ({k}+1)) + 1 AS INT),
+                       CAST((L // ({k}+1)) + CASE WHEN i < (L % ({k}+1)) THEN 1 ELSE 0 END AS INT)
+             ) AS sg
+      FROM seg
+      WHERE (L // ({k}+1)) + CASE WHEN i < (L % ({k}+1)) THEN 1 ELSE 0 END > 0
+    ), probe0 AS (
+      SELECT id, txt, L, i,
+             unnest(range(greatest((L - {k}) // ({k}+1), 1),
+                          (L + {k}) // ({k}+1) + 2)) AS slen,
+             i * (L // ({k}+1)) + least(i, L % ({k}+1)) AS p0
+      FROM seg
+    ), probe1 AS (
+      SELECT id, txt, L, i, slen,
+             greatest(p0 - 2*{k}, 0) AS p_lo,
+             least(p0 + 2*{k}, L - slen) AS p_hi
+      FROM probe0
+    ), probe AS (
+      SELECT id AS ib, L AS lb, i, slen,
+             substring(txt, CAST(unnest(range(p_lo, p_hi + 1)) + 1 AS INT),
+                       CAST(slen AS INT)) AS sg
+      FROM probe1 WHERE p_lo <= p_hi
+    ), cand_long AS (
+      SELECT DISTINCT least(ia, ib) AS da, greatest(ia, ib) AS db
+      FROM idx JOIN probe USING (sg, i, slen)
+      WHERE ia <> ib AND abs(la - lb) <= {k}
+    ), shorts AS (
+      SELECT least(a.id, b.id) AS da, greatest(a.id, b.id) AS db
+      FROM base a JOIN base b
+        ON a.L <= {k} AND b.L <= 2*{k}
+       AND a.id <> b.id AND abs(a.L - b.L) <= {k}
+    ), cand AS (
+      SELECT da, db FROM cand_long UNION SELECT da, db FROM shorts
+    ), d AS (
+      SELECT c.da, c.db, levenshtein(a.txt, b.txt) AS raw
+      FROM cand c JOIN base a ON a.id = c.da JOIN base b ON b.id = c.db
+    )
+    SELECT da, db, CAST(raw AS BIGINT) AS dist FROM d
+    WHERE raw <= {k}
+    ORDER BY da, db
+    """
+
+
+_ED_DISCOVERY_SQL = _passjoin_oracle_sql(K_ED_DISCOVERY)
+
+
 # DuckDB has no thresholded levenshtein; the CASE reproduces Spark's
 # 3-arg -1-when-exceeded contract. Candidate pairs come from the same
 # _SH_CTE exact-Jaccard truth the rest of the family oracles use, so
@@ -1327,6 +1428,7 @@ _EDITDISTANCE_SQL = f"""
 
 ORACLE: dict[str, str] = {
     "dedup_editdistance": _EDITDISTANCE_SQL,
+    "editdistance_discovery": _ED_DISCOVERY_SQL,
     "dedup_exact": """
         SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique FROM documents
     """,
@@ -1349,6 +1451,7 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_editdistance": q_dedup_editdistance,
+    "editdistance_discovery": q_editdistance_discovery,
     "dedup_incremental": q_dedup_incremental,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,

@@ -159,6 +159,16 @@ def resize_image(
         import io
 
         Image = _pil_image()
+        # Re-check HERE, not just on the driver (ADVICE r7): proc runs
+        # in executors, and a cluster with PIL installed on the driver
+        # only would otherwise die with AttributeError (Image is None)
+        # instead of the explicit contract error.
+        if not fake and Image is None:
+            raise NotImplementedError(
+                "real resize requires PIL on the EXECUTORS (importable "
+                "on the driver but not here); install it cluster-wide "
+                "or pass fake=True for the byte-plane stand-in"
+            )
         for pdf in batches:
             out = []
             for p in pdf[payload_col]:

@@ -271,10 +271,10 @@ def ivf_assign(
 _MERSENNE_P_IVF = (1 << 31) - 1
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned ANN: probe the IVF_NPROBE nearest cells per query, exact
-    cosine re-rank of their members to top-5. Rows-only check (pruning is
-    lossy by design; recall vs brute force asserted in tests).
+    cosine re-rank of their members to top-5 — the neighbor-row surface
+    (q_id, vec_id, sim, rn) a pipeline consumes.
 
     Fused like q_ann_lsh: the query->probed-cells map is computed
     driver-side on the tiny query x centroid matrix and broadcast; each
@@ -334,6 +334,104 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id",
         "rn",
     )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with an IN-QUERY recall contract (VERDICT r7 item 7 — the
+    cms_heavyhitters/percentiles_approx promotion pattern): per query,
+    (q_id, k_returned, recall_ok) where recall_ok asserts the IVF path
+    found at least one of the EXACT cosine top-K, so the driver's
+    hash check verifies the recall bound end-to-end instead of the
+    weaker rows-only contact. Neighbor rows themselves stay available
+    via ann_ivf_neighbors / ann_ivf_probe_index — they can't be the
+    oracled surface because DuckDB cannot reproduce the xxhash64
+    centroid sample.
+
+    Bound choice: per-query recall@5 is deterministic on a fixture
+    (seeded centroid sample, tie-broken ordering); measured min across
+    sf0.001/0.01/0.1 is 0.4/0.4/0.2 (r8 build log) on uniform-random
+    embeddings — IVF's worst case — so >= 1 hit holds everywhere with
+    2x margin at the driver SFs. Real clustered embeddings concentrate
+    neighbors in probed cells, strengthening the contract at 100TB.
+
+    ONE corpus pass for both sides: the exact audit needs the full
+    row x query score matrix, and the IVF candidate scores are a subset
+    of it, so each Arrow batch does a single matmul and emits local
+    top-k per (path, query) — the per-task output is 2·K·|queries|
+    scalar rows. At 100TB the exact column is the AUDIT (same role as
+    cms_heavyhitters' exact wordcount): drop it there and keep the IVF
+    path, whose per-batch cost is the same matmul restricted to probed
+    cells."""
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    Cn = _sample_centroids(emb, IVF_CELLS)
+
+    q_rows = queries.select("vec_id", as_double("embedding").alias("v")).collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r["v"]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    cell_sims = Qn @ Cn.T
+    nprobe = min(IVF_NPROBE, Cn.shape[0])
+    probed = {
+        j: np.sort(np.argsort(-cell_sims[j])[:nprobe])
+        for j in range(len(q_ids))
+    }
+    bc = spark.sparkContext.broadcast((Cn, probed, q_ids, Qn))
+    k = K
+
+    def score_both(batches):
+        Cn_, probed_, q_ids_, Qn_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            cells = np.argmax(Vn @ Cn_.T, axis=1)
+            S = Vn @ Qn_.T
+            ids = pdf["vec_id"].to_numpy()
+            paths, out_q, out_c, out_s = [], [], [], []
+            for j, qid in enumerate(q_ids_):
+                col = S[:, j]
+                cand = np.nonzero(ids != qid)[0]
+                if not len(cand):
+                    continue
+                for path, sub in (
+                    ("exact", cand),
+                    ("ivf", cand[np.isin(cells[cand], probed_[j])]),
+                ):
+                    if not len(sub):
+                        continue
+                    order = np.lexsort((ids[sub], -col[sub]))[: min(k, len(sub))]
+                    sel = sub[order]
+                    paths.extend([path] * len(sel))
+                    out_q.extend([qid] * len(sel))
+                    out_c.extend(ids[sel].tolist())
+                    out_s.extend(col[sel].tolist())
+            yield pd.DataFrame(
+                {"path": paths, "q_id": out_q, "vec_id": out_c, "sim": out_s}
+            ).astype({"q_id": "int64", "vec_id": "int64", "sim": "float64"})
+
+    base = fan_out_vectors(emb)
+    scored = base.mapInPandas(
+        score_both, "path string, q_id long, vec_id long, sim double"
+    )
+    w = Window.partitionBy("path", "q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    ranked = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    per_vec = ranked.groupBy("q_id", "vec_id").agg(
+        F.max((F.col("path") == "ivf").cast("int")).alias("iv"),
+        F.max((F.col("path") == "exact").cast("int")).alias("ex"),
+    )
+    out = per_vec.groupBy("q_id").agg(
+        F.sum("iv").cast("long").alias("k_returned"),
+        (F.sum(F.col("iv") * F.col("ex")) >= 1).alias("recall_ok"),
+    )
+    return bounded_sort(out, "q_id")
 
 
 def all_pairs_cosine(
@@ -636,6 +734,17 @@ ORACLE: dict[str, str] = {
         WHERE rn <= {K} ORDER BY q_id, rn
     """,
     # ann_lsh: intentionally no oracle — probabilistic recall; rows-only.
+    # ann_ivf: full oracle via the in-query recall contract. k_returned
+    # is deterministically K (probed cells hold ~nprobe/cells of the
+    # corpus — hundreds of vectors at the smallest fixture); recall_ok
+    # is the verified >= 1-of-exact-top-K bound (see q_ann_ivf).
+    "ann_ivf": f"""
+        SELECT vec_id AS q_id,
+               CAST({K} AS BIGINT) AS k_returned,
+               TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+        ORDER BY q_id
+    """,
     "embedding_incremental": """
         WITH parts AS (
             SELECT vec_id,
@@ -840,6 +949,43 @@ def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_probe_index(spark, idx, batch, k=5, probe_chunk_rows=10_000)
 
 
+def publish_build_dir(scratch: str, idx: str, max_attempts: int = 5) -> None:
+    """Atomically publish a completed, _COMPLETE-stamped build dir to
+    its shared path. Terminal outcomes: OUR build renamed in, or a
+    COMPLETE build from a concurrent builder adopted (scratch
+    discarded — both builds are deterministic over the same inputs).
+    r6 advice: a single retry had a TOCTOU window between rmtree and
+    the second rename, hence the loop; r7 advice: the unbounded loop
+    could spin forever on a PERSISTENT non-target-exists failure
+    (permissions, cross-device scratch), hence errno discrimination +
+    the attempt bound — rename(2) reports an occupied target as
+    ENOTEMPTY/EEXIST (or EISDIR); anything else re-raises immediately."""
+    import errno
+    import os
+    import shutil
+
+    last: OSError | None = None
+    for _ in range(max_attempts):
+        try:
+            os.rename(scratch, idx)
+            return
+        except OSError as e:
+            if e.errno not in (errno.EEXIST, errno.ENOTEMPTY, errno.EISDIR):
+                raise
+            last = e
+            # target occupied: a concurrent builder won (use theirs if
+            # complete) or a pre-fix partial build squats the path
+            # (clear it and retry)
+            if os.path.exists(os.path.join(idx, "_COMPLETE")):
+                shutil.rmtree(scratch, ignore_errors=True)
+                return
+            shutil.rmtree(idx, ignore_errors=True)
+    raise OSError(
+        f"could not publish {scratch} -> {idx} after {max_attempts} "
+        f"attempts (target kept reappearing without _COMPLETE)"
+    ) from last
+
+
 def ensure_ivf_index(corpus: DataFrame, sf_dir: str) -> str:
     """On-disk memo of the corpus IVF index, built ATOMICALLY: the index
     is written into a unique scratch dir, stamped with a _COMPLETE
@@ -852,7 +998,6 @@ def ensure_ivf_index(corpus: DataFrame, sf_dir: str) -> str:
     same fingerprint). Returns the index path."""
     import hashlib
     import os
-    import shutil
     import tempfile
     import uuid
 
@@ -869,23 +1014,7 @@ def ensure_ivf_index(corpus: DataFrame, sf_dir: str) -> str:
     write_ivf_index(corpus, scratch)
     with open(os.path.join(scratch, "_COMPLETE"), "w") as f:
         f.write("ok\n")
-    # Loop until one of the two terminal outcomes holds: OUR build is
-    # renamed in, or a COMPLETE build from a concurrent builder is at the
-    # path (r6 advice: a single retry had a TOCTOU window between rmtree
-    # and the second rename — a concurrent winner landing there made the
-    # rename raise instead of falling back to the winner's index).
-    while True:
-        try:
-            os.rename(scratch, idx)
-            break
-        except OSError:
-            # target exists: a concurrent builder won (use theirs if
-            # complete) or a pre-fix partial build squats the path
-            # (clear it and retry)
-            if os.path.exists(os.path.join(idx, "_COMPLETE")):
-                shutil.rmtree(scratch, ignore_errors=True)
-                break
-            shutil.rmtree(idx, ignore_errors=True)
+    publish_build_dir(scratch, idx)
     return idx
 
 

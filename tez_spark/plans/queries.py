@@ -217,7 +217,9 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
-    return ops.bounded_sort(out, "h", "event_type")
+    # orderBy, not bounded_sort: hour x event_type rows grow with the
+    # stream's time span — span-scaled, not group-bounded (ADVICE r7).
+    return ops.global_sort(out, "h", "event_type")
 
 
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,7 +16,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tez_spark.operators.core import bounded_sort
+from tez_spark.operators.core import bounded_sort, global_sort
 from tez_spark.sources.catalog import load_table
 
 
@@ -571,7 +571,9 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         F.round(F.coalesce(F.col("sum_value"), F.lit(0.0)), 6).alias("sum_value"),
     )
-    return bounded_sort(out, "event_type", "h")
+    # orderBy, not bounded_sort: the gap-filled grid is hour-grained —
+    # it grows with the stream's active span (ADVICE r7).
+    return global_sort(out, "event_type", "h")
 
 
 def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,46 +27,41 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # not the latest file on disk — so the driver dropping this round's own
 # CORRECTNESS file no longer flips the guard red at judging time.
 #
-# Round-7 window: (1) the two oracled queries whose last driver row is
-# round 4 (set_ops, string_agg — the only entries the three-round union
-# would otherwise lose), (2) the SIX queries newly oracled this round
-# (cms_heavyhitters, cross_join_bucketed, text_dup_spans,
-# dedup_editdistance, column_profile, weighted_sample) — first driver
-# rows, (3) the
-# three NEVER-rowed rows-only entries (bpe_train, observability_counters,
-# ann_incremental — VERDICT r6 item 3: the driver records its weaker
-# rows-only check for them, which is still their first driver contact;
-# the window-ordering guard admits exactly the rows-only entries listed
-# in _PRIORITY), (4) 39 of the 49 oracled queries whose last driver row
-# is round 5 — the q01–q18 + tpch01/03/04/… block the rotation ritual
-# targets, keeping every entry whose code changed this round
-# (dedup_winnow's collapse gate, dedup_incremental's stage-floor work).
-# Displaced to round 8, keeping their green r5 rows under the
-# three-round union: ann_topk, decontaminate, multimodal_decode,
-# source_cap, text_fingerprint, text_langid, text_metrics,
-# text_repetition, train_split, window_sliding.
-_WINDOW_ROUND = 7
+# Round-8 window: (1) the TWO queries newly oracled this round —
+# editdistance_discovery (passjoin promotion, VERDICT r7 item 1) and
+# ann_ivf (recall-contract promotion off rows-only, item 7) — first
+# oracled driver rows; (2) the ten oracled queries the r7 rotation
+# displaced, whose last driver row is round 5 (the three-round union
+# would otherwise lose them — VERDICT r7 item 5 executed); (3) the two
+# rows-only entries whose last driver contact is round 2 (ann_lsh,
+# dedup_embedding_lsh — freshened rows-only contact; ann_ivf leaves
+# this set by promotion); (4) 36 of the 50 oracled queries whose last
+# driver row is round 6, keeping every entry whose code changed this
+# round (tpch11/15/16/20 + time_gapfill bounded_sort→orderBy reverts
+# per ADVICE r7). Displaced to round 9, keeping green r6 rows under
+# the three-round union: approx_distinct, argmax_funcs, cube,
+# date_funcs, doc_chunk, exists_subquery, grouping_sets, json_extract,
+# pivot, rollup, scalar_funcs, sessionize, unpivot, window_funcs.
+_WINDOW_ROUND = 8
 _PRIORITY: tuple[str, ...] = (
-    # 1. oracled queries whose last driver row is round 4
-    "set_ops", "string_agg",
-    # 2. newly oracled this round — first driver rows (text_dup_spans
-    #    displaced train_split; dedup_editdistance + column_profile
-    #    displaced text_langid + text_metrics — all three displaced
-    #    entries keep their green r5 rows under the three-round union)
-    "cms_heavyhitters", "cross_join_bucketed", "text_dup_spans",
-    "dedup_editdistance", "column_profile", "weighted_sample",
-    # 3. never-driver-rowed rows-only entries — first (rows-only) rows
-    "bpe_train", "observability_counters", "ann_incremental",
-    # 4. oracled queries whose last driver row is round 5
-    "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10",
-    "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18",
-    "tpch01", "tpch03", "tpch04", "tpch06", "tpch07", "tpch08", "tpch13",
-    "tpch17", "tpch19", "tpch22",
-    "dedup_clusters", "dedup_embedding_clusters", "dedup_exact",
-    "dedup_incremental", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_winnow",
-    "curation_pipeline", "curation_pipeline_lsh",
-    "embedding_incremental", "asof_join",
+    # 1. newly oracled this round — first driver rows
+    "editdistance_discovery", "ann_ivf",
+    # 2. oracled queries whose last driver row is round 5
+    "ann_topk", "decontaminate", "multimodal_decode", "source_cap",
+    "text_fingerprint", "text_langid", "text_metrics", "text_repetition",
+    "train_split", "window_sliding",
+    # 3. rows-only entries whose last driver contact is round 2
+    "ann_lsh", "dedup_embedding_lsh",
+    # 4. oracled queries whose last driver row is round 6
+    "cross_join_chunked", "dedup_embedding", "dedup_ngram_jaccard",
+    "embedding_centroids", "embedding_quantize", "event_anomalies",
+    "event_funnel", "event_retention", "interval_join",
+    "length_curriculum", "percentiles", "percentiles_approx",
+    "pii_redact", "pmi_collocations", "regex_tokens", "seq_pack",
+    "source_mix", "source_quality", "star_join", "stratified_sample",
+    "text_logprob", "text_winnow", "tfidf_top_terms", "time_gapfill",
+    "tpch02", "tpch05", "tpch09", "tpch10", "tpch11", "tpch12",
+    "tpch14", "tpch15", "tpch16", "tpch18", "tpch20", "tpch21",
 )
 
 

@@ -46,7 +46,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from tez_spark.operators.core import bounded_sort
+from tez_spark.operators.core import bounded_sort, global_sort
 
 from tez_spark.sources.catalog import load_table
 
@@ -308,7 +308,12 @@ def q_tpch16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
-    return bounded_sort(out, F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    # orderBy, not bounded_sort: (brand, type, size) combinations grow
+    # with the part table until the ~18k vocabulary cap — SF-scaled in
+    # the regime that matters, so keep the sampler (ADVICE r7).
+    return global_sort(
+        out, F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+    )
 
 
 def _ps_cost() -> F.Column:
@@ -399,7 +404,11 @@ def q_tpch11(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("value"),
         )
     )
-    return bounded_sort(out, F.desc("value"), "ps_partkey")
+    # orderBy, not bounded_sort: the surviving-parts list is partkey-
+    # grained — it GROWS with SF (the 0.002/SF HAVING fraction keeps the
+    # row count roughly SF-proportional in spec TPC-H), so funnelling it
+    # through one partition violates bounded_sort's contract (ADVICE r7).
+    return global_sort(out, F.desc("value"), "ps_partkey")
 
 
 def q_tpch20(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,7 +445,9 @@ def q_tpch20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ok_supp, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
     )
-    return bounded_sort(out, "s_name")
+    # orderBy, not bounded_sort: one nation's qualifying suppliers is a
+    # supplier-grained list — grows with SF (ADVICE r7).
+    return global_sort(out, "s_name")
 
 
 def q_tpch10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,6 +585,9 @@ def q_tpch15(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total_revenue", 4).alias("total_revenue"),
         )
     )
+    # bounded_sort stays (ADVICE r7 reviewed): the output is suppliers
+    # TIED at the global max revenue — bounded by tie multiplicity, not
+    # supplier count, at every SF.
     return bounded_sort(out, "s_suppkey")
 
 

@@ -169,12 +169,12 @@ def maintain_ann(
     from tez_spark.operators.similarity import (
         ann_ivf_probe_index,
         ivf_assign,
+        publish_build_dir,
         write_ivf_index,
     )
     from tez_spark.sources.catalog import load_table
 
     import numpy as np
-    import shutil
     import uuid
 
     # Seed index, built ATOMICALLY (same scratch + _COMPLETE marker +
@@ -191,15 +191,7 @@ def maintain_ann(
         write_ivf_index(corpus, scratch)
         with open(os.path.join(scratch, "_COMPLETE"), "w") as f:
             f.write("ok\n")
-        while True:
-            try:
-                os.rename(scratch, idx)
-                break
-            except OSError:
-                if os.path.exists(os.path.join(idx, "_COMPLETE")):
-                    shutil.rmtree(scratch, ignore_errors=True)
-                    break
-                shutil.rmtree(idx, ignore_errors=True)
+        publish_build_dir(scratch, idx)
 
     cent = spark.read.parquet(os.path.join(idx, "centroids")).collect()
     Cn = np.zeros((len(cent), len(cent[0].centroid)))
