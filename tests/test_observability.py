@@ -156,3 +156,83 @@ def test_capture_isolates_concurrent_work(spark):
         t.join(timeout=30)
     assert counters["SHUFFLE_BYTES_WRITTEN"] == 0, counters
     assert counters["NUM_STAGES"] >= 1
+
+
+def test_critical_path_from_closed_session_log(tmp_path):
+    """CriticalPathAnalyzer parity (VERDICT r7 item 4): from a closed
+    session's event log, the analyzer must return the shuffle query's
+    actual dependency chain — map stage -> reduce stage -> (count's
+    final stage) — with monotone cumulative time, not just an
+    executor-time ranking. Also pins the synthetic-DAG semantics:
+    longest chain wins, parallel branches off the path are excluded,
+    wait gaps are non-negative."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from tez_spark.observability import critical_path_from_history
+
+    # 1. synthetic DAG: diamond with one long and one short branch
+    #    0 -> (1 long | 2 short) -> 3
+    def mk(sid, parents, sub, comp):
+        return {
+            "stage_id": sid, "attempt_id": 0, "name": f"s{sid}",
+            "status": "COMPLETE", "parent_ids": parents,
+            "submission_ms": sub, "completion_ms": comp,
+        }
+
+    hist = {
+        "stages": [
+            mk(0, [], 0, 100),
+            mk(1, [0], 110, 500),     # long branch
+            mk(2, [0], 110, 200),     # short branch
+            mk(3, [1, 2], 520, 600),  # joins both
+        ],
+        "durations": {},
+    }
+    chain = critical_path_from_history(hist)
+    assert [r["stage_id"] for r in chain] == [0, 1, 3]
+    assert chain[-1]["cum_ms"] == 100 + 390 + 80
+    assert chain[1]["wait_ms"] == 10 and chain[2]["wait_ms"] == 20
+    assert abs(sum(r["share_of_path"] for r in chain) - 1.0) < 1e-6
+    cums = [r["cum_ms"] for r in chain]
+    assert cums == sorted(cums)
+
+    # 2. real closed-session log: same harness as the post-hoc test
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    log_dir = str(tmp_path / "eventlog")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    script = f"""
+import json
+from tez_spark.session import get_spark
+spark = get_spark(app_name="tez_critpath", cpus=4, shuffle_partitions=8,
+                  event_log_dir={log_dir!r})
+n = (spark.range(0, 200000, 1, 8).selectExpr("id % 13 AS k")
+     .groupBy("k").count().count())
+print(json.dumps({{"groups": n}}))
+spark.stop()
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        env=env, capture_output=True, text=True, timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    chain = critical_path_from_history(log_dir)
+    assert len(chain) >= 2, f"shuffle query must chain stages: {chain}"
+    # the chain must follow real parent edges: each row's stage is a
+    # child of the previous row's stage in the log
+    from tez_spark.observability import load_history
+
+    by_id = {}
+    for s in load_history(log_dir)["stages"]:
+        if s.get("submission_ms") is not None:
+            by_id[s["stage_id"]] = s
+    for prev, cur in zip(chain, chain[1:]):
+        assert prev["stage_id"] in by_id[cur["stage_id"]]["parent_ids"]
+        assert cur["wait_ms"] >= 0
+    cums = [r["cum_ms"] for r in chain]
+    assert cums == sorted(cums)
+    assert abs(sum(r["share_of_path"] for r in chain) - 1.0) < 1e-6

@@ -303,6 +303,12 @@ def load_history(path: str) -> dict[str, Any]:
                             **{n: 0 for _, n in _HISTORY_METRIC_FIELDS},
                         },
                     )
+                    if not row["name"]:
+                        row["name"] = si.get("Stage Name", "")
+                    # dependency-chain fields (critical_path_from_history)
+                    row["parent_ids"] = list(si.get("Parent IDs") or [])
+                    row["submission_ms"] = si.get("Submission Time")
+                    row["completion_ms"] = si.get("Completion Time")
                     if si.get("Failure Reason"):
                         row["status"] = "FAILED"
                 elif kind == "SparkListenerTaskEnd":
@@ -360,6 +366,97 @@ def stage_report_from_history(
     """stage_report over a persisted event log (path or load_history dict)."""
     h = load_history(history) if isinstance(history, str) else history
     return _stage_rank_rows(h["stages"], top)
+
+
+def critical_path_from_history(
+    history: dict[str, Any] | str
+) -> list[dict[str, Any]]:
+    """The longest DEPENDENCY CHAIN through the stage DAG, weighted by
+    each stage's wall time — tez-tools CriticalPathAnalyzer parity
+    (tez-tools/analyzers/job-analyzer/.../plugins/
+    CriticalPathAnalyzer.java traces the chain of task attempts that
+    determined DAG length; Spark's event log gives the same structure
+    at stage granularity: Parent IDs + Submission/Completion Time).
+
+    stage_report ranks stages by executor time — a hot-spot proxy that
+    can mislead: a stage burning 60% of executor seconds across 1000
+    parallel tasks may sit OFF the path that set the wall clock, while
+    a thin serial chain of small stages sets it. This analyzer answers
+    "which chain must shrink for the job to finish sooner" — the
+    question that matters when adding executors stops helping.
+
+    Returns the chain head-first; each row carries the stage's wall
+    time, its cumulative chain time, and wait_ms — the gap between the
+    chosen parent's completion and this stage's submission (scheduler /
+    driver delay, the serialized-job floor the r7 stage profile
+    measured). Stages missing timing (in-flight at log close) are
+    skipped; multiple attempts keep the longest-cumulative one."""
+    h = load_history(history) if isinstance(history, str) else history
+    timed = [
+        s
+        for s in h["stages"]
+        if s.get("submission_ms") is not None
+        and s.get("completion_ms") is not None
+    ]
+    # best attempt per stage_id (max completion: the attempt that held
+    # up downstream submission)
+    by_id: dict[int, dict[str, Any]] = {}
+    for s in timed:
+        cur = by_id.get(s["stage_id"])
+        if cur is None or s["completion_ms"] > cur["completion_ms"]:
+            by_id[s["stage_id"]] = s
+
+    cum: dict[int, int] = {}
+    choice: dict[int, int | None] = {}
+
+    def _cum(sid: int) -> int:
+        if sid in cum:
+            return cum[sid]
+        s = by_id[sid]
+        dur = s["completion_ms"] - s["submission_ms"]
+        best_parent, best = None, 0
+        for p in s.get("parent_ids", []):
+            if p in by_id:
+                c = _cum(p)
+                if c > best:
+                    best_parent, best = p, c
+        cum[sid] = dur + best
+        choice[sid] = best_parent
+        return cum[sid]
+
+    if not by_id:
+        return []
+    # Spark stage DAGs are acyclic with parent ids < child ids; the
+    # recursion depth is bounded by chain length (small per app)
+    tail = max(by_id, key=lambda sid: _cum(sid))
+    chain: list[int] = []
+    at: int | None = tail
+    while at is not None:
+        chain.append(at)
+        at = choice[at]
+    chain.reverse()
+    total = cum[tail] or 1
+    rows = []
+    prev_done: int | None = None
+    for sid in chain:
+        s = by_id[sid]
+        dur = s["completion_ms"] - s["submission_ms"]
+        rows.append(
+            {
+                "stage_id": sid,
+                "name": s["name"],
+                "duration_ms": dur,
+                "wait_ms": (
+                    max(0, s["submission_ms"] - prev_done)
+                    if prev_done is not None
+                    else 0
+                ),
+                "cum_ms": cum[sid],
+                "share_of_path": dur / total,
+            }
+        )
+        prev_done = s["completion_ms"]
+    return rows
 
 
 def q_observability_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
