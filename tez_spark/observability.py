@@ -276,6 +276,7 @@ def load_history(path: str) -> dict[str, Any]:
 
     stages: dict[tuple[int, int], dict[str, Any]] = {}
     durations: dict[tuple[int, int], list[int]] = {}
+    dag: dict[int, dict[str, Any]] = {}  # JobStart Stage Infos (incl. skipped)
     for f in _history_files(path):
         if any(f.endswith(s) for s in (".zstd", ".lz4", ".snappy")):
             raise ValueError(
@@ -309,8 +310,26 @@ def load_history(path: str) -> dict[str, Any]:
                     row["parent_ids"] = list(si.get("Parent IDs") or [])
                     row["submission_ms"] = si.get("Submission Time")
                     row["completion_ms"] = si.get("Completion Time")
+                    row["rdd_ids"] = frozenset(
+                        r.get("RDD ID") for r in si.get("RDD Info") or []
+                    )
                     if si.get("Failure Reason"):
                         row["status"] = "FAILED"
+                elif kind == "SparkListenerJobStart":
+                    # AQE materializes each query stage as its own job;
+                    # later jobs re-list earlier work as SKIPPED stages
+                    # (fresh ids, same RDD set) that never emit
+                    # StageSubmitted/Completed. Their parent edges exist
+                    # ONLY here, in the JobStart Stage Infos — capture
+                    # them so parent links can be bridged post-parse.
+                    for si in ev.get("Stage Infos") or []:
+                        dag[si["Stage ID"]] = {
+                            "parent_ids": list(si.get("Parent IDs") or []),
+                            "rdd_ids": frozenset(
+                                r.get("RDD ID")
+                                for r in si.get("RDD Info") or []
+                            ),
+                        }
                 elif kind == "SparkListenerTaskEnd":
                     key = (ev["Stage ID"], ev["Stage Attempt ID"])
                     info = ev.get("Task Info") or {}
@@ -346,7 +365,65 @@ def load_history(path: str) -> dict[str, Any]:
                                 break
                         if node is not None:
                             row[name] += int(node)
+    _bridge_skipped_parents(stages, dag)
     return {"stages": list(stages.values()), "durations": durations}
+
+
+def _bridge_skipped_parents(
+    stages: dict[tuple[int, int], dict[str, Any]], dag: dict[int, dict[str, Any]]
+) -> None:
+    """Rewrite each executed stage's parent_ids so the dependency chain
+    survives AQE. Under AQE every query stage runs as its own job; a
+    later job's DAG re-lists already-materialized work as SKIPPED
+    stages — fresh stage ids wrapping the SAME RDDs — which never emit
+    StageSubmitted/Completed, so a submitted reduce stage's recorded
+    parent is an untimed ghost. Bridge each such parent to its executed
+    twin (identical RDD-id set), or transitively through the ghost's own
+    JobStart-recorded parents when no twin executed (zero-duration
+    passthrough). Raw log values are preserved in raw_parent_ids."""
+    timed_ids = {
+        s["stage_id"]
+        for s in stages.values()
+        if s.get("submission_ms") is not None
+    }
+    rdd_twin: dict[frozenset, int] = {}
+    for s in stages.values():
+        rids = s.get("rdd_ids")
+        if s["stage_id"] in timed_ids and rids:
+            # first (earliest-logged) executed stage wins for an RDD set
+            rdd_twin.setdefault(rids, s["stage_id"])
+    memo: dict[int, tuple[int, ...]] = {}
+
+    def _resolve(p: int) -> tuple[int, ...]:
+        if p in timed_ids:
+            return (p,)
+        if p in memo:
+            return memo[p]
+        memo[p] = ()  # cycle guard (Spark DAGs are acyclic; belt+braces)
+        info = dag.get(p)
+        if info is None:
+            return ()
+        twin = rdd_twin.get(info["rdd_ids"])
+        if twin is not None:
+            memo[p] = (twin,)
+            return memo[p]
+        out: list[int] = []
+        for gp in info["parent_ids"]:
+            out.extend(t for t in _resolve(gp) if t not in out)
+        memo[p] = tuple(out)
+        return memo[p]
+
+    for s in stages.values():
+        raw = s.get("parent_ids")
+        if raw is None:
+            continue
+        s["raw_parent_ids"] = list(raw)
+        resolved: list[int] = []
+        for p in raw:
+            for t in _resolve(p):
+                if t != s["stage_id"] and t not in resolved:
+                    resolved.append(t)
+        s["parent_ids"] = resolved
 
 
 def skew_report_from_history(
@@ -390,7 +467,12 @@ def critical_path_from_history(
     chosen parent's completion and this stage's submission (scheduler /
     driver delay, the serialized-job floor the r7 stage profile
     measured). Stages missing timing (in-flight at log close) are
-    skipped; multiple attempts keep the longest-cumulative one."""
+    skipped; multiple attempts keep the longest-cumulative one.
+
+    AQE note: load_history bridges parent edges through AQE's SKIPPED
+    twin stages (see _bridge_skipped_parents), so the chain crosses
+    shuffle boundaries even though each query stage ran as its own job
+    with fresh stage ids."""
     h = load_history(history) if isinstance(history, str) else history
     timed = [
         s
@@ -414,13 +496,15 @@ def critical_path_from_history(
             return cum[sid]
         s = by_id[sid]
         dur = s["completion_ms"] - s["submission_ms"]
-        best_parent, best = None, 0
+        # best starts at -1 so a zero-duration (but existing) parent
+        # chain still links instead of silently truncating (ADVICE r8)
+        best_parent, best = None, -1
         for p in s.get("parent_ids", []):
             if p in by_id:
                 c = _cum(p)
                 if c > best:
                     best_parent, best = p, c
-        cum[sid] = dur + best
+        cum[sid] = dur + max(best, 0)
         choice[sid] = best_parent
         return cum[sid]
 

@@ -1342,7 +1342,13 @@ def q_editdistance_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc; the verify set is output-bounded (true near-dup pairs)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     out = passjoin_pairs(docs, k=K_ED_DISCOVERY)
-    return bounded_sort(out, "da", "db")
+    # global_sort, not bounded_sort: the discovery surface is ALL pairs
+    # with ed<=k — near-dup pair count grows ~SF-proportionally in these
+    # corpus families, exactly the corpus-scaled case bounded_sort's
+    # docstring excludes (ADVICE r8).
+    from tez_spark.operators.core import global_sort
+
+    return global_sort(out, "da", "db")
 
 
 def _passjoin_oracle_sql(k: int) -> str:

@@ -27,41 +27,40 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # not the latest file on disk — so the driver dropping this round's own
 # CORRECTNESS file no longer flips the guard red at judging time.
 #
-# Round-8 window: (1) the TWO queries newly oracled this round —
-# editdistance_discovery (passjoin promotion, VERDICT r7 item 1) and
-# ann_ivf (recall-contract promotion off rows-only, item 7) — first
-# oracled driver rows; (2) the ten oracled queries the r7 rotation
-# displaced, whose last driver row is round 5 (the three-round union
-# would otherwise lose them — VERDICT r7 item 5 executed); (3) the two
-# rows-only entries whose last driver contact is round 2 (ann_lsh,
-# dedup_embedding_lsh — freshened rows-only contact; ann_ivf leaves
-# this set by promotion); (4) 36 of the 50 oracled queries whose last
-# driver row is round 6, keeping every entry whose code changed this
-# round (tpch11/15/16/20 + time_gapfill bounded_sort→orderBy reverts
-# per ADVICE r7). Displaced to round 9, keeping green r6 rows under
-# the three-round union: approx_distinct, argmax_funcs, cube,
-# date_funcs, doc_chunk, exists_subquery, grouping_sets, json_extract,
-# pivot, rollup, scalar_funcs, sessionize, unpivot, window_funcs.
-_WINDOW_ROUND = 8
+# Round-9 window (VERDICT r8 item 4 executed): (1) ann_lsh +
+# dedup_embedding_lsh — promoted off rows-only this round via the
+# in-query recall-contract pattern (VERDICT r8 item 5), first oracled
+# driver rows; (2) editdistance_discovery — its probe (PassJoin
+# multi-match selection, item 3), short stratum (item 7) and output
+# sort (ADVICE r8) all changed this round, so it re-verifies; (3) the
+# 14 oracled queries whose last driver row is round 6 — their r6 rows
+# leave the three-round union at r9, so they MUST be in this window
+# (the displacement the r8 comment scheduled); (4) 33 of the 47
+# oracled queries whose last driver row is round 7: all of q01–q18
+# (core §2.5 visibility) plus the dedup/curation family. Displaced to
+# round 10, union-covered by their r7 rows: set_ops, string_agg,
+# text_dup_spans, tpch01, tpch03, tpch04, tpch06, tpch07, tpch08,
+# tpch13, tpch17, tpch19, tpch22, weighted_sample — these must head
+# the r10 window.
+_WINDOW_ROUND = 9
 _PRIORITY: tuple[str, ...] = (
     # 1. newly oracled this round — first driver rows
-    "editdistance_discovery", "ann_ivf",
-    # 2. oracled queries whose last driver row is round 5
-    "ann_topk", "decontaminate", "multimodal_decode", "source_cap",
-    "text_fingerprint", "text_langid", "text_metrics", "text_repetition",
-    "train_split", "window_sliding",
-    # 3. rows-only entries whose last driver contact is round 2
     "ann_lsh", "dedup_embedding_lsh",
-    # 4. oracled queries whose last driver row is round 6
-    "cross_join_chunked", "dedup_embedding", "dedup_ngram_jaccard",
-    "embedding_centroids", "embedding_quantize", "event_anomalies",
-    "event_funnel", "event_retention", "interval_join",
-    "length_curriculum", "percentiles", "percentiles_approx",
-    "pii_redact", "pmi_collocations", "regex_tokens", "seq_pack",
-    "source_mix", "source_quality", "star_join", "stratified_sample",
-    "text_logprob", "text_winnow", "tfidf_top_terms", "time_gapfill",
-    "tpch02", "tpch05", "tpch09", "tpch10", "tpch11", "tpch12",
-    "tpch14", "tpch15", "tpch16", "tpch18", "tpch20", "tpch21",
+    # 2. plan changed this round — re-verify
+    "editdistance_discovery",
+    # 3. oracled queries whose last driver row is round 6
+    "approx_distinct", "argmax_funcs", "cube", "date_funcs",
+    "doc_chunk", "exists_subquery", "grouping_sets", "json_extract",
+    "pivot", "rollup", "scalar_funcs", "sessionize", "unpivot",
+    "window_funcs",
+    # 4. oracled queries whose last driver row is round 7
+    "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09",
+    "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18",
+    "asof_join", "cms_heavyhitters", "column_profile",
+    "cross_join_bucketed", "curation_pipeline", "curation_pipeline_lsh",
+    "dedup_clusters", "dedup_editdistance", "dedup_embedding_clusters",
+    "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_winnow", "embedding_incremental",
 )
 
 
