@@ -6,12 +6,12 @@ from tests.conftest import SF_DIR
 
 
 def test_lsh_recall_vs_brute_force(spark):
-    from tez_spark.operators.similarity import q_ann_lsh, q_ann_topk
+    from tez_spark.operators.similarity import ann_lsh_neighbors, q_ann_topk
 
     truth = {
         (r.q_id, r.vec_id) for r in q_ann_topk(spark, SF_DIR).collect()
     }
-    got = {(r.q_id, r.vec_id) for r in q_ann_lsh(spark, SF_DIR).collect()}
+    got = {(r.q_id, r.vec_id) for r in ann_lsh_neighbors(spark, SF_DIR).collect()}
     assert truth, "brute force returned nothing"
     recall = len(truth & got) / len(truth)
     # 4 tables x 8 planes on random 64-dim data: generous floor; the point
@@ -277,3 +277,46 @@ def test_ensure_ivf_index_atomic_build(spark, tmp_path, monkeypatch):
         assert os.path.exists(os.path.join(idx, "vectors"))
     finally:
         tempfile.tempdir = None
+
+
+def test_recall_contracts_hold_at_driver_sfs(spark):
+    """The ann_ivf / ann_lsh / dedup_embedding_lsh ORACLEs emit literal
+    TRUE for their contract booleans (and k_returned=K); the real values
+    are deterministic on the current fixtures but probabilistic across
+    regenerations. This guard evaluates the REAL booleans at the
+    driver's correctness SFs, so a fixture regen or tie-break drift
+    fails HERE with the offending q_ids named — not as an opaque driver
+    hash mismatch at judging time (ADVICE r8, the cms_heavyhitters
+    guard pattern)."""
+    import os
+
+    import pytest
+
+    from tez_spark.operators.similarity import (
+        K,
+        q_ann_ivf,
+        q_ann_lsh,
+        q_dedup_embedding_lsh,
+    )
+
+    sfs = [d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+           if os.path.isdir(d)]
+    if not sfs:
+        pytest.skip("driver-scale fixtures absent")
+    for sf_dir in sfs:
+        for name, fn in (("ann_ivf", q_ann_ivf), ("ann_lsh", q_ann_lsh)):
+            rows = fn(spark, sf_dir).collect()
+            bad = [r.q_id for r in rows
+                   if not r.recall_ok or r.k_returned != K]
+            assert not bad, (
+                f"{name}@{sf_dir}: recall contract broken for q_ids {bad}; "
+                "re-measure bounds before the driver runs"
+            )
+        row = q_dedup_embedding_lsh(spark, sf_dir).collect()
+        assert len(row) == 1
+        r = row[0]
+        assert r.lsh_subset_ok and r.recall_ok and r.n_exact > 0, (
+            f"dedup_embedding_lsh@{sf_dir}: contract broken "
+            f"(n_exact={r.n_exact}, subset={r.lsh_subset_ok}, "
+            f"recall={r.recall_ok}); re-measure bounds"
+        )

@@ -8,8 +8,11 @@ Two paths:
 - LSH (random hyperplane) top-k: signature bucketing prunes the corpus
   before exact re-ranking. The 100TB path: candidate generation is an
   equijoin on (band, signature) — shuffle keys are ~uniform hash values,
-  and per-bucket work is bounded. Probabilistic recall -> declared as a
-  rows-only check; tests assert recall against the brute-force truth.
+  and per-bucket work is bounded. Probabilistic recall -> the registry
+  surfaces (q_ann_lsh, q_dedup_embedding_lsh) are in-query recall
+  contracts verified against the exact path in the same plan (driver
+  hash-checks them); tests additionally assert recall against the
+  brute-force truth at the driver SFs.
 """
 
 from __future__ import annotations
@@ -115,10 +118,12 @@ def _planes(dim: int) -> np.ndarray:
     return rng.standard_normal((LSH_TABLES, LSH_PLANES, dim))
 
 
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: candidates share a (table, signature) bucket with
-    the query, then exact cosine re-rank to top-5. Rows-only check (recall
-    asserted against brute force in tests/test_similarity.py).
+def ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN neighbor rows: candidates share a (table,
+    signature) bucket with the query, then exact cosine re-rank to top-5.
+    The rows surface behind q_ann_lsh's recall contract (same split as
+    ann_ivf_neighbors / q_ann_ivf); recall asserted against brute force
+    in tests/test_similarity.py.
 
     One Python pass over the corpus, total: the signature stage carries
     each vector alongside its bucket keys and scores bucket-matched rows
@@ -185,6 +190,121 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id",
         "rn",
     )
+
+
+def _recall_contract(scored: DataFrame, approx: str, k: int = K) -> DataFrame:
+    """Shared tail of the recall-contract promotions (q_ann_ivf,
+    q_ann_lsh): given (path, q_id, vec_id, sim) rows holding both the
+    'exact' audit path and the approximate path, rank each path to
+    top-k per query and emit (q_id, k_returned, recall_ok) where
+    recall_ok asserts the approximate top-k intersects the exact top-k
+    in at least one vector."""
+    w = Window.partitionBy("path", "q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    per_vec = ranked.groupBy("q_id", "vec_id").agg(
+        F.max((F.col("path") == approx).cast("int")).alias("iv"),
+        F.max((F.col("path") == "exact").cast("int")).alias("ex"),
+    )
+    out = per_vec.groupBy("q_id").agg(
+        F.sum("iv").cast("long").alias("k_returned"),
+        (F.sum(F.col("iv") * F.col("ex")) >= 1).alias("recall_ok"),
+    )
+    return bounded_sort(out, "q_id")
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN with an IN-QUERY recall contract (VERDICT r8 item 5 — the
+    q_ann_ivf promotion pattern applied to the LSH path): per query,
+    (q_id, k_returned, recall_ok) where recall_ok asserts the LSH
+    bucket path found at least one of the EXACT cosine top-K, so the
+    driver hash-verifies the recall bound end-to-end instead of the
+    weaker rows-only contact. Neighbor rows stay available via
+    ann_lsh_neighbors — they can't be the oracled surface because
+    DuckDB cannot reproduce the seeded hyperplane signatures.
+
+    Bound choice: per-query overlap with the exact top-5 is
+    deterministic on a fixture (seeded planes, tie-broken ordering);
+    measured min across sf0.001/0.01/0.1 is 2/2/1 hits (r9 build log)
+    on uniform-random embeddings — LSH's worst case (neighbors at
+    cosine ~0.3-0.5) — so >= 1 holds everywhere with 2x margin at the
+    driver SFs, and tests/test_similarity.py evaluates the real
+    booleans at the driver SFs (the cms_heavyhitters guard pattern).
+
+    ONE corpus pass for both sides: each Arrow batch computes the full
+    row x query score matrix once (the exact audit needs it, and the
+    LSH candidate scores are a row-subset of it) plus the batch's
+    signature bits, then emits local top-k per (path, query) — per-task
+    output is 2·K·|queries| scalar rows. At 100TB the exact column is
+    the AUDIT: drop it there and keep the LSH path, which only scores
+    bucket-matched rows."""
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    q_rows = queries.select("vec_id", as_double("embedding").alias("v")).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+
+    planes = _planes(dim)
+    P = planes.reshape(LSH_TABLES * LSH_PLANES, dim)
+    weights = (2 ** np.arange(LSH_PLANES)).astype(np.int64)
+    q_bits = (Q @ P.T) > 0
+    q_sigs = (q_bits.reshape(len(Q), LSH_TABLES, LSH_PLANES) * weights).sum(axis=2)
+    bucket_to_qrows: dict[tuple[int, int], list[int]] = {}
+    for j in range(len(q_ids)):
+        for t in range(LSH_TABLES):
+            bucket_to_qrows.setdefault((t, int(q_sigs[j, t])), []).append(j)
+    bc = spark.sparkContext.broadcast((P, bucket_to_qrows, q_ids, Qn))
+    k = K
+
+    def score_both(batches):
+        P_, b2q, q_ids_, Qn_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            bits = (V @ P_.T) > 0
+            sigs = (bits.reshape(len(V), LSH_TABLES, LSH_PLANES) * weights).sum(axis=2)
+            S = Vn @ Qn_.T
+            ids = pdf["vec_id"].to_numpy()
+            match = np.zeros((len(V), len(q_ids_)), dtype=bool)
+            for r in range(len(V)):
+                for t in range(LSH_TABLES):
+                    for j in b2q.get((t, int(sigs[r, t])), ()):
+                        match[r, j] = True
+            paths, out_q, out_c, out_s = [], [], [], []
+            for j, qid in enumerate(q_ids_):
+                col = S[:, j]
+                cand = np.nonzero(ids != qid)[0]
+                if not len(cand):
+                    continue
+                for path, sub in (
+                    ("exact", cand),
+                    ("lsh", cand[match[cand, j]]),
+                ):
+                    if not len(sub):
+                        continue
+                    order = np.lexsort((ids[sub], -col[sub]))[: min(k, len(sub))]
+                    sel = sub[order]
+                    paths.extend([path] * len(sel))
+                    out_q.extend([qid] * len(sel))
+                    out_c.extend(ids[sel].tolist())
+                    out_s.extend(col[sel].tolist())
+            yield pd.DataFrame(
+                {"path": paths, "q_id": out_q, "vec_id": out_c, "sim": out_s}
+            ).astype({"q_id": "int64", "vec_id": "int64", "sim": "float64"})
+
+    base = fan_out_vectors(emb)
+    scored = base.mapInPandas(
+        score_both, "path string, q_id long, vec_id long, sim double"
+    )
+    return _recall_contract(scored, "lsh", k)
 
 
 def fan_out_vectors(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -418,20 +538,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = base.mapInPandas(
         score_both, "path string, q_id long, vec_id long, sim double"
     )
-    w = Window.partitionBy("path", "q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    ranked = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-    )
-    per_vec = ranked.groupBy("q_id", "vec_id").agg(
-        F.max((F.col("path") == "ivf").cast("int")).alias("iv"),
-        F.max((F.col("path") == "exact").cast("int")).alias("ex"),
-    )
-    out = per_vec.groupBy("q_id").agg(
-        F.sum("iv").cast("long").alias("k_returned"),
-        (F.sum(F.col("iv") * F.col("ex")) >= 1).alias("recall_ok"),
-    )
-    return bounded_sort(out, "q_id")
+    return _recall_contract(scored, "ivf", k)
 
 
 def all_pairs_cosine(
@@ -703,12 +810,42 @@ def dedup_embedding_lsh(
 
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-candidate near-dup pairs at cosine ≥ 0.45 — rows-only check
-    (probabilistic recall; exact recall asserted against planted near-dups
-    in tests/test_similarity.py). Deterministic output: hyperplanes are
-    seed-fixed."""
+    """Embedding-LSH near-dup with an IN-QUERY recall contract (VERDICT
+    r8 item 5, second promotion): ONE row (n_exact, lsh_subset_ok,
+    recall_ok) where n_exact is the exact all-pairs count at cosine >=
+    0.45 (the DuckDB-verifiable truth, shared with dedup_embedding),
+    lsh_subset_ok asserts every LSH-found pair is in the exact set
+    (precision 1 — true by construction, the bucket stage re-scores
+    with the same cosine), and recall_ok asserts the LSH path found at
+    least half the exact pairs. Pair rows stay available via
+    dedup_embedding_lsh (the operator) — they can't be the oracled
+    surface because DuckDB cannot reproduce the seeded hyperplanes.
+
+    Bound choice: measured recall across sf0.001/0.01/0.1 is
+    0.71/0.93/0.83 (r9 build log) on uniform-random embeddings (LSH's
+    worst case — near-dups at barely-above-threshold cosine), so >= 0.5
+    holds everywhere with >= 1.4x margin, and
+    tests/test_similarity.py evaluates the real booleans at the driver
+    SFs (the cms_heavyhitters guard pattern).
+
+    Scale: the exact side is the AUDIT — at 100TB drop it and keep the
+    LSH path (O(tables·corpus·dim) shuffle); at fixture/bench SFs the
+    exact side is the same distributed block-pair matmul
+    dedup_embedding already runs in ~0 s."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return bounded_sort(dedup_embedding_lsh(emb, threshold=0.45, dim=64), "va", "vb")
+    exact = all_pairs_cosine(emb, threshold=0.45).select("va", "vb")
+    lsh = dedup_embedding_lsh(emb, threshold=0.45, dim=64).select("va", "vb")
+    both = exact.withColumn("ex", F.lit(1)).join(
+        lsh.withColumn("lh", F.lit(1)), ["va", "vb"], "full_outer"
+    )
+    return both.agg(
+        F.sum("ex").cast("long").alias("n_exact"),
+        (F.count(F.when(F.col("ex").isNull(), 1)) == 0).alias("lsh_subset_ok"),
+        (
+            F.sum(F.coalesce(F.col("ex"), F.lit(0)) * F.coalesce(F.col("lh"), F.lit(0)))
+            >= F.sum("ex") * 0.5
+        ).alias("recall_ok"),
+    )
 
 
 ORACLE: dict[str, str] = {
@@ -733,17 +870,38 @@ ORACLE: dict[str, str] = {
             FROM scored)
         WHERE rn <= {K} ORDER BY q_id, rn
     """,
-    # ann_lsh: intentionally no oracle — probabilistic recall; rows-only.
-    # ann_ivf: full oracle via the in-query recall contract. k_returned
-    # is deterministically K (probed cells hold ~nprobe/cells of the
-    # corpus — hundreds of vectors at the smallest fixture); recall_ok
-    # is the verified >= 1-of-exact-top-K bound (see q_ann_ivf).
+    # ann_ivf / ann_lsh: full oracles via the in-query recall contract.
+    # k_returned is deterministically K (probed cells / matched buckets
+    # hold far more than K vectors at every fixture SF); recall_ok is
+    # the verified >= 1-of-exact-top-K bound (see q_ann_ivf / q_ann_lsh;
+    # real booleans evaluated at the driver SFs in
+    # tests/test_similarity.py::test_recall_contracts_hold_at_driver_sfs).
     "ann_ivf": f"""
         SELECT vec_id AS q_id,
                CAST({K} AS BIGINT) AS k_returned,
                TRUE AS recall_ok
         FROM embeddings WHERE vec_id < {N_QUERIES}
         ORDER BY q_id
+    """,
+    "ann_lsh": f"""
+        SELECT vec_id AS q_id,
+               CAST({K} AS BIGINT) AS k_returned,
+               TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+        ORDER BY q_id
+    """,
+    # dedup_embedding_lsh: n_exact is the DuckDB-computable all-pairs
+    # truth at cosine >= 0.45 (same CTE family as dedup_embedding);
+    # the booleans are the verified precision/recall bounds (see
+    # q_dedup_embedding_lsh for margins + the driver-SF guard test).
+    "dedup_embedding_lsh": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+               TRUE AS lsh_subset_ok,
+               TRUE AS recall_ok
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+              (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+               sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
     """,
     "embedding_incremental": """
         WITH parts AS (
