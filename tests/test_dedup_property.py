@@ -398,3 +398,37 @@ def test_ed_discovery_oracle_sql_equals_bruteforce():
             f"seed {seed}: missing {expected - got}, extra {got - expected}"
         )
         assert expected, "degenerate test corpus: no pairs at all"
+
+
+def test_passjoin_short_stratum_scales_with_distinct_texts(spark):
+    """VERDICT r8 item 7: a planted block of empty/1-char duplicates
+    must not make the short stratum quadratic in ROWS. Correctness: all
+    within-block and cross-block pairs are still emitted (the OUTPUT is
+    legitimately quadratic for a duplicate block — the bound is on the
+    candidate/verify stage, which must run once per distinct TEXT
+    pair). The structural guard: the plan's short-stratum cross join
+    sides are distinct-text aggregates, not raw id rows."""
+    from tez_spark.operators.dedup import passjoin_pairs
+
+    k = 4
+    # 30 empty docs + 20 one-char docs + 2 long docs (out of stratum)
+    rows = [(i, "") for i in range(30)]
+    rows += [(100 + i, "a") for i in range(20)]
+    rows += [(500, "x" * 30), (501, "x" * 30 + "y")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.da, r.db, r.dist) for r in passjoin_pairs(docs, k=k).collect()}
+    # every pair inside the 50-doc short block is within ed<=1<=k
+    short_ids = sorted([i for i in range(30)] + [100 + i for i in range(20)])
+    want = {
+        (a, b, 0 if (a < 30) == (b < 30) else 1)
+        for ai, a in enumerate(short_ids)
+        for b in short_ids[ai + 1:]
+    }
+    want.add((500, 501, 1))
+    assert got == want, f"missing {want - got}, extra {got - want}"
+
+    # structural: the cross-join inputs are text-level (HashAggregate /
+    # distinct feeds the join), so candidate generation is bounded by
+    # distinct short texts (2 here), not the 50 short rows
+    plan = passjoin_pairs(docs, k=k)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Deduplicate" in plan or "Aggregate" in plan, plan[:2000]
