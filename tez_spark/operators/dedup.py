@@ -706,9 +706,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # narrow dependency that would merge back through the lineage and
     # single-thread the final verify probe stage (ADVICE r7; the exact
     # failure bounded_sort's own docstring documents). A/B at sf0.1
-    # idle: no measurable difference (PERF.md round 8) — the exchange
-    # moves hundreds of rows. At true 100TB output sizes swap to
-    # orderBy.
+    # idle: no measurable difference (PERF.md round 9 — the r8 window
+    # closed before the section was written) — the exchange moves
+    # hundreds of rows. At true 100TB output sizes swap to orderBy.
     return bounded_sort(
         _verify_pairs(cand, sh_all, sh_b=batch_sh).filter(F.col("j") >= 0.8),
         "da",
