@@ -236,3 +236,97 @@ spark.stop()
     cums = [r["cum_ms"] for r in chain]
     assert cums == sorted(cums)
     assert abs(sum(r["share_of_path"] for r in chain) - 1.0) < 1e-6
+
+
+def test_spill_and_shuffle_time_reports():
+    """SpillAnalyzerImpl / ShuffleTimeAnalyzer parity on a synthetic
+    history: spill rows rank by total spilled bytes and carry the
+    amplification vs bytes read; shuffle rows rank by time blocked on
+    shuffle and bound fetch_wait_share by run time. Zero-spill /
+    zero-shuffle stages are excluded, not reported as zeros."""
+    from tez_spark.observability import (
+        shuffle_time_report_from_history,
+        spill_report_from_history,
+    )
+
+    def st(sid, **over):
+        base = {
+            "stage_id": sid, "attempt_id": 0, "name": f"s{sid}",
+            "status": "COMPLETE", "NUM_COMPLETED_TASKS": 4,
+            "INPUT_BYTES": 0, "SHUFFLE_BYTES": 0,
+            "SHUFFLE_BYTES_WRITTEN": 0, "SHUFFLE_FETCH_WAIT_MS": 0,
+            "SHUFFLE_WRITE_TIME_NS": 0, "SPILLED_BYTES_MEMORY": 0,
+            "SPILLED_BYTES_DISK": 0, "EXECUTOR_RUN_TIME_MS": 1000,
+        }
+        base.update(over)
+        return base
+
+    hist = {
+        "stages": [
+            st(0, INPUT_BYTES=100, SPILLED_BYTES_MEMORY=300,
+               SPILLED_BYTES_DISK=100, SHUFFLE_BYTES_WRITTEN=50,
+               SHUFFLE_WRITE_TIME_NS=2_000_000),
+            st(1, SHUFFLE_BYTES=200, SPILLED_BYTES_DISK=50,
+               SHUFFLE_FETCH_WAIT_MS=250),
+            st(2),  # clean stage: in neither report
+            st(3, status="FAILED", SPILLED_BYTES_DISK=999999),
+        ],
+        "durations": {},
+    }
+
+    spills = spill_report_from_history(hist)
+    assert [r["stage_id"] for r in spills] == [0, 1]
+    assert spills[0]["spill_amplification"] == 4.0  # 400 spilled / 100 read
+    assert spills[0]["spill_per_task"] == 100.0
+    assert spills[1]["spill_amplification"] == 0.25  # 50 / 200 shuffle-read
+
+    sh = shuffle_time_report_from_history(hist)
+    assert [r["stage_id"] for r in sh] == [1, 0]  # 250ms wait > 2ms write
+    assert sh[0]["fetch_wait_share"] == 0.25
+    assert sh[1]["shuffle_write_ms"] == 2.0
+    assert all(0 <= r["fetch_wait_share"] <= 1 for r in sh)
+
+
+def test_shuffle_time_report_on_real_log(tmp_path):
+    """The new reports run on an actual closed-session event log: the
+    groupBy's reduce stage shows shuffle-read bytes; a clean local run
+    reports no spill rows (exclusion, not zero-noise)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from tez_spark.observability import (
+        load_history,
+        shuffle_time_report_from_history,
+        spill_report_from_history,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    log_dir = str(tmp_path / "eventlog")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    script = f"""
+import json
+from tez_spark.session import get_spark
+spark = get_spark(app_name="tez_shuffletime", cpus=4, shuffle_partitions=8,
+                  event_log_dir={log_dir!r})
+n = (spark.range(0, 200000, 1, 8).selectExpr("id % 13 AS k")
+     .groupBy("k").count().count())
+print(json.dumps({{"groups": n}}))
+spark.stop()
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        env=env, capture_output=True, text=True, timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    h = load_history(log_dir)
+    sh = shuffle_time_report_from_history(h)
+    assert sh, "groupBy must produce at least one shuffle stage row"
+    assert any(r["shuffle_read_bytes"] > 0 for r in sh)
+    assert any(r["shuffle_write_bytes"] > 0 for r in sh)
+    assert all(r["fetch_wait_share"] >= 0 for r in sh)
+    # tiny local run: nothing spills, and absence is reported as absence
+    assert spill_report_from_history(h) == []

@@ -228,6 +228,8 @@ _HISTORY_METRIC_FIELDS: tuple[tuple[str, str], ...] = (
     ("Shuffle Read Metrics.Total Records Read", "SHUFFLE_RECORDS_READ"),
     ("Shuffle Write Metrics.Shuffle Bytes Written", "SHUFFLE_BYTES_WRITTEN"),
     ("Shuffle Write Metrics.Shuffle Records Written", "SHUFFLE_RECORDS_WRITTEN"),
+    ("Shuffle Read Metrics.Fetch Wait Time", "SHUFFLE_FETCH_WAIT_MS"),
+    ("Shuffle Write Metrics.Shuffle Write Time", "SHUFFLE_WRITE_TIME_NS"),
     ("Memory Bytes Spilled", "SPILLED_BYTES_MEMORY"),
     ("Disk Bytes Spilled", "SPILLED_BYTES_DISK"),
     ("Executor Run Time", "EXECUTOR_RUN_TIME_MS"),
@@ -443,6 +445,82 @@ def stage_report_from_history(
     """stage_report over a persisted event log (path or load_history dict)."""
     h = load_history(history) if isinstance(history, str) else history
     return _stage_rank_rows(h["stages"], top)
+
+
+def spill_report_from_history(
+    history: dict[str, Any] | str, top: int = 20
+) -> list[dict[str, Any]]:
+    """SpillAnalyzerImpl parity (tez-tools/analyzers/job-analyzer/...
+    /plugins/SpillAnalyzerImpl.java — per-attempt SPILLED_RECORDS with
+    output size and per-record context): stages ranked by bytes spilled
+    (memory + disk), each with its spill-per-input-byte amplification
+    and per-task spill. A stage spilling multiples of its input is the
+    executor-memory red flag at scale: shrink
+    spark.sql.files.maxPartitionBytes / raise shuffle partitions before
+    adding hardware."""
+    h = load_history(history) if isinstance(history, str) else history
+    rows = []
+    for s in h["stages"]:
+        if s["status"] != "COMPLETE":
+            continue
+        spilled = s["SPILLED_BYTES_MEMORY"] + s["SPILLED_BYTES_DISK"]
+        if spilled <= 0:
+            continue
+        read = s["INPUT_BYTES"] + s["SHUFFLE_BYTES"]
+        rows.append(
+            {
+                "stage_id": s["stage_id"],
+                "name": s["name"],
+                "spilled_bytes_memory": s["SPILLED_BYTES_MEMORY"],
+                "spilled_bytes_disk": s["SPILLED_BYTES_DISK"],
+                "bytes_read": read,
+                "spill_amplification": spilled / read if read else float("inf"),
+                "spill_per_task": spilled / (s["NUM_COMPLETED_TASKS"] or 1),
+            }
+        )
+    return sorted(
+        rows,
+        key=lambda r: -(r["spilled_bytes_memory"] + r["spilled_bytes_disk"]),
+    )[:top]
+
+
+def shuffle_time_report_from_history(
+    history: dict[str, Any] | str, top: int = 20
+) -> list[dict[str, Any]]:
+    """ShuffleTimeAnalyzer parity (tez-tools/analyzers/job-analyzer/...
+    /plugins/ShuffleTimeAnalyzer.java — shuffle/merge phase time against
+    total attempt time per source vertex): stages ranked by the share of
+    executor run time spent blocked fetching shuffle blocks
+    (fetch-wait) plus writing shuffle output. High fetch_wait_share
+    means the stage is network/upstream-bound — more executors won't
+    help; fewer, larger shuffle partitions or co-locating the join
+    (bucketing) will."""
+    h = load_history(history) if isinstance(history, str) else history
+    rows = []
+    for s in h["stages"]:
+        if s["status"] != "COMPLETE":
+            continue
+        run_ms = s["EXECUTOR_RUN_TIME_MS"]
+        if s["SHUFFLE_BYTES"] <= 0 and s["SHUFFLE_BYTES_WRITTEN"] <= 0:
+            continue
+        write_ms = s["SHUFFLE_WRITE_TIME_NS"] / 1e6
+        rows.append(
+            {
+                "stage_id": s["stage_id"],
+                "name": s["name"],
+                "shuffle_read_bytes": s["SHUFFLE_BYTES"],
+                "shuffle_write_bytes": s["SHUFFLE_BYTES_WRITTEN"],
+                "fetch_wait_ms": s["SHUFFLE_FETCH_WAIT_MS"],
+                "shuffle_write_ms": write_ms,
+                "run_time_ms": run_ms,
+                "fetch_wait_share": (
+                    s["SHUFFLE_FETCH_WAIT_MS"] / run_ms if run_ms else 0.0
+                ),
+            }
+        )
+    return sorted(
+        rows, key=lambda r: -(r["fetch_wait_ms"] + r["shuffle_write_ms"])
+    )[:top]
 
 
 def critical_path_from_history(
