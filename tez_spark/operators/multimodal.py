@@ -315,6 +315,23 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(payloads, fake=True).orderBy("doc_id")
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents' text bytes pushed through the AUDIO decode pipeline
+    (fake branch — the deterministic, SQL-oracle-able surface; the real
+    RIFF/WAVE branch is tested on generated sine WAVs in
+    tests/test_multimodal.py). Proves the Arrow audio plumbing — binary
+    in, typed (rate, channels, samples, duration) out — is lossless
+    end-to-end at the driver, the same contract multimodal_decode pins
+    for images."""
+    from tez_spark.operators.core import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = fan_out(
+        docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    )
+    return decode_audio_meta(payloads, fake=True).orderBy("doc_id")
+
+
 ORACLE: dict[str, str] = {
     "multimodal_decode": """
         SELECT doc_id,
@@ -324,8 +341,24 @@ ORACLE: dict[str, str] = {
                md5(text) AS checksum
         FROM documents ORDER BY doc_id
     """,
+    # the fake audio header is a pure function of payload byte length
+    # (see decode_audio_meta): rate = 8000 + (n%8)*1000, channels =
+    # 1 + n%2, samples = n//2, duration = samples*1000/rate
+    "multimodal_audio": """
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_bytes,
+               CAST(8000 + (n % 8) * 1000 AS BIGINT) AS sample_rate,
+               CAST(1 + n % 2 AS BIGINT) AS channels,
+               CAST(n // 2 AS BIGINT) AS n_samples,
+               (n // 2) * 1000.0 / (8000 + (n % 8) * 1000) AS duration_ms,
+               md5(text) AS checksum
+        FROM (SELECT doc_id, text, octet_length(encode(text)) AS n
+              FROM documents)
+        ORDER BY doc_id
+    """,
 }
 
 QUERIES = {
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_audio": q_multimodal_audio,
 }

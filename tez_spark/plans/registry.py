@@ -44,8 +44,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # the r10 window.
 _WINDOW_ROUND = 9
 _PRIORITY: tuple[str, ...] = (
-    # 1. newly oracled this round — first driver rows
-    "ann_lsh", "dedup_embedding_lsh",
+    # 1. newly oracled this round — first driver rows (multimodal_audio
+    # is NEW this round, never rowed — must be in the window; its slot
+    # displaces embedding_incremental to position 51, which stays
+    # union-covered by its r7 driver row)
+    "multimodal_audio", "ann_lsh", "dedup_embedding_lsh",
     # 2. plan changed this round — re-verify
     "editdistance_discovery",
     # 3. oracled queries whose last driver row is round 6
