@@ -330,3 +330,121 @@ spark.stop()
     assert all(r["fetch_wait_share"] >= 0 for r in sh)
     # tiny local run: nothing spills, and absence is reported as absence
     assert spill_report_from_history(h) == []
+
+
+def test_bridge_skipped_parents_passthrough_without_twin(tmp_path):
+    """_bridge_skipped_parents' second branch: a skipped stage with NO
+    executed twin (its RDD set matches nothing that ran) must act as a
+    zero-duration passthrough — the child's parent link resolves
+    transitively to the ghost's own JobStart-recorded parents instead
+    of being dropped (the r8 failure mode). Also pins raw_parent_ids
+    preservation and ghost-chain resolution through TWO ghosts."""
+    import json
+
+    from tez_spark.observability import critical_path_from_history, load_history
+
+    def ev_completed(sid, parents, sub, comp, rdds):
+        return {
+            "Event": "SparkListenerStageCompleted",
+            "Stage Info": {
+                "Stage ID": sid, "Stage Attempt ID": 0,
+                "Stage Name": f"s{sid}", "Parent IDs": parents,
+                "Submission Time": sub, "Completion Time": comp,
+                "RDD Info": [{"RDD ID": r} for r in rdds],
+            },
+        }
+
+    def ev_jobstart(jid, infos):
+        return {
+            "Event": "SparkListenerJobStart", "Job ID": jid,
+            "Stage IDs": [s for s, _, _ in infos],
+            "Stage Infos": [
+                {"Stage ID": s, "Parent IDs": ps,
+                 "RDD Info": [{"RDD ID": r} for r in rs],
+                 "Stage Name": f"s{s}"}
+                for s, ps, rs in infos
+            ],
+        }
+
+    # stage 0 executed (rdds {0,1}); job 1 lists ghosts 1 (parents [0],
+    # rdds {50} - twinless) and 2 (parents [1], rdds {60} - twinless);
+    # stage 3 executed with recorded parent 2. Resolution must walk
+    # 3 -> ghost 2 -> ghost 1 -> timed 0.
+    log = [
+        ev_completed(0, [], 1000, 1400, [0, 1]),
+        ev_jobstart(1, [(1, [0], [50]), (2, [1], [60]), (3, [2], [70, 71])]),
+        ev_completed(3, [2], 1500, 1700, [70, 71]),
+    ]
+    p = tmp_path / "app-log"
+    p.write_text("\n".join(json.dumps(e) for e in log))
+
+    h = load_history(str(p))
+    by_id = {s["stage_id"]: s for s in h["stages"]}
+    assert by_id[3]["raw_parent_ids"] == [2]
+    assert by_id[3]["parent_ids"] == [0], by_id[3]
+
+    chain = critical_path_from_history(h)
+    assert [r["stage_id"] for r in chain] == [0, 3]
+    assert chain[1]["wait_ms"] == 100  # 1500 - 1400 across both ghosts
+
+
+def test_task_concurrency_from_history(tmp_path):
+    """TaskConcurrencyAnalyzer parity: synthetic intervals pin the sweep
+    (peak counts overlap, closed-open boundaries don't double-count,
+    avg = task time / makespan); a real closed-session log shows the
+    8-partition map stage actually ran tasks concurrently on 4 cores."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from tez_spark.observability import task_concurrency_from_history
+
+    hist = {
+        "stages": [
+            {"stage_id": 0, "attempt_id": 0, "name": "map", "status": "COMPLETE"}
+        ],
+        "durations": {},
+        "intervals": {
+            # three tasks: [0,100) [50,150) [150,250) — peak 2 (the third
+            # launches exactly when the second finishes: no double-count)
+            (0, 0): [(0, 100), (50, 150), (150, 250)],
+        },
+    }
+    rows = task_concurrency_from_history(hist)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["peak_concurrent"] == 2 and r["num_tasks"] == 3
+    assert abs(r["avg_concurrent"] - 300 / 250) < 1e-9
+    assert r["makespan_ms"] == 250
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    log_dir = str(tmp_path / "eventlog")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    script = f"""
+import json
+from tez_spark.session import get_spark
+spark = get_spark(app_name="tez_conc", cpus=4, shuffle_partitions=8,
+                  event_log_dir={log_dir!r})
+n = (spark.range(0, 2000000, 1, 8).selectExpr("id % 13 AS k")
+     .groupBy("k").count().count())
+print(json.dumps({{"groups": n}}))
+spark.stop()
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        env=env, capture_output=True, text=True, timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows = task_concurrency_from_history(log_dir)
+    assert rows, "no task intervals parsed"
+    top = rows[0]
+    # peak counts LAUNCHED-to-finished overlap: local mode stamps all 8
+    # launches when the stage submits (before pool admission), so peak
+    # reads 8 while avg_concurrent — task time / makespan — correctly
+    # reads the ~4 cores actually running. Assert both signals.
+    assert top["peak_concurrent"] >= 2, top
+    assert top["avg_concurrent"] <= 4.5, top  # 4 cores + timestamp slack
+    assert all(r["peak_concurrent"] >= 1 for r in rows)
+    assert all(r["avg_concurrent"] <= r["peak_concurrent"] + 1e-9 for r in rows)

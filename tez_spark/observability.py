@@ -278,6 +278,7 @@ def load_history(path: str) -> dict[str, Any]:
 
     stages: dict[tuple[int, int], dict[str, Any]] = {}
     durations: dict[tuple[int, int], list[int]] = {}
+    intervals: dict[tuple[int, int], list[tuple[int, int]]] = {}
     dag: dict[int, dict[str, Any]] = {}  # JobStart Stage Infos (incl. skipped)
     for f in _history_files(path):
         if any(f.endswith(s) for s in (".zstd", ".lz4", ".snappy")):
@@ -353,11 +354,12 @@ def load_history(path: str) -> dict[str, Any]:
                         },
                     )
                     row["NUM_COMPLETED_TASKS"] += 1
-                    dur = int(info.get("Finish Time", 0)) - int(
-                        info.get("Launch Time", 0)
-                    )
+                    launch = int(info.get("Launch Time", 0))
+                    finish = int(info.get("Finish Time", 0))
+                    dur = finish - launch
                     if dur >= 0:
                         durations.setdefault(key, []).append(dur)
+                        intervals.setdefault(key, []).append((launch, finish))
                     metrics = ev.get("Task Metrics") or {}
                     for dotted, name in _HISTORY_METRIC_FIELDS:
                         node: Any = metrics
@@ -368,7 +370,11 @@ def load_history(path: str) -> dict[str, Any]:
                         if node is not None:
                             row[name] += int(node)
     _bridge_skipped_parents(stages, dag)
-    return {"stages": list(stages.values()), "durations": durations}
+    return {
+        "stages": list(stages.values()),
+        "durations": durations,
+        "intervals": intervals,
+    }
 
 
 def _bridge_skipped_parents(
@@ -521,6 +527,60 @@ def shuffle_time_report_from_history(
     return sorted(
         rows, key=lambda r: -(r["fetch_wait_ms"] + r["shuffle_write_ms"])
     )[:top]
+
+
+def task_concurrency_from_history(
+    history: dict[str, Any] | str,
+) -> list[dict[str, Any]]:
+    """TaskConcurrencyAnalyzer parity (tez-tools/analyzers/job-analyzer/
+    .../plugins/TaskConcurrencyAnalyzer.java — time-ordered
+    concurrent-task counts per vertex from attempt start/finish events):
+    per stage, the peak and average number of simultaneously RUNNING
+    tasks, from a sweep over task (launch, finish) intervals.
+
+    avg_concurrent = total task time / stage makespan — the stage's
+    effective parallelism. peak far below the executor core count means
+    the stage can't fill the cluster (too few partitions, or an
+    upstream straggler gates launches): the scale knob is partition
+    count, not more hardware. peak at core count with low avg means a
+    long tail — skew_report names the offender.
+
+    Caveat: peak is LAUNCHED-to-finished overlap. Local mode stamps a
+    whole wave's launches at stage submission (before thread-pool
+    admission), inflating peak to the wave size; avg_concurrent is the
+    robust utilization signal there (it reads the real core count)."""
+    h = load_history(history) if isinstance(history, str) else history
+    by_key = {(s["stage_id"], s["attempt_id"]): s for s in h["stages"]}
+    rows = []
+    for key, ivals in h.get("intervals", {}).items():
+        if not ivals:
+            continue
+        s = by_key.get(key)
+        events: list[tuple[int, int]] = []
+        for launch, finish in ivals:
+            events.append((launch, 1))
+            events.append((finish, -1))
+        # finish sorts before launch at the same ms: closed-open intervals
+        events.sort(key=lambda e: (e[0], e[1]))
+        cur = peak = 0
+        for _, delta in events:
+            cur += delta
+            peak = max(peak, cur)
+        t0 = min(l for l, _ in ivals)
+        t1 = max(f for _, f in ivals)
+        makespan = max(t1 - t0, 1)
+        task_ms = sum(f - l for l, f in ivals)
+        rows.append(
+            {
+                "stage_id": key[0],
+                "name": s["name"] if s else "",
+                "num_tasks": len(ivals),
+                "peak_concurrent": peak,
+                "avg_concurrent": task_ms / makespan,
+                "makespan_ms": t1 - t0,
+            }
+        )
+    return sorted(rows, key=lambda r: -r["peak_concurrent"])
 
 
 def critical_path_from_history(
