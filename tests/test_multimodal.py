@@ -220,3 +220,52 @@ def test_audio_features_rejects_unsupported_width(spark):
     )
     with pytest.raises(Exception, match="16-bit PCM"):
         audio_features(df, fake=False).collect()
+
+
+def test_frame_sample_real_path_is_marked(spark):
+    """Where PIL is absent the non-fake frame path must fail loudly at
+    build time (driver-side gate), not silently fall back to byte
+    ranges."""
+    import pytest
+
+    from tez_spark.operators.multimodal import _pil_image, frame_sample
+
+    if _pil_image() is not None:
+        pytest.skip("PIL installed — real branch covered by the gated test")
+    df = spark.createDataFrame([(0, b"GIF89a...")], "doc_id long, payload binary")
+    with pytest.raises(NotImplementedError, match="requires PIL"):
+        frame_sample(df, n_frames=2, fake=False)
+
+
+def test_pil_frame_sample_extracts_gif_frames(spark):
+    """PIL branch (runs only where PIL is installed): an animated GIF
+    with N distinct solid-color frames yields evenly spaced grayscale
+    planes, frame 0 always included, each of width*height bytes."""
+    import io
+
+    import pytest
+
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from tez_spark.operators.multimodal import frame_sample
+
+    w, h, total = 6, 4, 8
+    frames = [Image.new("L", (w, h), color=i * 30) for i in range(total)]
+    buf = io.BytesIO()
+    frames[0].save(
+        buf, format="GIF", save_all=True, append_images=frames[1:], duration=50
+    )
+    df = spark.createDataFrame(
+        [(7, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    got = sorted(
+        frame_sample(df, n_frames=4, fake=False).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in got] == [0, 1, 2, 3]
+    assert all(len(r.frame) == w * h for r in got)
+    # evenly spaced picks 0,2,4,6 -> colors 0,60,120,180 (GIF palettes
+    # may quantize; allow small drift)
+    for r, want in zip(got, (0, 60, 120, 180)):
+        assert abs(bytes(r.frame)[0] - want) <= 8

@@ -14,8 +14,10 @@ NotImplementedError and the deterministic fake decoder (pure function of
 the payload bytes) remains the oracled driver surface. AUDIO is real
 everywhere (r9): decode_audio_meta / audio_features parse RIFF/WAVE
 16-bit PCM with the STDLIB ``wave`` module — no optional dep, both
-branches property-tested on generated sine-wave WAVs. Video (ffmpeg)
-stays honestly stubbed as byte-range frame sampling.
+branches property-tested on generated sine-wave WAVs. Video: animated
+GIF frame extraction is real under PIL (Image.seek over evenly-spaced
+frames, r9); true video containers (ffmpeg) stay honestly stubbed as
+byte-range frame sampling.
 
 Scale notes: mapInPandas streams Arrow batches — no row-at-a-time serde,
 no driver collection; payloads stay partitioned exactly as scanned.
@@ -115,25 +117,66 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(proc, "doc_id long, feature array<double>")
 
 
-def frame_sample(df: DataFrame, n_frames: int = 4, payload_col: str = "payload") -> DataFrame:
-    """Video-style 1->N expansion: sample n byte-range 'frames' per
-    payload (real impl: ffmpeg keyframe extraction). Demonstrates row
-    fan-out inside Arrow batches — output stays partition-local, no
-    shuffle."""
+def frame_sample(
+    df: DataFrame,
+    n_frames: int = 4,
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Video-style 1->N expansion: sample up to n frames per payload.
+    Demonstrates row fan-out inside Arrow batches — output stays
+    partition-local, no shuffle.
+
+    fake=True: byte-range 'frames' (the deterministic stand-in; a true
+    video container needs ffmpeg, which stays honestly stubbed).
+    fake=False: REAL evenly-spaced frame extraction from ANIMATED GIF
+    payloads via PIL.Image.seek — each sampled frame emitted as its
+    grayscale pixel plane — when PIL is importable (the resize_image
+    gating pattern); NotImplementedError where it is genuinely absent."""
+    if not fake and _pil_image() is None:
+        raise NotImplementedError(
+            "real frame extraction requires PIL, which is not installed; "
+            "pass fake=True for the byte-range stand-in"
+        )
 
     def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        Image = _pil_image()
+        # executor-side re-check (ADVICE r7 pattern): PIL on the driver
+        # only must fail with the contract error, not an AttributeError
+        if not fake and Image is None:
+            raise NotImplementedError(
+                "real frame extraction requires PIL on the EXECUTORS "
+                "(importable on the driver but not here); install it "
+                "cluster-wide or pass fake=True"
+            )
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
                 b = bytes(p)
-                step = max(len(b) // n_frames, 1)
-                for i in range(n_frames):
-                    chunk = b[i * step : (i + 1) * step]
-                    if not chunk:
-                        break
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    frames.append(chunk)
+                if fake:
+                    step = max(len(b) // n_frames, 1)
+                    for i in range(n_frames):
+                        chunk = b[i * step : (i + 1) * step]
+                        if not chunk:
+                            break
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        frames.append(chunk)
+                else:
+                    with Image.open(io.BytesIO(b)) as im:
+                        total = getattr(im, "n_frames", 1)
+                        take = min(n_frames, total)
+                        # evenly spaced over the clip, always incl. frame 0
+                        picks = sorted(
+                            {i * total // take for i in range(take)}
+                        )
+                        for out_idx, src_idx in enumerate(picks):
+                            im.seek(src_idx)
+                            ids.append(doc_id)
+                            idxs.append(out_idx)
+                            frames.append(im.convert("L").tobytes())
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(proc, "doc_id long, frame_idx int, frame binary")
