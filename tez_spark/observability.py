@@ -480,7 +480,10 @@ def spill_report_from_history(
                 "spilled_bytes_memory": s["SPILLED_BYTES_MEMORY"],
                 "spilled_bytes_disk": s["SPILLED_BYTES_DISK"],
                 "bytes_read": read,
-                "spill_amplification": spilled / read if read else float("inf"),
+                # None, not inf: spill with zero tracked reads (e.g. a
+                # sort over a persisted/cached child) has no meaningful
+                # denominator, and inf breaks strict-JSON consumers
+                "spill_amplification": spilled / read if read else None,
                 "spill_per_task": spilled / (s["NUM_COMPLETED_TASKS"] or 1),
             }
         )
@@ -566,6 +569,9 @@ def task_concurrency_from_history(
         for _, delta in events:
             cur += delta
             peak = max(peak, cur)
+        # ms-granular logs can record launch == finish; such a task's
+        # -1 sorts before its +1 and never raises peak — but it did run
+        peak = max(peak, 1)
         t0 = min(l for l, _ in ivals)
         t1 = max(f for _, f in ivals)
         makespan = max(t1 - t0, 1)

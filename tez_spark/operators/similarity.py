@@ -118,6 +118,45 @@ def _planes(dim: int) -> np.ndarray:
     return rng.standard_normal((LSH_TABLES, LSH_PLANES, dim))
 
 
+def _lsh_signatures(V: np.ndarray, P: np.ndarray) -> np.ndarray:
+    """(n, dim) vectors -> (n, LSH_TABLES) integer bucket signatures.
+    THE shared signature kernel: ann_lsh_neighbors and q_ann_lsh must
+    bucket identically or the recall contract silently decouples from
+    the neighbor surface (r9 review finding)."""
+    weights = (2 ** np.arange(LSH_PLANES)).astype(np.int64)
+    bits = (V @ P.T) > 0
+    return (bits.reshape(len(V), LSH_TABLES, LSH_PLANES) * weights).sum(axis=2)
+
+
+def _lsh_match(sigs: np.ndarray, b2q: dict, nq: int) -> np.ndarray:
+    """(n, LSH_TABLES) signatures -> (n, nq) boolean: row r shares at
+    least one (table, signature) bucket with query column j."""
+    match = np.zeros((len(sigs), nq), dtype=bool)
+    for r in range(len(sigs)):
+        for t in range(LSH_TABLES):
+            for j in b2q.get((t, int(sigs[r, t])), ()):
+                match[r, j] = True
+    return match
+
+
+def _lsh_query_setup(queries: DataFrame, dim: int):
+    """Driver-side LSH query block shared by ann_lsh_neighbors and
+    q_ann_lsh: collect the (small, fixed) query set, signature it with
+    the seeded planes, and return (P, bucket_to_qrows, q_ids, Qn) —
+    exactly what the executor kernels need broadcast."""
+    q_rows = queries.select("vec_id", as_double("embedding").alias("v")).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    P = _planes(dim).reshape(LSH_TABLES * LSH_PLANES, dim)
+    q_sigs = _lsh_signatures(Q, P)
+    bucket_to_qrows: dict[tuple[int, int], list[int]] = {}
+    for j in range(len(q_ids)):
+        for t in range(LSH_TABLES):
+            bucket_to_qrows.setdefault((t, int(q_sigs[j, t])), []).append(j)
+    return P, bucket_to_qrows, q_ids, Qn
+
+
 def ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN neighbor rows: candidates share a (table,
     signature) bucket with the query, then exact cosine re-rank to top-5.
@@ -135,25 +174,8 @@ def ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = 64
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-
-    q_rows = queries.select("vec_id", as_double("embedding").alias("v")).collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
-    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
-
-    planes = _planes(dim)
-    P = planes.reshape(LSH_TABLES * LSH_PLANES, dim)
-    weights = (2 ** np.arange(LSH_PLANES)).astype(np.int64)
-    # query signatures, driver-side: (table, sig) -> [query row indices]
-    q_bits = (Q @ P.T) > 0
-    q_sigs = (q_bits.reshape(len(Q), LSH_TABLES, LSH_PLANES) * weights).sum(axis=2)
-    bucket_to_qrows: dict[tuple[int, int], list[int]] = {}
-    for j in range(len(q_ids)):
-        for t in range(LSH_TABLES):
-            bucket_to_qrows.setdefault((t, int(q_sigs[j, t])), []).append(j)
-    bc = spark.sparkContext.broadcast((P, bucket_to_qrows, q_ids, Qn))
+    bc = spark.sparkContext.broadcast(_lsh_query_setup(queries, dim=64))
 
     def sign_and_score(batches):
         P_, b2q, q_ids_, Qn_ = bc.value
@@ -162,19 +184,11 @@ def ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-            bits = (V @ P_.T) > 0
-            sigs = (bits.reshape(len(V), LSH_TABLES, LSH_PLANES) * weights).sum(axis=2)
             ids = pdf["vec_id"].to_numpy()
-            rows_c, rows_q = [], []
-            for r in range(len(V)):
-                hit = set()
-                for t in range(LSH_TABLES):
-                    for j in b2q.get((t, int(sigs[r, t])), ()):
-                        if q_ids_[j] != ids[r]:
-                            hit.add(j)
-                rows_c.extend([r] * len(hit))
-                rows_q.extend(hit)
-            if not rows_c:
+            match = _lsh_match(_lsh_signatures(V, P_), b2q, len(q_ids_))
+            match &= ids[:, None] != q_ids_[None, :]  # self-exclusion
+            rows_c, rows_q = np.nonzero(match)
+            if not len(rows_c):
                 continue
             sims = np.einsum("ij,ij->i", Vn[rows_c], Qn_[rows_q])
             yield pd.DataFrame(
@@ -242,24 +256,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = 64
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-
-    q_rows = queries.select("vec_id", as_double("embedding").alias("v")).collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
-    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
-
-    planes = _planes(dim)
-    P = planes.reshape(LSH_TABLES * LSH_PLANES, dim)
-    weights = (2 ** np.arange(LSH_PLANES)).astype(np.int64)
-    q_bits = (Q @ P.T) > 0
-    q_sigs = (q_bits.reshape(len(Q), LSH_TABLES, LSH_PLANES) * weights).sum(axis=2)
-    bucket_to_qrows: dict[tuple[int, int], list[int]] = {}
-    for j in range(len(q_ids)):
-        for t in range(LSH_TABLES):
-            bucket_to_qrows.setdefault((t, int(q_sigs[j, t])), []).append(j)
-    bc = spark.sparkContext.broadcast((P, bucket_to_qrows, q_ids, Qn))
+    # SAME setup + signature kernels as ann_lsh_neighbors — the recall
+    # contract is only meaningful if both surfaces bucket identically
+    bc = spark.sparkContext.broadcast(_lsh_query_setup(queries, dim=64))
     k = K
 
     def score_both(batches):
@@ -269,33 +269,13 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-            bits = (V @ P_.T) > 0
-            sigs = (bits.reshape(len(V), LSH_TABLES, LSH_PLANES) * weights).sum(axis=2)
             S = Vn @ Qn_.T
             ids = pdf["vec_id"].to_numpy()
-            match = np.zeros((len(V), len(q_ids_)), dtype=bool)
-            for r in range(len(V)):
-                for t in range(LSH_TABLES):
-                    for j in b2q.get((t, int(sigs[r, t])), ()):
-                        match[r, j] = True
-            paths, out_q, out_c, out_s = [], [], [], []
-            for j, qid in enumerate(q_ids_):
-                col = S[:, j]
-                cand = np.nonzero(ids != qid)[0]
-                if not len(cand):
-                    continue
-                for path, sub in (
-                    ("exact", cand),
-                    ("lsh", cand[match[cand, j]]),
-                ):
-                    if not len(sub):
-                        continue
-                    order = np.lexsort((ids[sub], -col[sub]))[: min(k, len(sub))]
-                    sel = sub[order]
-                    paths.extend([path] * len(sel))
-                    out_q.extend([qid] * len(sel))
-                    out_c.extend(ids[sel].tolist())
-                    out_s.extend(col[sel].tolist())
+            match = _lsh_match(_lsh_signatures(V, P_), b2q, len(q_ids_))
+            paths, out_q, out_c, out_s = _local_topk_both(
+                S, ids, q_ids_, k, "lsh",
+                lambda j, cand: cand[match[cand, j]],
+            )
             yield pd.DataFrame(
                 {"path": paths, "q_id": out_q, "vec_id": out_c, "sim": out_s}
             ).astype({"q_id": "int64", "vec_id": "int64", "sim": "float64"})
@@ -391,6 +371,49 @@ def ivf_assign(
 _MERSENNE_P_IVF = (1 << 31) - 1
 
 
+def _ivf_query_setup(emb: DataFrame, queries: DataFrame):
+    """Driver-side IVF query block shared by ann_ivf_neighbors and
+    q_ann_ivf (r9 review: the recall contract must probe the same cells
+    as the neighbor surface): sampled centroids, collected query block,
+    and the per-query probed-cell arrays. Returns (Cn, probed, q_ids,
+    Qn) with probed[j] the sorted top-nprobe cell ids for query row j."""
+    Cn = _sample_centroids(emb, IVF_CELLS)
+    q_rows = queries.select("vec_id", as_double("embedding").alias("v")).collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r["v"]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    cell_sims = Qn @ Cn.T
+    nprobe = min(IVF_NPROBE, Cn.shape[0])
+    probed = {
+        j: np.sort(np.argsort(-cell_sims[j])[:nprobe])
+        for j in range(len(q_ids))
+    }
+    return Cn, probed, q_ids, Qn
+
+
+def _local_topk_both(S, ids, q_ids, k, approx, approx_sub):
+    """Shared emit block of the recall-contract kernels (q_ann_lsh,
+    q_ann_ivf): per query, local top-k over all candidates ('exact')
+    and over approx_sub(j, cand) (the approximate path), tie-broken by
+    (sim desc, vec_id asc). Returns the four column lists."""
+    paths, out_q, out_c, out_s = [], [], [], []
+    for j, qid in enumerate(q_ids):
+        col = S[:, j]
+        cand = np.nonzero(ids != qid)[0]
+        if not len(cand):
+            continue
+        for path, sub in (("exact", cand), (approx, approx_sub(j, cand))):
+            if not len(sub):
+                continue
+            order = np.lexsort((ids[sub], -col[sub]))[: min(k, len(sub))]
+            sel = sub[order]
+            paths.extend([path] * len(sel))
+            out_q.extend([qid] * len(sel))
+            out_c.extend(ids[sel].tolist())
+            out_s.extend(col[sel].tolist())
+    return paths, out_q, out_c, out_s
+
+
 def ann_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned ANN: probe the IVF_NPROBE nearest cells per query, exact
     cosine re-rank of their members to top-5 — the neighbor-row surface
@@ -406,20 +429,12 @@ def ann_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = 64
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
 
-    Cn = _sample_centroids(emb, IVF_CELLS)
-
-    q_rows = queries.select("vec_id", as_double("embedding").alias("v")).collect()
-    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    Q = np.array([list(r["v"]) for r in q_rows], dtype=np.float64)
-    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
-    cell_sims = Qn @ Cn.T
-    nprobe = min(IVF_NPROBE, Cn.shape[0])
+    Cn, probed, q_ids, Qn = _ivf_query_setup(emb, queries)
     cell_to_qrows: dict[int, list[int]] = {}
     for j in range(len(q_ids)):
-        for c in np.argsort(-cell_sims[j])[:nprobe]:
+        for c in probed[j]:
             cell_to_qrows.setdefault(int(c), []).append(j)
     bc = spark.sparkContext.broadcast((Cn, cell_to_qrows, q_ids, Qn))
 
@@ -486,20 +501,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-
-    Cn = _sample_centroids(emb, IVF_CELLS)
-
-    q_rows = queries.select("vec_id", as_double("embedding").alias("v")).collect()
-    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    Q = np.array([list(r["v"]) for r in q_rows], dtype=np.float64)
-    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
-    cell_sims = Qn @ Cn.T
-    nprobe = min(IVF_NPROBE, Cn.shape[0])
-    probed = {
-        j: np.sort(np.argsort(-cell_sims[j])[:nprobe])
-        for j in range(len(q_ids))
-    }
-    bc = spark.sparkContext.broadcast((Cn, probed, q_ids, Qn))
+    # SAME setup as ann_ivf_neighbors (shared _ivf_query_setup) — the
+    # contract must probe exactly the cells the neighbor surface probes
+    bc = spark.sparkContext.broadcast(_ivf_query_setup(emb, queries))
     k = K
 
     def score_both(batches):
@@ -512,24 +516,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             cells = np.argmax(Vn @ Cn_.T, axis=1)
             S = Vn @ Qn_.T
             ids = pdf["vec_id"].to_numpy()
-            paths, out_q, out_c, out_s = [], [], [], []
-            for j, qid in enumerate(q_ids_):
-                col = S[:, j]
-                cand = np.nonzero(ids != qid)[0]
-                if not len(cand):
-                    continue
-                for path, sub in (
-                    ("exact", cand),
-                    ("ivf", cand[np.isin(cells[cand], probed_[j])]),
-                ):
-                    if not len(sub):
-                        continue
-                    order = np.lexsort((ids[sub], -col[sub]))[: min(k, len(sub))]
-                    sel = sub[order]
-                    paths.extend([path] * len(sel))
-                    out_q.extend([qid] * len(sel))
-                    out_c.extend(ids[sel].tolist())
-                    out_s.extend(col[sel].tolist())
+            paths, out_q, out_c, out_s = _local_topk_both(
+                S, ids, q_ids_, k, "ivf",
+                lambda j, cand: cand[np.isin(cells[cand], probed_[j])],
+            )
             yield pd.DataFrame(
                 {"path": paths, "q_id": out_q, "vec_id": out_c, "sim": out_s}
             ).astype({"q_id": "int64", "vec_id": "int64", "sim": "float64"})
@@ -838,13 +828,20 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = exact.withColumn("ex", F.lit(1)).join(
         lsh.withColumn("lh", F.lit(1)), ["va", "vb"], "full_outer"
     )
+    # coalesce every aggregate: with an empty exact set the full_outer
+    # join has ZERO rows, SUM returns NULL and NULL>=NULL*0.5 is NULL —
+    # diverging from the oracle's literal 0/TRUE (r9 review finding)
+    n_exact = F.coalesce(F.sum("ex"), F.lit(0))
+    n_both = F.coalesce(
+        F.sum(
+            F.coalesce(F.col("ex"), F.lit(0)) * F.coalesce(F.col("lh"), F.lit(0))
+        ),
+        F.lit(0),
+    )
     return both.agg(
-        F.sum("ex").cast("long").alias("n_exact"),
+        n_exact.cast("long").alias("n_exact"),
         (F.count(F.when(F.col("ex").isNull(), 1)) == 0).alias("lsh_subset_ok"),
-        (
-            F.sum(F.coalesce(F.col("ex"), F.lit(0)) * F.coalesce(F.col("lh"), F.lit(0)))
-            >= F.sum("ex") * 0.5
-        ).alias("recall_ok"),
+        (n_both >= n_exact * 0.5).alias("recall_ok"),
     )
 
 
