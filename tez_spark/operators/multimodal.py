@@ -375,6 +375,27 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_meta(payloads, fake=True).orderBy("doc_id")
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents' text bytes pushed through audio_features' fake branch
+    (VERDICT r9 item 6: the RMS/ZCR/peak operator was tested but not
+    declared). The fake path treats the payload as a uint8 sample plane
+    centered at 128 — a pure function of the bytes, so DuckDB recomputes
+    it exactly via a per-byte explode.
+
+    No rounding on either side, by construction: x = (byte-128)/128 and
+    x*x are exact multiples of 1/16384, so every partial sum (any
+    association order), the mean's final division, and IEEE sqrt are
+    bit-identical across numpy and DuckDB; zcr is an exact small-int
+    ratio and peak an exact multiple of 1/128."""
+    from tez_spark.operators.core import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = fan_out(
+        docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    )
+    return audio_features(payloads, fake=True).orderBy("doc_id")
+
+
 ORACLE: dict[str, str] = {
     "multimodal_decode": """
         SELECT doc_id,
@@ -399,9 +420,54 @@ ORACLE: dict[str, str] = {
               FROM documents)
         ORDER BY doc_id
     """,
+    # fake sample plane: x_i = (byte_i - 128)/128 over the UTF-8 bytes
+    # (documents are ASCII at every SF, so per-CHAR explode == per-byte);
+    # rms = sqrt(sum(x^2)/n) with sum/count spelled explicitly so both
+    # engines do sum-then-divide; zcr = sign flips / (n-1); peak =
+    # max|x|. All exact in float64 — see q_audio_features docstring.
+    "audio_features": """
+        WITH pos AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) AS i
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, i,
+                   ascii(substr(text, CAST(i AS INTEGER), 1)) AS byte
+            FROM pos
+        ),
+        s AS (
+            SELECT doc_id, i,
+                   (byte - 128.0) / 128.0 AS x,
+                   CASE WHEN byte < 128 THEN 1 ELSE 0 END AS neg
+            FROM b
+        ),
+        s2 AS (
+            SELECT doc_id, x, neg,
+                   lag(neg) OVER (PARTITION BY doc_id ORDER BY i) AS pneg
+            FROM s
+        ),
+        agg AS (
+            SELECT doc_id,
+                   sqrt(sum(x * x) / count(*)) AS rms,
+                   CASE WHEN count(*) > 1 THEN
+                       sum(CASE WHEN neg <> pneg THEN 1.0 ELSE 0.0 END)
+                           / (count(*) - 1)
+                   ELSE 0.0 END AS zero_crossing_rate,
+                   max(abs(x)) AS peak
+            FROM s2 GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.rms, 0.0) AS rms,
+               coalesce(a.zero_crossing_rate, 0.0) AS zero_crossing_rate,
+               coalesce(a.peak, 0.0) AS peak
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY doc_id
+    """,
 }
 
 QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
+    "audio_features": q_audio_features,
 }

@@ -27,43 +27,40 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # not the latest file on disk — so the driver dropping this round's own
 # CORRECTNESS file no longer flips the guard red at judging time.
 #
-# Round-9 window (VERDICT r8 item 4 executed): (1) ann_lsh +
-# dedup_embedding_lsh — promoted off rows-only this round via the
-# in-query recall-contract pattern (VERDICT r8 item 5), first oracled
-# driver rows; (2) editdistance_discovery — its probe (PassJoin
-# multi-match selection, item 3), short stratum (item 7) and output
-# sort (ADVICE r8) all changed this round, so it re-verifies; (3) the
-# 14 oracled queries whose last driver row is round 6 — their r6 rows
-# leave the three-round union at r9, so they MUST be in this window
-# (the displacement the r8 comment scheduled); (4) 33 of the 47
-# oracled queries whose last driver row is round 7: all of q01–q18
-# (core §2.5 visibility) plus the dedup/curation family. Displaced to
-# round 10, union-covered by their r7 rows: set_ops, string_agg,
-# text_dup_spans, tpch01, tpch03, tpch04, tpch06, tpch07, tpch08,
-# tpch13, tpch17, tpch19, tpch22, weighted_sample — these must head
-# the r10 window.
-_WINDOW_ROUND = 9
+# Round-10 window (VERDICT r9 item 1 executed): (1) audio_features —
+# NEW this round (VERDICT r9 item 6), never rowed, must be in the
+# window; (2) plans changed this round, re-verify: ann_ivf (k-means
+# centroid refinement, VERDICT item 3), dedup_embedding_lsh (threshold
+# epsilon slack, ADVICE r9), editdistance_discovery (short-stratum
+# broadcast gate, ADVICE r9); (3) the 15 oracled queries whose last
+# driver row is round 7 — their r7 rows leave the three-round union at
+# r10, so they MUST be here (the displacement the r9 comment scheduled,
+# plus embedding_incremental per ADVICE r9); (4) 31 of the 46 oracled
+# queries whose last driver row is round 8. Displaced to round 11,
+# union-covered by their r8 rows — these must head the r11 window:
+# source_cap, source_mix, source_quality, star_join, stratified_sample,
+# text_fingerprint, text_langid, text_logprob, text_metrics,
+# text_repetition, text_winnow, tfidf_top_terms, time_gapfill,
+# train_split, window_sliding.
+_WINDOW_ROUND = 10
 _PRIORITY: tuple[str, ...] = (
-    # 1. newly oracled this round — first driver rows (multimodal_audio
-    # is NEW this round, never rowed — must be in the window; its slot
-    # displaces embedding_incremental to position 51, which stays
-    # union-covered by its r7 driver row)
-    "multimodal_audio", "ann_lsh", "dedup_embedding_lsh",
+    # 1. newly oracled this round — first driver row
+    "audio_features",
     # 2. plan changed this round — re-verify
-    "editdistance_discovery",
-    # 3. oracled queries whose last driver row is round 6
-    "approx_distinct", "argmax_funcs", "cube", "date_funcs",
-    "doc_chunk", "exists_subquery", "grouping_sets", "json_extract",
-    "pivot", "rollup", "scalar_funcs", "sessionize", "unpivot",
-    "window_funcs",
-    # 4. oracled queries whose last driver row is round 7
-    "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09",
-    "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18",
-    "asof_join", "cms_heavyhitters", "column_profile",
-    "cross_join_bucketed", "curation_pipeline", "curation_pipeline_lsh",
-    "dedup_clusters", "dedup_editdistance", "dedup_embedding_clusters",
-    "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_winnow", "embedding_incremental",
+    "ann_ivf", "dedup_embedding_lsh", "editdistance_discovery",
+    # 3. oracled queries whose last driver row is round 7
+    "embedding_incremental", "set_ops", "string_agg", "text_dup_spans",
+    "tpch01", "tpch03", "tpch04", "tpch06", "tpch07", "tpch08",
+    "tpch13", "tpch17", "tpch19", "tpch22", "weighted_sample",
+    # 4. oracled queries whose last driver row is round 8
+    "tpch02", "tpch05", "tpch09", "tpch10", "tpch11", "tpch12",
+    "tpch14", "tpch15", "tpch16", "tpch18", "tpch20", "tpch21",
+    "ann_topk", "cross_join_chunked", "decontaminate",
+    "dedup_embedding", "dedup_ngram_jaccard", "embedding_centroids",
+    "embedding_quantize", "event_anomalies", "event_funnel",
+    "event_retention", "interval_join", "length_curriculum",
+    "multimodal_decode", "percentiles", "percentiles_approx",
+    "pii_redact", "pmi_collocations", "regex_tokens", "seq_pack",
 )
 
 
