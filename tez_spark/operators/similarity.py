@@ -28,18 +28,26 @@ from tez_spark.operators.core import bounded_sort
 K = 5
 N_QUERIES = 10  # query set = vec_id < 10, fixed for oracle reproducibility
 
-# LSH config: 8 tables x 4 hyperplanes (4-bit signatures, 16 buckets per
+# LSH config: 12 tables x 4 hyperplanes (4-bit signatures, 16 buckets per
 # table). Tuned for the fixtures' uniform-random embeddings, where top-5
 # neighbors sit at cosine ~0.3-0.5 — LSH's worst case: P(bucket match per
-# table) = (1-θ/π)^4 ≈ 0.13-0.18, so 8 tables give ~0.7 recall while
-# pruning ~half the corpus. Real clustered embeddings (the 100TB case)
-# have much closer neighbors — raise LSH_PLANES there for sharper pruning.
-# Planes are deterministic (seed 42), generated once driver-side and
-# embedded as literals — tiny (tables*planes*dim doubles) and identical on
-# every executor.
-LSH_TABLES = 8
+# table) = (1-θ/π)^4 ≈ 0.13-0.18 per table. 8 tables left the ann_lsh
+# recall contract with ZERO margin at sf0.1 (min exact-top-K overlap 1
+# with >=1 required — ADVICE r9); 12 tables measure min 3/3/3 across
+# sf0.001/0.01/0.1 (3x margin) and lift dedup_embedding_lsh recall to
+# 0.71/1.00/0.95 (>=1.4x over its 0.5 bound), for +50% signature-shuffle
+# on a path measured at 8 MB. Real clustered embeddings (the 100TB case)
+# have much closer neighbors — raise LSH_PLANES there for sharper pruning
+# and fewer tables. Planes are deterministic (seed 42), generated once
+# driver-side and embedded as literals — tiny (tables*planes*dim doubles)
+# and identical on every executor.
+LSH_TABLES = 12
 LSH_PLANES = 4
 _LSH_SEED = 42
+# 1-ulp slack for cross-kernel threshold comparisons (different BLAS
+# reduction orders disagree in the last bits for pairs sitting exactly
+# on a similarity threshold — ADVICE r9)
+_THRESH_EPS = 1e-12
 
 
 def brute_force_topk(
@@ -240,11 +248,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bound choice: per-query overlap with the exact top-5 is
     deterministic on a fixture (seeded planes, tie-broken ordering);
-    measured min across sf0.001/0.01/0.1 is 2/2/1 hits (r9 build log)
-    on uniform-random embeddings — LSH's worst case (neighbors at
-    cosine ~0.3-0.5) — so >= 1 holds everywhere with 2x margin at the
-    driver SFs, and tests/test_similarity.py evaluates the real
-    booleans at the driver SFs (the cms_heavyhitters guard pattern).
+    measured min across sf0.001/0.01/0.1 is 3/3/3 hits (r10, at
+    LSH_TABLES=12 — 8 tables left sf0.1 at exactly the bound, ADVICE
+    r9) on uniform-random embeddings — LSH's worst case (neighbors at
+    cosine ~0.3-0.5) — so >= 1 holds everywhere with 3x margin, and
+    tests/test_similarity.py evaluates the real booleans at sf0.001,
+    sf0.01 AND sf0.1 (the cms_heavyhitters guard pattern).
 
     ONE corpus pass for both sides: each Arrow batch computes the full
     row x query score matrix once (the exact audit needs it, and the
@@ -299,26 +308,59 @@ def fan_out_vectors(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embed
 # few cells; the uniform-random fixtures are IVF's worst case, so nprobe
 # is set for recall there).
 IVF_CELLS = 64
-IVF_NPROBE = 16
+# nprobe 16 left the q_ann_ivf recall contract with zero margin at sf0.1
+# (min exact-top-K overlap 1 of the >=1 required); with the k-means
+# centroids below, nprobe=20 measures min 3/2/2 hits across
+# sf0.001/0.01/0.1 — >=2x margin at every SF including bench (VERDICT r9
+# item 3). Uniform-random fixtures are IVF's worst case; real clustered
+# embeddings concentrate neighbors in fewer cells — lower nprobe there.
+IVF_NPROBE = 20
+
+
+# Coarse-quantizer training knobs: the sample is n_cells * IVF_KMEANS_SAMPLE
+# hashed-id-ordered rows (one TakeOrderedAndProject scan, ~1 MB at the
+# defaults) refined with IVF_KMEANS_ITERS spherical Lloyd iterations
+# DRIVER-SIDE — the FAISS coarse-quantizer pattern: at 100TB you still
+# train the quantizer on a bounded sample, never the corpus.
+IVF_KMEANS_SAMPLE = 32
+IVF_KMEANS_ITERS = 8
 
 
 def _sample_centroids(
     df: DataFrame, n_cells: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> np.ndarray:
-    """Deterministic IVF centroid sample, normalized: the n_cells corpus
-    vectors with the smallest hashed id (TakeOrdered: one scan, only
-    n_cells rows reach the driver; the corpus itself is never collected).
-    Single definition shared by the index-build path (ivf_assign) and the
-    declared query (q_ann_ivf) so they can never drift apart; swap in
-    k-means refinement HERE and both paths follow."""
+    """Deterministic IVF centroids, normalized: sample the
+    n_cells * IVF_KMEANS_SAMPLE corpus vectors with the smallest
+    (hashed id, id) key (TakeOrdered: one scan, only the sample reaches
+    the driver; the corpus itself is never collected — the id tiebreak
+    makes the sample deterministic even under hash collisions), seed
+    with the first n_cells (the rows the pre-r10 sampler picked), then
+    refine with spherical k-means driver-side (VERDICT r9 item 3: the
+    raw sample left sf0.1 recall at the contract's exact bound; Lloyd
+    iterations spread the centroids and buy real margin). Single
+    definition shared by the index-build path (ivf_assign) and the
+    declared query (q_ann_ivf) so they can never drift apart."""
     cent_rows = (
         df.select(F.col(id_col), as_double(vec_col).alias("v"))
-        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(_MERSENNE_P_IVF)))
-        .limit(n_cells)
+        .orderBy(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(_MERSENNE_P_IVF)),
+            F.col(id_col),
+        )
+        .limit(n_cells * IVF_KMEANS_SAMPLE)
         .collect()
     )
-    C = np.array([list(r["v"]) for r in cent_rows], dtype=np.float64)
-    return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    X = np.array([list(r["v"]) for r in cent_rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    C = Xn[:n_cells].copy()
+    for _ in range(IVF_KMEANS_ITERS):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(min(n_cells, len(C))):
+            members = Xn[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+            # empty cell: keep the previous centroid (deterministic)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    return C
 
 
 def ivf_assign(
@@ -483,11 +525,14 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid sample.
 
     Bound choice: per-query recall@5 is deterministic on a fixture
-    (seeded centroid sample, tie-broken ordering); measured min across
-    sf0.001/0.01/0.1 is 0.4/0.4/0.2 (r8 build log) on uniform-random
-    embeddings — IVF's worst case — so >= 1 hit holds everywhere with
-    2x margin at the driver SFs. Real clustered embeddings concentrate
-    neighbors in probed cells, strengthening the contract at 100TB.
+    (seeded sample + driver-side k-means, tie-broken ordering);
+    measured min across sf0.001/0.01/0.1 is 3/2/2 hits (r10, with the
+    k-means-refined centroids and nprobe=20 — the raw sample at
+    nprobe=16 left sf0.1 at exactly the >=1 bound, VERDICT r9 item 3)
+    on uniform-random embeddings — IVF's worst case — so >= 1 hit
+    holds everywhere with >=2x margin, driver SFs and bench SF alike.
+    Real clustered embeddings concentrate neighbors in probed cells,
+    strengthening the contract at 100TB.
 
     ONE corpus pass for both sides: the exact audit needs the full
     row x query score matrix, and the IVF candidate scores are a subset
@@ -805,18 +850,24 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall_ok) where n_exact is the exact all-pairs count at cosine >=
     0.45 (the DuckDB-verifiable truth, shared with dedup_embedding),
     lsh_subset_ok asserts every LSH-found pair is in the exact set
-    (precision 1 — true by construction, the bucket stage re-scores
-    with the same cosine), and recall_ok asserts the LSH path found at
-    least half the exact pairs. Pair rows stay available via
-    dedup_embedding_lsh (the operator) — they can't be the oracled
-    surface because DuckDB cannot reproduce the seeded hyperplanes.
+    (precision 1: the bucket stage re-scores with the same cosine —
+    but the exact side's block-pair matmul and the bucket matmul are
+    different BLAS reductions, so a pair within ~1 ulp of 0.45 could
+    be admitted by one kernel and rejected by the other; ADVICE r9).
+    An LSH-only pair therefore only counts as a subset violation when
+    its similarity clears the threshold by more than _THRESH_EPS —
+    threshold-straddling disagreements are kernel noise, not missed
+    precision. recall_ok asserts the LSH path found at least half the
+    exact pairs. Pair rows stay available via dedup_embedding_lsh (the
+    operator) — they can't be the oracled surface because DuckDB
+    cannot reproduce the seeded hyperplanes.
 
     Bound choice: measured recall across sf0.001/0.01/0.1 is
-    0.71/0.93/0.83 (r9 build log) on uniform-random embeddings (LSH's
-    worst case — near-dups at barely-above-threshold cosine), so >= 0.5
-    holds everywhere with >= 1.4x margin, and
-    tests/test_similarity.py evaluates the real booleans at the driver
-    SFs (the cms_heavyhitters guard pattern).
+    0.71/1.00/0.95 (r10, at LSH_TABLES=12) on uniform-random
+    embeddings (LSH's worst case — near-dups at barely-above-threshold
+    cosine), so >= 0.5 holds everywhere with >= 1.4x margin, and
+    tests/test_similarity.py evaluates the real booleans at sf0.001,
+    sf0.01 AND sf0.1 (the cms_heavyhitters guard pattern).
 
     Scale: the exact side is the AUDIT — at 100TB drop it and keep the
     LSH path (O(tables·corpus·dim) shuffle); at fixture/bench SFs the
@@ -824,7 +875,9 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_embedding already runs in ~0 s."""
     emb = load_table(spark, sf_dir, "embeddings")
     exact = all_pairs_cosine(emb, threshold=0.45).select("va", "vb")
-    lsh = dedup_embedding_lsh(emb, threshold=0.45, dim=64).select("va", "vb")
+    lsh = dedup_embedding_lsh(emb, threshold=0.45, dim=64).select(
+        "va", "vb", "sim"
+    )
     both = exact.withColumn("ex", F.lit(1)).join(
         lsh.withColumn("lh", F.lit(1)), ["va", "vb"], "full_outer"
     )
@@ -838,9 +891,15 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     )
+    # LSH-only rows within _THRESH_EPS of the threshold are kernel noise
+    # (block-pair vs bucket matmul, different reduction orders), not
+    # subset violations — see docstring (ADVICE r9)
+    violation = F.col("ex").isNull() & (
+        F.col("sim") - F.lit(0.45) > F.lit(_THRESH_EPS)
+    )
     return both.agg(
         n_exact.cast("long").alias("n_exact"),
-        (F.count(F.when(F.col("ex").isNull(), 1)) == 0).alias("lsh_subset_ok"),
+        (F.count(F.when(violation, 1)) == 0).alias("lsh_subset_ok"),
         (n_both >= n_exact * 0.5).alias("recall_ok"),
     )
 
@@ -871,7 +930,7 @@ ORACLE: dict[str, str] = {
     # k_returned is deterministically K (probed cells / matched buckets
     # hold far more than K vectors at every fixture SF); recall_ok is
     # the verified >= 1-of-exact-top-K bound (see q_ann_ivf / q_ann_lsh;
-    # real booleans evaluated at the driver SFs in
+    # real booleans evaluated at sf0.001/0.01/0.1 in
     # tests/test_similarity.py::test_recall_contracts_hold_at_driver_sfs).
     "ann_ivf": f"""
         SELECT vec_id AS q_id,
