@@ -432,3 +432,35 @@ def test_passjoin_short_stratum_scales_with_distinct_texts(spark):
     # distinct short texts (2 here), not the 50 short rows
     plan = passjoin_pairs(docs, k=k)._jdf.queryExecution().optimizedPlan().toString()
     assert "Deduplicate" in plan or "Aggregate" in plan, plan[:2000]
+
+
+def test_passjoin_short_stratum_equijoin(spark):
+    """ADVICE r9: the short stratum pairs distinct texts via a
+    banded-length EQUIJOIN (no explicit broadcast — safe at any k, a
+    diverse corpus's distinct <=2k-length texts never reach the
+    driver). Pin the explode window's edges on a corpus whose short
+    stratum carries real pairs — including the k-apart length edge
+    (|l_sh - l_any| == k) the window must keep — against brute force,
+    and assert the plan holds no unconditional broadcast of the
+    distinct-text side."""
+    import tez_spark.operators.dedup as dd
+
+    k = 4
+    rows = [(0, ""), (1, "a"), (2, "ab"), (3, "abcd"),
+            (4, "abcdefgh"), (5, "zzzz"), (6, "abce"),
+            (7, "x" * 30), (8, "x" * 30 + "y")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.da, r.db, r.dist) for r in dd.passjoin_pairs(docs, k=k).collect()}
+    want = {
+        (da, db, _lev(ta, tb))
+        for (da, ta) in rows
+        for (db, tb) in rows
+        if da < db and _lev(ta, tb) <= k
+    }
+    assert got == want, f"missing {want - got}, extra {got - want}"
+    # the (l_sh=0, l_any=k) edge: empty doc vs "abcd" at ed exactly k
+    assert (0, 3, k) in got
+    # no pre-AQE broadcast hint on the short stratum: ResolvedHint would
+    # appear in the analyzed plan if F.broadcast() were reintroduced
+    analyzed = dd.passjoin_pairs(docs, k=k)._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed

