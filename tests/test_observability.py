@@ -448,3 +448,168 @@ spark.stop()
     assert top["avg_concurrent"] <= 4.5, top  # 4 cores + timestamp slack
     assert all(r["peak_concurrent"] >= 1 for r in rows)
     assert all(r["avg_concurrent"] <= r["peak_concurrent"] + 1e-9 for r in rows)
+
+
+def _task_end(sid, tid, idx, att, launch, finish, status="SUCCESS",
+              host="h1", spec=False):
+    reason = {"Reason": "Success"} if status == "SUCCESS" else {
+        "Reason": "ExceptionFailure"}
+    return {
+        "Event": "SparkListenerTaskEnd",
+        "Stage ID": sid, "Stage Attempt ID": 0,
+        "Task End Reason": reason,
+        "Task Info": {
+            "Task ID": tid, "Index": idx, "Attempt": att,
+            "Launch Time": launch, "Finish Time": finish,
+            "Host": host, "Speculative": spec,
+            "Failed": status == "FAILED", "Killed": status == "KILLED",
+        },
+        "Task Metrics": {"Executor Run Time": finish - launch},
+    }
+
+
+def _stage_completed(sid, name, sub, comp, fail=None):
+    si = {
+        "Stage ID": sid, "Stage Attempt ID": 0, "Stage Name": name,
+        "Parent IDs": [], "Submission Time": sub, "Completion Time": comp,
+        "RDD Info": [{"RDD ID": sid * 10}],
+    }
+    if fail:
+        si["Failure Reason"] = fail
+    return {"Event": "SparkListenerStageCompleted", "Stage Info": si}
+
+
+def test_slow_hung_overview_vertex_analyzers_synthetic(tmp_path):
+    """The four r10 analyzers (VERDICT r9 item 4) pinned on a synthetic
+    log: stage 0 runs clean; stage 1 has partition 3 fail on attempt 0
+    (8s, the DAG's slowest attempt) and succeed on attempt 1, plus a
+    speculative twin on partition 4.
+
+    - SlowTaskIdentifier: attempts ranked by duration DAG-wide, the
+      FAILED 8s attempt first (its runtime was spent; the reference
+      reports attempt status for exactly this reason)
+    - HungTaskAnalyzer: only multi-attempt tasks, last-attempt outcome
+    - DagOverviewAnalyzer: time-ordered lifecycle events with task
+      stats and first-line failure diagnostics
+    - SlowestVertexAnalyzer: per-stage makespan (first launch -> last
+      finish), nearest-rank percentiles over attempt durations
+    """
+    import json
+
+    from tez_spark.observability import (
+        dag_overview_from_history,
+        hung_task_report_from_history,
+        load_history,
+        slow_task_report_from_history,
+        slowest_vertex_report_from_history,
+    )
+
+    log = [
+        _stage_completed(0, "scan", 1000, 2000),
+        _task_end(0, 0, 0, 0, 1000, 1400),
+        _task_end(0, 1, 1, 0, 1000, 1900),
+        _stage_completed(1, "reduce", 2000, 12000,
+                         fail="Job aborted\nat Stage.run"),
+        _task_end(1, 2, 3, 0, 2000, 10000, status="FAILED"),
+        _task_end(1, 3, 3, 1, 10000, 11000),
+        _task_end(1, 4, 4, 0, 2000, 3000),
+        _task_end(1, 5, 4, 1, 2500, 2900, status="KILLED", spec=True),
+    ]
+    p = tmp_path / "app-log"
+    p.write_text("\n".join(json.dumps(e) for e in log))
+    h = load_history(str(p))
+
+    slow = slow_task_report_from_history(h, top=3)
+    # durations: t2=8000 (FAILED), t3=1000, t4=1000, t1=900, ... —
+    # stable sort keeps the t3/t4 tie in log order
+    assert [(r["task_id"], r["status"]) for r in slow] == [
+        (2, "FAILED"), (3, "SUCCESS"), (4, "SUCCESS")]
+    assert slow[0]["duration_ms"] == 8000 and slow[0]["name"] == "reduce"
+
+    hung = hung_task_report_from_history(h)
+    # reference comparator: vertex, then last-attempt status (KILLED
+    # sorts before SUCCESS), then attempt count desc
+    assert [(r["index"], r["num_attempts"], r["last_status"]) for r in hung] == [
+        (4, 2, "KILLED"), (3, 2, "SUCCESS")]
+    assert hung[1]["last_duration_ms"] == 1000
+    assert hung[0]["any_speculative"] and not hung[1]["any_speculative"]
+
+    over = dag_overview_from_history(h)
+    assert [(r["event_type"], r["stage_id"]) for r in over] == [
+        ("STAGE_SUBMITTED", 0), ("STAGE_FINISHED", 0),
+        ("STAGE_SUBMITTED", 1), ("STAGE_FINISHED", 1)]
+    times = [r["event_time_ms"] for r in over]
+    assert times == sorted(times)
+    fin1 = over[-1]
+    assert fin1["status"] == "FAILED"
+    assert fin1["diagnostics"] == "Job aborted"  # first line only
+    assert (fin1["num_tasks"], fin1["completed_tasks"],
+            fin1["failed_tasks"]) == (4, 2, 1)
+
+    vert = slowest_vertex_report_from_history(h)
+    # reduce: successful attempts span 2000 -> 11000
+    assert vert[0]["name"] == "reduce" and vert[0]["makespan_ms"] == 9000
+    assert vert[1]["name"] == "scan" and vert[1]["makespan_ms"] == 900
+    # scan durations [400, 900]: nearest-rank median=400, p95=900
+    assert vert[1]["median_ms"] == 400 and vert[1]["p95_ms"] == 900
+
+
+def test_new_analyzers_on_real_closed_session_log(tmp_path):
+    """The four analyzers run on an actual closed-session event log
+    (same harness as test_posthoc_reports_from_closed_session_log):
+    a healthy local run must rank real attempts, report NO hung tasks,
+    and produce a non-empty, time-ordered overview."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    log_dir = str(tmp_path / "eventlog")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    script = f"""
+import json
+from tez_spark.session import get_spark
+spark = get_spark(app_name="tez_analyzers", cpus=4, shuffle_partitions=8,
+                  event_log_dir={log_dir!r})
+n = (spark.range(0, 200000, 1, 8).selectExpr("id % 13 AS k")
+     .groupBy("k").count().count())
+print(json.dumps({{"groups": n}}))
+spark.stop()
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        env=env, capture_output=True, text=True, timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    from tez_spark.observability import (
+        dag_overview_from_history,
+        hung_task_report_from_history,
+        load_history,
+        slow_task_report_from_history,
+        slowest_vertex_report_from_history,
+    )
+
+    h = load_history(log_dir)
+    assert h["tasks"], "no task attempts parsed"
+
+    slow = slow_task_report_from_history(h, top=10)
+    assert slow and all(r["status"] == "SUCCESS" for r in slow)
+    durs = [r["duration_ms"] for r in slow]
+    assert durs == sorted(durs, reverse=True)
+
+    assert hung_task_report_from_history(h) == []  # healthy run
+
+    over = dag_overview_from_history(h)
+    assert over
+    times = [r["event_time_ms"] for r in over]
+    assert times == sorted(times)
+    assert all(r["completed_tasks"] == r["num_tasks"] for r in over)
+
+    vert = slowest_vertex_report_from_history(h)
+    assert vert
+    for r in vert:
+        assert r["median_ms"] <= r["p75_ms"] <= r["p95_ms"] <= r["p98_ms"]
+        assert r["makespan_ms"] >= r["p98_ms"] - 1  # makespan bounds attempts

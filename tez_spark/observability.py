@@ -279,6 +279,7 @@ def load_history(path: str) -> dict[str, Any]:
     stages: dict[tuple[int, int], dict[str, Any]] = {}
     durations: dict[tuple[int, int], list[int]] = {}
     intervals: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    tasks: list[dict[str, Any]] = []  # every attempt, incl. failed/killed
     dag: dict[int, dict[str, Any]] = {}  # JobStart Stage Infos (incl. skipped)
     for f in _history_files(path):
         if any(f.endswith(s) for s in (".zstd", ".lz4", ".snappy")):
@@ -318,6 +319,11 @@ def load_history(path: str) -> dict[str, Any]:
                     )
                     if si.get("Failure Reason"):
                         row["status"] = "FAILED"
+                        # first line only: diagnostics for the overview
+                        # timeline, not a full stack trace dump
+                        row["failure_reason"] = str(
+                            si["Failure Reason"]
+                        ).splitlines()[0]
                 elif kind == "SparkListenerJobStart":
                     # AQE materializes each query stage as its own job;
                     # later jobs re-list earlier work as SKIPPED stages
@@ -336,11 +342,39 @@ def load_history(path: str) -> dict[str, Any]:
                 elif kind == "SparkListenerTaskEnd":
                     key = (ev["Stage ID"], ev["Stage Attempt ID"])
                     info = ev.get("Task Info") or {}
-                    if (
-                        ev.get("Task End Reason", {}).get("Reason") != "Success"
-                        or info.get("Failed")
-                        or info.get("Killed")
-                    ):
+                    reason = ev.get("Task End Reason", {}).get("Reason")
+                    ok = (
+                        reason == "Success"
+                        and not info.get("Failed")
+                        and not info.get("Killed")
+                    )
+                    t_launch = int(info.get("Launch Time", 0))
+                    t_finish = int(info.get("Finish Time", 0))
+                    # EVERY attempt is recorded here — failed and killed
+                    # included (SlowTaskIdentifier / HungTaskAnalyzer
+                    # read attempt-level outcomes); the stage aggregates
+                    # below stay success-only as before.
+                    tasks.append(
+                        {
+                            "stage_id": key[0],
+                            "stage_attempt_id": key[1],
+                            "task_id": info.get("Task ID"),
+                            "index": info.get("Index"),
+                            "attempt": int(info.get("Attempt", 0)),
+                            "host": info.get("Host", ""),
+                            "speculative": bool(info.get("Speculative")),
+                            "status": (
+                                "SUCCESS"
+                                if ok
+                                else ("KILLED" if info.get("Killed") else "FAILED")
+                            ),
+                            "reason": "" if ok else str(reason or ""),
+                            "launch_ms": t_launch,
+                            "finish_ms": t_finish,
+                            "duration_ms": max(t_finish - t_launch, 0),
+                        }
+                    )
+                    if not ok:
                         continue
                     row = stages.setdefault(
                         key,
@@ -354,12 +388,10 @@ def load_history(path: str) -> dict[str, Any]:
                         },
                     )
                     row["NUM_COMPLETED_TASKS"] += 1
-                    launch = int(info.get("Launch Time", 0))
-                    finish = int(info.get("Finish Time", 0))
-                    dur = finish - launch
+                    dur = t_finish - t_launch
                     if dur >= 0:
                         durations.setdefault(key, []).append(dur)
-                        intervals.setdefault(key, []).append((launch, finish))
+                        intervals.setdefault(key, []).append((t_launch, t_finish))
                     metrics = ev.get("Task Metrics") or {}
                     for dotted, name in _HISTORY_METRIC_FIELDS:
                         node: Any = metrics
@@ -374,6 +406,7 @@ def load_history(path: str) -> dict[str, Any]:
         "stages": list(stages.values()),
         "durations": durations,
         "intervals": intervals,
+        "tasks": tasks,
     }
 
 
@@ -685,6 +718,179 @@ def critical_path_from_history(
         )
         prev_done = s["completion_ms"]
     return rows
+
+
+def _stage_names(h: dict[str, Any]) -> dict[int, str]:
+    return {s["stage_id"]: s["name"] for s in h["stages"]}
+
+
+def slow_task_report_from_history(
+    history: dict[str, Any] | str, top: int = 100
+) -> list[dict[str, Any]]:
+    """SlowTaskIdentifier parity (tez-tools/analyzers/job-analyzer/...
+    /plugins/SlowTaskIdentifier.java:44-76 — every task attempt
+    DAG-wide sorted by runtime descending, top-N with vertex, node and
+    status): the individual attempts that dominated wall time,
+    whatever stage they belong to. Unlike skew_report (within-stage
+    max/median) this surfaces the absolute offenders — the first list
+    to read when a job is slow and no single stage looks skewed.
+    Failed/killed attempts are included (their runtime was spent too,
+    and a 10-minute attempt that then FAILED is exactly what you want
+    surfaced)."""
+    h = load_history(history) if isinstance(history, str) else history
+    names = _stage_names(h)
+    rows = [
+        {
+            "stage_id": t["stage_id"],
+            "name": names.get(t["stage_id"], ""),
+            "task_id": t["task_id"],
+            "index": t["index"],
+            "attempt": t["attempt"],
+            "host": t["host"],
+            "duration_ms": t["duration_ms"],
+            "status": t["status"],
+        }
+        for t in h.get("tasks", [])
+    ]
+    return sorted(rows, key=lambda r: -r["duration_ms"])[: max(top, 0)]
+
+
+def _nearest_rank(sorted_vals: list[int], pct: float) -> int:
+    """Nearest-rank percentile over a pre-sorted list (the histogram
+    snapshot quantiles SlowestVertexAnalyzer reads, without the
+    sampling reservoir — event logs hold every attempt)."""
+    if not sorted_vals:
+        return 0
+    idx = max(0, min(len(sorted_vals) - 1, int(pct * len(sorted_vals) + 0.5) - 1))
+    return sorted_vals[idx]
+
+
+def slowest_vertex_report_from_history(
+    history: dict[str, Any] | str, top: int = 20
+) -> list[dict[str, Any]]:
+    """SlowestVertexAnalyzer parity (tez-tools/analyzers/job-analyzer/
+    .../plugins/SlowestVertexAnalyzer.java:61-152 — per-vertex runtime
+    from first task start to last task finish, attempt-runtime
+    histogram percentiles, and the shuffle share of that time): per
+    stage, the makespan (first launch -> last finish — NOT the sum of
+    task times; this is the wall-clock the stage occupied), median /
+    p75 / p95 / p98 attempt runtimes, and shuffle fetch-wait share.
+    The top row is the vertex to attack first; a high percentile
+    spread (p98 >> median) says it's a straggler problem
+    (skew_report names the key), a high fetch_wait_share says it's
+    upstream/network (shuffle_time_report has the detail)."""
+    h = load_history(history) if isinstance(history, str) else history
+    by_key = {(s["stage_id"], s["attempt_id"]): s for s in h["stages"]}
+    rows = []
+    for key, ivals in h.get("intervals", {}).items():
+        if not ivals:
+            continue
+        s = by_key.get(key, {})
+        durs = sorted(h["durations"].get(key, []))
+        makespan = max(f for _, f in ivals) - min(l for l, _ in ivals)
+        run_ms = s.get("EXECUTOR_RUN_TIME_MS", 0)
+        fetch_wait = s.get("SHUFFLE_FETCH_WAIT_MS", 0)
+        rows.append(
+            {
+                "stage_id": key[0],
+                "name": s.get("name", ""),
+                "num_attempts": len(ivals),
+                "makespan_ms": makespan,
+                "median_ms": _nearest_rank(durs, 0.50),
+                "p75_ms": _nearest_rank(durs, 0.75),
+                "p95_ms": _nearest_rank(durs, 0.95),
+                "p98_ms": _nearest_rank(durs, 0.98),
+                "fetch_wait_ms": fetch_wait,
+                "fetch_wait_share": fetch_wait / run_ms if run_ms else 0.0,
+            }
+        )
+    return sorted(rows, key=lambda r: -r["makespan_ms"])[: max(top, 0)]
+
+
+def dag_overview_from_history(
+    history: dict[str, Any] | str
+) -> list[dict[str, Any]]:
+    """DagOverviewAnalyzer parity (tez-tools/analyzers/job-analyzer/...
+    /plugins/DagOverviewAnalyzer.java:33-92 — the DAG's full event
+    timeline, time-ordered: per-vertex start/finish events with task
+    stats and failure diagnostics pulled inline): one row per stage
+    lifecycle event (STAGE_SUBMITTED / STAGE_FINISHED), sorted by
+    event time, each carrying status, task counts (total / completed /
+    failed) and the first line of the failure reason when the stage
+    failed. This is the 'what happened, in order' read of a run —
+    the timeline that shows which stages overlapped, where the gaps
+    are, and what was in flight when something failed."""
+    h = load_history(history) if isinstance(history, str) else history
+    by_stage_tasks: dict[int, list[dict[str, Any]]] = {}
+    for t in h.get("tasks", []):
+        by_stage_tasks.setdefault(t["stage_id"], []).append(t)
+    rows = []
+    for s in h["stages"]:
+        ts = by_stage_tasks.get(s["stage_id"], [])
+        stats = {
+            "num_tasks": len(ts),
+            "completed_tasks": sum(1 for t in ts if t["status"] == "SUCCESS"),
+            "failed_tasks": sum(1 for t in ts if t["status"] == "FAILED"),
+        }
+        for ev_type, ts_ms in (
+            ("STAGE_SUBMITTED", s.get("submission_ms")),
+            ("STAGE_FINISHED", s.get("completion_ms")),
+        ):
+            if ts_ms is None:
+                continue
+            rows.append(
+                {
+                    "name": s["name"],
+                    "stage_id": s["stage_id"],
+                    "event_type": ev_type,
+                    "status": s["status"],
+                    "event_time_ms": ts_ms,
+                    **stats,
+                    "diagnostics": s.get("failure_reason", ""),
+                }
+            )
+    return sorted(rows, key=lambda r: (r["event_time_ms"], r["stage_id"]))
+
+
+def hung_task_report_from_history(
+    history: dict[str, Any] | str
+) -> list[dict[str, Any]]:
+    """HungTaskAnalyzer parity (tez-tools/analyzers/job-analyzer/...
+    /plugins/HungTaskAnalyzer.java:30-90 — per task, the attempt count
+    and the LAST attempt's id/status/duration/node; a task cycling
+    through attempts is the hang/retry-loop signal): groups every
+    attempt by (stage, partition index) and reports tasks whose
+    attempt count exceeded one — speculative re-launches and failure
+    retries both show up, distinguishable by the speculative flag and
+    last-attempt status. Sorted like the reference: vertex, then
+    last-attempt status, then attempt count descending. Empty output
+    = no task needed more than one attempt (the healthy case)."""
+    h = load_history(history) if isinstance(history, str) else history
+    names = _stage_names(h)
+    by_task: dict[tuple[int, int], list[dict[str, Any]]] = {}
+    for t in h.get("tasks", []):
+        by_task.setdefault((t["stage_id"], t["index"]), []).append(t)
+    rows = []
+    for (sid, idx), attempts in by_task.items():
+        if len(attempts) <= 1:
+            continue
+        last = max(attempts, key=lambda t: t["attempt"])
+        rows.append(
+            {
+                "stage_id": sid,
+                "name": names.get(sid, ""),
+                "index": idx,
+                "num_attempts": len(attempts),
+                "last_attempt": last["attempt"],
+                "last_status": last["status"],
+                "last_duration_ms": last["duration_ms"],
+                "last_host": last["host"],
+                "any_speculative": any(t["speculative"] for t in attempts),
+            }
+        )
+    return sorted(
+        rows, key=lambda r: (r["name"], r["last_status"], -r["num_attempts"])
+    )
 
 
 def q_observability_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
