@@ -223,9 +223,11 @@ def test_audio_features_rejects_unsupported_width(spark):
 
 
 def test_frame_sample_real_path_is_marked(spark):
-    """Where PIL is absent the non-fake frame path must fail loudly at
-    build time (driver-side gate), not silently fall back to byte
-    ranges."""
+    """A payload needing a decoder that genuinely isn't installed (GIF
+    without PIL, mp4 always in this container) must fail loudly at
+    execution — never silently fall back to byte ranges. The gate is
+    per-PAYLOAD now (r10): RIFF/AVI decodes via stdlib regardless, so
+    the error names what's missing for THIS container."""
     import pytest
 
     from tez_spark.operators.multimodal import _pil_image, frame_sample
@@ -233,8 +235,8 @@ def test_frame_sample_real_path_is_marked(spark):
     if _pil_image() is not None:
         pytest.skip("PIL installed — real branch covered by the gated test")
     df = spark.createDataFrame([(0, b"GIF89a...")], "doc_id long, payload binary")
-    with pytest.raises(NotImplementedError, match="requires PIL"):
-        frame_sample(df, n_frames=2, fake=False)
+    with pytest.raises(Exception, match="ffmpeg-family"):
+        frame_sample(df, n_frames=2, fake=False).collect()
 
 
 def test_pil_frame_sample_extracts_gif_frames(spark):
@@ -269,3 +271,73 @@ def test_pil_frame_sample_extracts_gif_frames(spark):
     # may quantize; allow small drift)
     for r, want in zip(got, (0, 60, 120, 180)):
         assert abs(bytes(r.frame)[0] - want) <= 8
+
+
+def _avi_bytes(width: int, height: int, frames: list[bytes]) -> bytes:
+    """Minimal uncompressed RIFF/AVI: hdrl LIST with an avih header
+    (frame count + dimensions) and a movi LIST of 00db frame chunks —
+    the container _parse_avi_frames reads. Odd-length frames exercise
+    RIFF's pad-to-even rule."""
+    import struct
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\0" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def list_chunk(subtype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", subtype + payload)
+
+    avih = struct.pack(
+        "<14I", 33366, 0, 0, 0, len(frames), 0, 1, 0, width, height,
+        0, 0, 0, 0,
+    )
+    hdrl = list_chunk(b"hdrl", chunk(b"avih", avih))
+    movi = list_chunk(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_parse_avi_frames_roundtrip():
+    """The stdlib AVI reader recovers dimensions and every frame chunk
+    byte-for-byte — including odd-length frames (RIFF even padding) —
+    and rejects non-AVI payloads loudly."""
+    import pytest
+
+    from tez_spark.operators.multimodal import _parse_avi_frames
+
+    frames = [b"frame-zero!", b"f1-odd", b"\x00\x01\x02", b"last"]
+    w, h, got = _parse_avi_frames(_avi_bytes(16, 9, frames))
+    assert (w, h) == (16, 9)
+    assert got == frames
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        _parse_avi_frames(b"\x00\x01rubbish")
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        _parse_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")  # RIFF, not AVI
+
+
+def test_avi_frame_sample_extracts_real_frames(spark):
+    """frame_sample(fake=False) on generated uncompressed AVIs — live
+    in EVERY environment (stdlib codec, the decode_audio_meta pattern):
+    evenly spaced picks incl. frame 0, exact frame bytes, and a clip
+    shorter than n_frames yields exactly its frame count."""
+    from tez_spark.operators.multimodal import frame_sample
+
+    clip6 = [bytes([i]) * (5 + i % 2) for i in range(6)]  # odd+even lens
+    clip2 = [b"aa", b"bb"]
+    df = spark.createDataFrame(
+        [(0, bytearray(_avi_bytes(8, 6, clip6))),
+         (1, bytearray(_avi_bytes(4, 4, clip2)))],
+        "doc_id long, payload binary",
+    )
+    rows = frame_sample(df, n_frames=4, fake=False).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for v in by_doc.values():
+        v.sort(key=lambda r: r.frame_idx)
+    # 6 frames, take 4: picks {0*6//4, 1*6//4, 2*6//4, 3*6//4} = {0,1,3,4}
+    assert [bytes(r.frame) for r in by_doc[0]] == [
+        clip6[0], clip6[1], clip6[3], clip6[4]]
+    assert [r.frame_idx for r in by_doc[0]] == [0, 1, 2, 3]
+    # 2-frame clip: both frames, in order
+    assert [bytes(r.frame) for r in by_doc[1]] == clip2

@@ -14,10 +14,12 @@ NotImplementedError and the deterministic fake decoder (pure function of
 the payload bytes) remains the oracled driver surface. AUDIO is real
 everywhere (r9): decode_audio_meta / audio_features parse RIFF/WAVE
 16-bit PCM with the STDLIB ``wave`` module — no optional dep, both
-branches property-tested on generated sine-wave WAVs. Video: animated
-GIF frame extraction is real under PIL (Image.seek over evenly-spaced
-frames, r9); true video containers (ffmpeg) stay honestly stubbed as
-byte-range frame sampling.
+branches property-tested on generated sine-wave WAVs. VIDEO is real
+everywhere too (r10): uncompressed RIFF/AVI decodes via the pure-stdlib
+_parse_avi_frames (the same RIFF family as WAV, property-tested on
+generated clips), animated GIF via PIL when importable; compressed
+containers (mp4/webm) need an ffmpeg-family decoder and raise
+NotImplementedError — honestly gated, not faked.
 
 Scale notes: mapInPandas streams Arrow batches — no row-at-a-time serde,
 no driver collection; payloads stay partitioned exactly as scanned.
@@ -117,6 +119,42 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(proc, "doc_id long, feature array<double>")
 
 
+def _parse_avi_frames(b: bytes) -> tuple[int, int, list[bytes]]:
+    """Minimal RIFF/AVI reader for UNCOMPRESSED video streams — pure
+    stdlib, the video analog of decode_audio_meta's ``wave`` codec
+    (AVI is the same RIFF container family as WAV). Returns
+    (width, height, frames) where frames are the raw '00db'/'00dc'
+    chunk payloads (DIB pixel planes for biCompression=0 streams)
+    in stream order. Compressed codecs inside AVI (and non-RIFF
+    containers: mp4/webm) still need ffmpeg-family decoders and raise
+    NotImplementedError in the caller. Malformed RIFF raises ValueError
+    — corrupt inputs should fail loudly in a decode pass."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    width = height = 0
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal width, height
+        pos = start
+        while pos + 8 <= end:
+            fourcc = b[pos:pos + 4]
+            (size,) = struct.unpack("<I", b[pos + 4:pos + 8])
+            body = pos + 8
+            if fourcc == b"LIST":
+                walk(body + 4, body + size)  # skip the list subtype
+            elif fourcc == b"avih" and size >= 40:
+                width, height = struct.unpack("<II", b[body + 32:body + 40])
+            elif fourcc[2:4] in (b"db", b"dc") and fourcc[:2].isdigit():
+                frames.append(b[body:body + size])
+            pos = body + size + (size & 1)  # chunks pad to even offsets
+
+    walk(12, len(b))
+    return width, height, frames
+
+
 def frame_sample(
     df: DataFrame,
     n_frames: int = 4,
@@ -127,30 +165,21 @@ def frame_sample(
     Demonstrates row fan-out inside Arrow batches — output stays
     partition-local, no shuffle.
 
-    fake=True: byte-range 'frames' (the deterministic stand-in; a true
-    video container needs ffmpeg, which stays honestly stubbed).
-    fake=False: REAL evenly-spaced frame extraction from ANIMATED GIF
-    payloads via PIL.Image.seek — each sampled frame emitted as its
-    grayscale pixel plane — when PIL is importable (the resize_image
-    gating pattern); NotImplementedError where it is genuinely absent."""
-    if not fake and _pil_image() is None:
-        raise NotImplementedError(
-            "real frame extraction requires PIL, which is not installed; "
-            "pass fake=True for the byte-range stand-in"
-        )
+    fake=True: byte-range 'frames' (the deterministic, SQL-oracle-able
+    stand-in — see q_multimodal_frames).
+    fake=False: REAL evenly-spaced frame extraction, by container:
+    RIFF/AVI with uncompressed DIB streams via the pure-stdlib
+    _parse_avi_frames (live EVERYWHERE, like the ``wave`` audio
+    codec — property-tested on generated clips in
+    tests/test_multimodal.py); animated GIF via PIL.Image.seek when
+    PIL is importable. Compressed containers (mp4/webm) need an
+    ffmpeg-family decoder and raise NotImplementedError — honestly
+    gated, not faked."""
 
     def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        Image = _pil_image()
-        # executor-side re-check (ADVICE r7 pattern): PIL on the driver
-        # only must fail with the contract error, not an AttributeError
-        if not fake and Image is None:
-            raise NotImplementedError(
-                "real frame extraction requires PIL on the EXECUTORS "
-                "(importable on the driver but not here); install it "
-                "cluster-wide or pass fake=True"
-            )
+        Image = _pil_image()  # executor-side import (ADVICE r7 pattern)
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
@@ -164,11 +193,20 @@ def frame_sample(
                         ids.append(doc_id)
                         idxs.append(i)
                         frames.append(chunk)
-                else:
+                elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    _, _, all_frames = _parse_avi_frames(b)
+                    total = len(all_frames)
+                    take = min(n_frames, total)
+                    # evenly spaced over the clip, always incl. frame 0
+                    picks = sorted({i * total // take for i in range(take)})
+                    for out_idx, src_idx in enumerate(picks):
+                        ids.append(doc_id)
+                        idxs.append(out_idx)
+                        frames.append(all_frames[src_idx])
+                elif Image is not None:
                     with Image.open(io.BytesIO(b)) as im:
                         total = getattr(im, "n_frames", 1)
                         take = min(n_frames, total)
-                        # evenly spaced over the clip, always incl. frame 0
                         picks = sorted(
                             {i * total // take for i in range(take)}
                         )
@@ -177,6 +215,14 @@ def frame_sample(
                             ids.append(doc_id)
                             idxs.append(out_idx)
                             frames.append(im.convert("L").tobytes())
+                else:
+                    raise NotImplementedError(
+                        "real frame extraction: uncompressed RIFF/AVI "
+                        "decodes everywhere (stdlib); this payload needs "
+                        "PIL (GIF) or an ffmpeg-family decoder "
+                        "(mp4/webm) on the EXECUTORS — install one "
+                        "cluster-wide or pass fake=True"
+                    )
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(proc, "doc_id long, frame_idx int, frame binary")
@@ -396,6 +442,30 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(payloads, fake=True).orderBy("doc_id")
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents' text bytes pushed through frame_sample's fake branch
+    (byte-range frames: step = max(n//4, 1), frame i = bytes
+    [i*step, (i+1)*step), stopping at the first empty chunk), reported
+    as (doc_id, frame_idx, n_bytes, checksum) so DuckDB recomputes the
+    same windows with substr/md5 — proving the 1->N Arrow fan-out is
+    lossless at the driver. The real branch (stdlib RIFF/AVI + PIL
+    GIF) is property-tested on generated clips in
+    tests/test_multimodal.py."""
+    from tez_spark.operators.core import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = fan_out(
+        docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    )
+    frames = frame_sample(payloads, n_frames=4, fake=True)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.length("frame").cast("long").alias("n_bytes"),
+        F.md5("frame").alias("checksum"),
+    ).orderBy("doc_id", "frame_idx")
+
+
 ORACLE: dict[str, str] = {
     "multimodal_decode": """
         SELECT doc_id,
@@ -464,10 +534,34 @@ ORACLE: dict[str, str] = {
         FROM documents d LEFT JOIN agg a USING (doc_id)
         ORDER BY doc_id
     """,
+    # fake frame windows over the (ASCII) text bytes: step = max(n//4,1),
+    # frame i = substr(text, i*step+1, step); an empty chunk ends the
+    # sequence, and chunks are contiguous, so filtering empties equals
+    # the Python loop's break
+    "multimodal_frames": """
+        WITH f AS (
+            SELECT doc_id,
+                   unnest(generate_series(0, 3)) AS frame_idx,
+                   text,
+                   greatest(length(text) // 4, 1) AS step
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(length(chunk) AS BIGINT) AS n_bytes,
+               md5(chunk) AS checksum
+        FROM (SELECT doc_id, frame_idx,
+                     substr(text, CAST(frame_idx * step + 1 AS INTEGER),
+                            CAST(step AS INTEGER)) AS chunk
+              FROM f)
+        WHERE length(chunk) > 0
+        ORDER BY doc_id, frame_idx
+    """,
 }
 
 QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
     "audio_features": q_audio_features,
+    "multimodal_frames": q_multimodal_frames,
 }
