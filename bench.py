@@ -35,6 +35,12 @@ def format_headline(line: dict, timings: dict, names, budget: int = 1980) -> str
     3. integers for everything ≥1s, 1dp kept BELOW 1s — sub-second
        entries are where integer rounding destroys the signal (0.3 → 0),
        so they hold precision longest;
+    3b. drop steal_pct (OUR host-noise diagnostic — not one of the
+       driver's contract fields, and the full-precision diagnostics
+       line keeps it) before any timing precision is sacrificed: at 117
+       names the tier-3 realistic mix measured 1994 chars, 14 over
+       budget, and steal_pct's ~20 chars are strictly cheaper than
+       integer-rounding every sub-second entry (r10);
     4. integer seconds for everything and failed queries as -1 — at 109
        real names a partial emit full of "-1.0" was measured at 2105
        chars, over the tail, so the r6 tiers alone were not a guarantee;
@@ -51,8 +57,14 @@ def format_headline(line: dict, timings: dict, names, budget: int = 1980) -> str
        always stays in the diagnostics line either way.
     Mutates line["queries"]."""
     ordered = sorted(names)
+    steal = line.get("steal_pct")
 
-    def render(tier: int) -> str:
+    def render(tier: int, keep_steal: bool = True) -> str:
+        if steal is not None:
+            if keep_steal:
+                line["steal_pct"] = steal
+            else:
+                line.pop("steal_pct", None)
         def v(n):
             t = timings.get(n, -1.0)
             if tier >= 4:
@@ -69,8 +81,8 @@ def format_headline(line: dict, timings: dict, names, budget: int = 1980) -> str
         line["queries"] = {n: v(n) for n in ordered}
         return json.dumps(line, separators=(",", ":"))
 
-    for tier in (1, 2, 3, 4):
-        out = render(tier)
+    for tier, keep_steal in ((1, True), (2, True), (3, True), (3, False), (4, False)):
+        out = render(tier, keep_steal)
         if len(out) <= budget:
             return out
     # tier 5: failed entries carry no timing signal — drop them (with an
