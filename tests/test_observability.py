@@ -451,9 +451,9 @@ spark.stop()
 
 
 def _task_end(sid, tid, idx, att, launch, finish, status="SUCCESS",
-              host="h1", spec=False):
+              host="h1", spec=False, reason=None):
     reason = {"Reason": "Success"} if status == "SUCCESS" else {
-        "Reason": "ExceptionFailure"}
+        "Reason": reason or "ExceptionFailure"}
     return {
         "Event": "SparkListenerTaskEnd",
         "Stage ID": sid, "Stage Attempt ID": 0,
@@ -613,3 +613,56 @@ spark.stop()
     for r in vert:
         assert r["median_ms"] <= r["p75_ms"] <= r["p95_ms"] <= r["p98_ms"]
         assert r["makespan_ms"] >= r["p98_ms"] - 1  # makespan bounds attempts
+
+
+def test_attempt_stats_assignment_and_input_errors_synthetic(tmp_path):
+    """The r10 bonus analyzers pinned on a synthetic log: stage 0
+    spreads attempts 3-vs-1 across two hosts (TaskAssignmentAnalyzer's
+    load metric), host h2 eats a FetchFailed attempt
+    (InputReadErrorAnalyzer) and the per-(host, status) matrix counts
+    it (TaskAttemptResultStatisticsAnalyzer)."""
+    import json
+
+    from tez_spark.observability import (
+        input_read_error_report_from_history,
+        load_history,
+        task_assignment_from_history,
+        task_attempt_stats_from_history,
+    )
+
+    log = [
+        _stage_completed(0, "join", 1000, 5000),
+        _task_end(0, 0, 0, 0, 1000, 2000, host="h1"),
+        _task_end(0, 1, 1, 0, 1000, 2100, host="h1"),
+        _task_end(0, 2, 2, 0, 1000, 2200, host="h1"),
+        _task_end(0, 3, 3, 0, 1000, 3000, status="FAILED",
+                  host="h2", reason="FetchFailed"),
+        _task_end(0, 4, 3, 1, 3000, 4000, host="h2"),
+    ]
+    p = tmp_path / "app-log"
+    p.write_text("\n".join(json.dumps(e) for e in log))
+    h = load_history(str(p))
+
+    stats = task_attempt_stats_from_history(h)
+    assert [(r["host"], r["status"], r["num_attempts"]) for r in stats] == [
+        ("h1", "SUCCESS", 3), ("h2", "FAILED", 1), ("h2", "SUCCESS", 1)]
+    for r in stats:  # every row carries the stage totals
+        assert (r["stage_all"], r["stage_succeeded"], r["stage_failed"],
+                r["stage_killed"]) == (5, 4, 1, 0)
+
+    asg = task_assignment_from_history(h)
+    # 5 attempts over 2 hosts: mean 2.5 -> h1 load 120%, h2 80%
+    assert [(r["host"], r["num_attempts"]) for r in asg] == [
+        ("h1", 3), ("h2", 2)]
+    assert abs(asg[0]["load_pct"] - 120.0) < 1e-9
+    assert abs(asg[1]["load_pct"] - 80.0) < 1e-9
+
+    errs = input_read_error_report_from_history(h)
+    assert len(errs) == 1
+    e = errs[0]
+    assert (e["task_id"], e["reason"], e["host"]) == (3, "FetchFailed", "h2")
+    # an ExceptionFailure (code bug) must NOT appear: infra-only filter
+    log.append(_task_end(0, 5, 4, 0, 1000, 1500, status="FAILED",
+                         host="h1", reason="ExceptionFailure"))
+    p.write_text("\n".join(json.dumps(e2) for e2 in log))
+    assert len(input_read_error_report_from_history(str(p))) == 1

@@ -893,6 +893,118 @@ def hung_task_report_from_history(
     )
 
 
+def task_attempt_stats_from_history(
+    history: dict[str, Any] | str
+) -> list[dict[str, Any]]:
+    """TaskAttemptResultStatisticsAnalyzer parity (tez-tools/analyzers/
+    job-analyzer/.../plugins/TaskAttemptResultStatisticsAnalyzer.java:
+    28-63 — attempt counts per (vertex, node, status), each row carrying
+    the vertex's all/succeeded/failed/killed task totals): the
+    where-did-attempts-go matrix. A host whose FAILED count dwarfs its
+    peers' is a bad node; a stage whose killed count is high under
+    speculation is wasted duplicate work."""
+    h = load_history(history) if isinstance(history, str) else history
+    names = _stage_names(h)
+    per_stage: dict[int, dict[str, int]] = {}
+    counts: dict[tuple[int, str, str], int] = {}
+    for t in h.get("tasks", []):
+        sid = t["stage_id"]
+        st = per_stage.setdefault(
+            sid, {"all": 0, "succeeded": 0, "failed": 0, "killed": 0}
+        )
+        st["all"] += 1
+        st[
+            {"SUCCESS": "succeeded", "FAILED": "failed", "KILLED": "killed"}[
+                t["status"]
+            ]
+        ] += 1
+        key = (sid, t["host"], t["status"])
+        counts[key] = counts.get(key, 0) + 1
+    rows = [
+        {
+            "stage_id": sid,
+            "name": names.get(sid, ""),
+            "host": host,
+            "status": status,
+            "num_attempts": n,
+            **{f"stage_{k}": v for k, v in per_stage[sid].items()},
+        }
+        for (sid, host, status), n in counts.items()
+    ]
+    return sorted(rows, key=lambda r: (r["name"], r["host"], r["status"]))
+
+
+def task_assignment_from_history(
+    history: dict[str, Any] | str
+) -> list[dict[str, Any]]:
+    """TaskAssignmentAnalyzer parity (tez-tools/analyzers/job-analyzer/
+    .../plugins/TaskAssignmentAnalyzer.java:30-49 — attempts per
+    (vertex, node) with load as percent of the vertex's per-node mean):
+    placement balance. load ~100 everywhere = even spread; one host at
+    300 means locality or scheduling herded the stage onto it — on a
+    real cluster the fix is locality-wait / executor count, and the
+    skew shows up here before it shows up as a straggler."""
+    h = load_history(history) if isinstance(history, str) else history
+    names = _stage_names(h)
+    per: dict[int, dict[str, int]] = {}
+    for t in h.get("tasks", []):
+        per.setdefault(t["stage_id"], {})
+        per[t["stage_id"]][t["host"]] = per[t["stage_id"]].get(t["host"], 0) + 1
+    rows = []
+    for sid, hosts in per.items():
+        total = sum(hosts.values())
+        mean = total / max(1.0, len(hosts))
+        for host, n in hosts.items():
+            rows.append(
+                {
+                    "stage_id": sid,
+                    "name": names.get(sid, ""),
+                    "host": host,
+                    "num_attempts": n,
+                    "load_pct": n * 100.0 / mean,
+                }
+            )
+    return sorted(rows, key=lambda r: (r["name"], r["host"]))
+
+
+# Spark task-end reasons that mean "shuffle input / upstream output was
+# lost", the analog of the reference's INPUT_READ_ERROR / OUTPUT_LOST /
+# NODE_FAILED termination causes.
+_INPUT_LOSS_REASONS = ("FetchFailed", "ExecutorLostFailure", "Resubmitted")
+
+
+def input_read_error_report_from_history(
+    history: dict[str, Any] | str
+) -> list[dict[str, Any]]:
+    """InputReadErrorAnalyzer parity (tez-tools/analyzers/job-analyzer/
+    .../plugins/InputReadErrorAnalyzer.java:30-56 — attempts terminated
+    by INPUT_READ_ERROR / OUTPUT_LOST / NODE_FAILED, newest first):
+    attempts Spark ended with FetchFailed (a mapper's shuffle output
+    unreachable), ExecutorLostFailure or Resubmitted (output lost with
+    its executor). These are the infra-health failures — distinct from
+    code failures (ExceptionFailure), they mean re-computation of
+    upstream work, and a burst of them names the flaky node/disk.
+    Empty on a healthy run."""
+    h = load_history(history) if isinstance(history, str) else history
+    names = _stage_names(h)
+    rows = [
+        {
+            "stage_id": t["stage_id"],
+            "name": names.get(t["stage_id"], ""),
+            "task_id": t["task_id"],
+            "index": t["index"],
+            "attempt": t["attempt"],
+            "status": t["status"],
+            "reason": t["reason"],
+            "host": t["host"],
+            "finish_ms": t["finish_ms"],
+        }
+        for t in h.get("tasks", [])
+        if any(t["reason"].startswith(r) for r in _INPUT_LOSS_REASONS)
+    ]
+    return sorted(rows, key=lambda r: -r["finish_ms"])
+
+
 def q_observability_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counter capture demonstrated on the sort-merge-join query (q08):
     returns (counter, value) rows for the stages it ran. Rows-only check —
