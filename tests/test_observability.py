@@ -666,3 +666,37 @@ def test_attempt_stats_assignment_and_input_errors_synthetic(tmp_path):
                          host="h1", reason="ExceptionFailure"))
     p.write_text("\n".join(json.dumps(e2) for e2 in log))
     assert len(input_read_error_report_from_history(str(p))) == 1
+
+
+def test_analyze_log_cli_runs_every_analyzer(tmp_path):
+    """tools/analyze_log.py (the AnalyzerDriver analog) produces every
+    section as valid JSON from a log file — the one-command offline
+    surface a user points at a closed application's event log."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    log = [
+        _stage_completed(0, "scan", 1000, 2000),
+        _task_end(0, 0, 0, 0, 1000, 1400),
+        _task_end(0, 1, 1, 0, 1000, 1900),
+    ]
+    p = tmp_path / "app-log"
+    p.write_text("\n".join(json.dumps(e) for e in log))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "analyze_log.py"), str(p)],
+        capture_output=True, text=True, timeout=120, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout)
+    assert out["stages_parsed"] == 1 and out["task_attempts_parsed"] == 2
+    for section in ("dag_overview", "critical_path", "stage_report",
+                    "slowest_vertices", "slow_tasks", "skew", "spill",
+                    "shuffle_time", "task_concurrency", "task_assignment",
+                    "attempt_stats", "hung_tasks", "input_read_errors"):
+        assert section in out, section
+    assert out["hung_tasks"] == [] and out["input_read_errors"] == []
+    assert [r["task_id"] for r in out["slow_tasks"]] == [1, 0]
