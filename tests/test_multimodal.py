@@ -341,3 +341,60 @@ def test_avi_frame_sample_extracts_real_frames(spark):
     assert [r.frame_idx for r in by_doc[0]] == [0, 1, 2, 3]
     # 2-frame clip: both frames, in order
     assert [bytes(r.frame) for r in by_doc[1]] == clip2
+
+
+def test_audio_features_oracle_equivalence_on_edge_corpora(spark):
+    """The audio_features / multimodal_frames SQL oracles against the
+    Spark fake paths on a corpus the driver fixtures never produce
+    (min doc length there is 44): EMPTY text (the oracles' LEFT JOIN /
+    zero-row branches), 1-char (zcr denominator 0), 2-char with a sign
+    flip (zcr exactly 1.0), and byte 128 (x = +0.0, signbit false).
+    Values must match EXACTLY — the no-rounding contract. The corpus
+    stays ASCII — the oracles' documented domain (per-CHAR explode ==
+    per-byte; the fixtures are verified ASCII at every SF). A
+    consequence worth pinning: ASCII bytes are all < 128, so x < 0
+    everywhere and zero_crossing_rate is structurally 0 on ANY ASCII
+    corpus — the zcr logic is proven by the real-WAV sine test above,
+    not by the oracle row."""
+    import duckdb
+
+    from tests.conftest import canon_rows
+    from tez_spark.operators.multimodal import ORACLE, QUERIES
+
+    rows = [
+        (0, ""),                      # empty: (0, 0, 0) via coalesce
+        (1, "a"),                     # single byte: zcr denominator 0
+        (2, "ab"),                    # 2 bytes, no flip
+        (3, chr(0) * 5),              # x == -1 plane: rms = peak = 1
+        (4, "hello world, hello"),    # ordinary
+    ]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        for name in ("audio_features", "multimodal_frames"):
+            df = QUERIES[name](spark, d)
+            scols, srows = canon_rows(df.columns, [tuple(r) for r in df.collect()])
+            rel = con.execute(ORACLE[name])
+            dcols, drows = canon_rows(
+                [c[0] for c in rel.description], rel.fetchall()
+            )
+            assert scols == dcols, (name, scols, dcols)
+            assert srows == drows, (
+                name,
+                [(a, b) for a, b in zip(srows, drows) if a != b][:3],
+            )
+            if name == "audio_features":
+                # canon column order: doc_id, peak, rms, zcr
+                by_id = {r[0]: r for r in srows}
+                assert by_id[0] == (0, 0.0, 0.0, 0.0)   # empty-doc branch
+                assert by_id[3][1] == 1.0 and by_id[3][2] == 1.0
+                assert all(r[3] == 0.0 for r in srows)  # ASCII => zcr 0

@@ -432,7 +432,15 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     x*x are exact multiples of 1/16384, so every partial sum (any
     association order), the mean's final division, and IEEE sqrt are
     bit-identical across numpy and DuckDB; zcr is an exact small-int
-    ratio and peak an exact multiple of 1/128."""
+    ratio and peak an exact multiple of 1/128.
+
+    Domain note: the oracle's per-CHAR explode equals per-byte only on
+    ASCII text (verified for the fixtures at every SF), and ASCII bytes
+    are all < 128, so zero_crossing_rate is structurally 0 on this
+    surface — the 128 center is the real u8-PCM zero level, kept for
+    semantic honesty; the zcr LOGIC is pinned by the real-WAV sine test
+    (tests/test_multimodal.py::test_audio_features_real_sine_statistics)
+    and the edge-corpus equivalence test."""
     from tez_spark.operators.core import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
