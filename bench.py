@@ -320,6 +320,11 @@ def main() -> None:
                 "samples": {n: n_samples.get(n, 0) for n in sorted(queries)},
                 "medians": {n: medians[n] for n in sorted(medians)},
                 "loadavg": [round(load_start, 2), round(_load1(), 2)],
+                # ALSO here, not just the headline: tier 3b sheds
+                # steal_pct from the headline at >=117 names, and the
+                # host-noise protocol must keep its signal somewhere
+                # (r10 review)
+                "steal_pct": steal_pct,
                 "runs_policy": runs,
                 "prewarm": {
                     "cold_submit_sec": cold_submit,

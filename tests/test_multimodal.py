@@ -306,13 +306,46 @@ def test_parse_avi_frames_roundtrip():
     from tez_spark.operators.multimodal import _parse_avi_frames
 
     frames = [b"frame-zero!", b"f1-odd", b"\x00\x01\x02", b"last"]
-    w, h, got = _parse_avi_frames(_avi_bytes(16, 9, frames))
+    avi = _avi_bytes(16, 9, frames)
+    w, h, got = _parse_avi_frames(avi)
     assert (w, h) == (16, 9)
     assert got == frames
     with pytest.raises(ValueError, match="RIFF/AVI"):
         _parse_avi_frames(b"\x00\x01rubbish")
     with pytest.raises(ValueError, match="RIFF/AVI"):
         _parse_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")  # RIFF, not AVI
+    # honesty gates (r10 review): compressed content raises, never fakes
+    import struct
+
+    def chunk(fourcc, data):
+        pad = b"\0" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def wrap(payload):
+        body = b"AVI " + payload
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    with pytest.raises(NotImplementedError, match="ffmpeg-family"):
+        _parse_avi_frames(wrap(chunk(b"00dc", b"mjpeg-bits")))
+    # strf declaring biCompression != 0 for the VIDEO stream
+    bih = struct.pack("<IiiHHIIiiII", 40, 16, 9, 1, 24, 0x47504A4D,
+                      0, 0, 0, 0, 0)
+    comp_hdr = chunk(b"strh", b"vids" + b"\0" * 52) + chunk(b"strf", bih)
+    with pytest.raises(NotImplementedError, match="biCompression"):
+        _parse_avi_frames(wrap(comp_hdr))
+    # ...but an AUDIO strf whose first dword happens to exceed 40 (PCM
+    # WAVEFORMATEX) must NOT trip the video gate
+    wfx = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16) + b"\0" * 8
+    ok = (chunk(b"strh", b"auds" + b"\0" * 52) + chunk(b"strf", wfx)
+          + chunk(b"00db", b"pix"))
+    assert _parse_avi_frames(wrap(ok))[2] == [b"pix"]
+    # truncated/lying sizes raise ValueError, not struct.error or a
+    # silently short frame
+    with pytest.raises(ValueError, match="overruns"):
+        _parse_avi_frames(wrap(chunk(b"00db", b"x" * 40)[:20]))
+    lying = wrap(b"00db" + struct.pack("<I", 1000) + b"short")
+    with pytest.raises(ValueError, match="overruns"):
+        _parse_avi_frames(lying)
 
 
 def test_avi_frame_sample_extracts_real_frames(spark):

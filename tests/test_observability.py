@@ -451,12 +451,12 @@ spark.stop()
 
 
 def _task_end(sid, tid, idx, att, launch, finish, status="SUCCESS",
-              host="h1", spec=False, reason=None):
+              host="h1", spec=False, reason=None, stage_att=0):
     reason = {"Reason": "Success"} if status == "SUCCESS" else {
         "Reason": reason or "ExceptionFailure"}
     return {
         "Event": "SparkListenerTaskEnd",
-        "Stage ID": sid, "Stage Attempt ID": 0,
+        "Stage ID": sid, "Stage Attempt ID": stage_att,
         "Task End Reason": reason,
         "Task Info": {
             "Task ID": tid, "Index": idx, "Attempt": att,
@@ -543,12 +543,15 @@ def test_slow_hung_overview_vertex_analyzers_synthetic(tmp_path):
     fin1 = over[-1]
     assert fin1["status"] == "FAILED"
     assert fin1["diagnostics"] == "Job aborted"  # first line only
+    # TASK-level (distinct index) counts: indexes {3, 4}; both
+    # eventually succeeded, index 3 also had a failed attempt
     assert (fin1["num_tasks"], fin1["completed_tasks"],
-            fin1["failed_tasks"]) == (4, 2, 1)
+            fin1["failed_tasks"]) == (2, 2, 1)
 
     vert = slowest_vertex_report_from_history(h)
-    # reduce: successful attempts span 2000 -> 11000
+    # reduce: ALL attempts (failed included) span 2000 -> 11000
     assert vert[0]["name"] == "reduce" and vert[0]["makespan_ms"] == 9000
+    assert vert[0]["num_attempts"] == 4  # failed + killed counted
     assert vert[1]["name"] == "scan" and vert[1]["makespan_ms"] == 900
     # scan durations [400, 900]: nearest-rank median=400, p95=900
     assert vert[1]["median_ms"] == 400 and vert[1]["p95_ms"] == 900
@@ -700,3 +703,45 @@ def test_analyze_log_cli_runs_every_analyzer(tmp_path):
         assert section in out, section
     assert out["hung_tasks"] == [] and out["input_read_errors"] == []
     assert [r["task_id"] for r in out["slow_tasks"]] == [1, 0]
+
+
+def test_hung_task_last_attempt_across_stage_retries(tmp_path):
+    """r10 review: Spark's per-task Attempt counter RESETS on a stage
+    resubmission, so a task that failed in stage-attempt 0 and
+    succeeded as attempt 0 of stage-attempt 1 must report SUCCESS as
+    its last outcome (ordering by attempt number alone would pick the
+    stale FAILED row). Also pins that the FAILED attempt still
+    dominates slowest-vertex makespan via the attempt-inclusive r10
+    rework."""
+    import json
+
+    from tez_spark.observability import (
+        hung_task_report_from_history,
+        load_history,
+        slowest_vertex_report_from_history,
+    )
+
+    log = [
+        _stage_completed(5, "reduce", 1000, 9000),
+        # stage attempt 0: index 7 fails twice (attempts 0 and 1)
+        _task_end(5, 0, 7, 0, 1000, 7000, status="FAILED",
+                  reason="FetchFailed", stage_att=0),
+        _task_end(5, 1, 7, 1, 7000, 7500, status="FAILED",
+                  reason="FetchFailed", stage_att=0),
+        # stage attempt 1: index 7 reruns as attempt 0 and SUCCEEDS
+        _task_end(5, 2, 7, 0, 8000, 8800, stage_att=1),
+    ]
+    p = tmp_path / "app-log"
+    p.write_text("\n".join(json.dumps(e) for e in log))
+    h = load_history(str(p))
+
+    hung = hung_task_report_from_history(h)
+    assert len(hung) == 1
+    r = hung[0]
+    assert (r["index"], r["num_attempts"], r["last_status"]) == (7, 3, "SUCCESS")
+    assert r["last_duration_ms"] == 800
+
+    vert = slowest_vertex_report_from_history(h)
+    # stage attempt 0 row: the 6000 ms FAILED attempt sets its makespan
+    att0 = [v for v in vert if v["stage_id"] == 5 and v["num_attempts"] == 2]
+    assert att0 and att0[0]["makespan_ms"] == 6500 and att0[0]["p98_ms"] == 6000

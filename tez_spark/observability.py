@@ -781,20 +781,30 @@ def slowest_vertex_report_from_history(
     upstream/network (shuffle_time_report has the detail)."""
     h = load_history(history) if isinstance(history, str) else history
     by_key = {(s["stage_id"], s["attempt_id"]): s for s in h["stages"]}
+    # EVERY attempt, failed/killed included (r10 review: the reference
+    # histograms task ATTEMPTS, and a vertex whose wall time was burned
+    # by a 10-minute FAILED attempt must not report the makespan of its
+    # fast retries only) — h["intervals"]/h["durations"] are success-only
+    # by design, so this report reads h["tasks"].
+    by_stage: dict[tuple[int, int], list[dict[str, Any]]] = {}
+    for t in h.get("tasks", []):
+        by_stage.setdefault(
+            (t["stage_id"], t["stage_attempt_id"]), []
+        ).append(t)
     rows = []
-    for key, ivals in h.get("intervals", {}).items():
-        if not ivals:
-            continue
+    for key, attempts in by_stage.items():
         s = by_key.get(key, {})
-        durs = sorted(h["durations"].get(key, []))
-        makespan = max(f for _, f in ivals) - min(l for l, _ in ivals)
+        durs = sorted(t["duration_ms"] for t in attempts)
+        makespan = max(t["finish_ms"] for t in attempts) - min(
+            t["launch_ms"] for t in attempts
+        )
         run_ms = s.get("EXECUTOR_RUN_TIME_MS", 0)
         fetch_wait = s.get("SHUFFLE_FETCH_WAIT_MS", 0)
         rows.append(
             {
                 "stage_id": key[0],
                 "name": s.get("name", ""),
-                "num_attempts": len(ivals),
+                "num_attempts": len(attempts),
                 "makespan_ms": makespan,
                 "median_ms": _nearest_rank(durs, 0.50),
                 "p75_ms": _nearest_rank(durs, 0.75),
@@ -827,10 +837,20 @@ def dag_overview_from_history(
     rows = []
     for s in h["stages"]:
         ts = by_stage_tasks.get(s["stage_id"], [])
+        # TASK-level counts (distinct partition index), matching the
+        # reference's getNumTasks/getCompletedTasksCount semantics —
+        # NOT attempt counts, which speculation/retries inflate (r10
+        # review: a retried task must not count as both completed and
+        # failed work)
+        idx = {t["index"] for t in ts}
         stats = {
-            "num_tasks": len(ts),
-            "completed_tasks": sum(1 for t in ts if t["status"] == "SUCCESS"),
-            "failed_tasks": sum(1 for t in ts if t["status"] == "FAILED"),
+            "num_tasks": len(idx),
+            "completed_tasks": len(
+                {t["index"] for t in ts if t["status"] == "SUCCESS"}
+            ),
+            "failed_tasks": len(
+                {t["index"] for t in ts if t["status"] == "FAILED"}
+            ),
         }
         for ev_type, ts_ms in (
             ("STAGE_SUBMITTED", s.get("submission_ms")),
@@ -874,7 +894,15 @@ def hung_task_report_from_history(
     for (sid, idx), attempts in by_task.items():
         if len(attempts) <= 1:
             continue
-        last = max(attempts, key=lambda t: t["attempt"])
+        # "last" across STAGE attempts too: Spark's per-task Attempt
+        # counter resets when a stage is resubmitted, so a task that
+        # failed twice in stage-attempt 0 and succeeded as attempt 0 of
+        # stage-attempt 1 must report the SUCCESS, not the stale FAILED
+        # row (r10 review) — order by (stage_attempt, attempt, finish)
+        last = max(
+            attempts,
+            key=lambda t: (t["stage_attempt_id"], t["attempt"], t["finish_ms"]),
+        )
         rows.append(
             {
                 "stage_id": sid,

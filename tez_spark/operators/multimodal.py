@@ -123,31 +123,60 @@ def _parse_avi_frames(b: bytes) -> tuple[int, int, list[bytes]]:
     """Minimal RIFF/AVI reader for UNCOMPRESSED video streams — pure
     stdlib, the video analog of decode_audio_meta's ``wave`` codec
     (AVI is the same RIFF container family as WAV). Returns
-    (width, height, frames) where frames are the raw '00db'/'00dc'
-    chunk payloads (DIB pixel planes for biCompression=0 streams)
-    in stream order. Compressed codecs inside AVI (and non-RIFF
-    containers: mp4/webm) still need ffmpeg-family decoders and raise
-    NotImplementedError in the caller. Malformed RIFF raises ValueError
-    — corrupt inputs should fail loudly in a decode pass."""
+    (width, height, frames) where frames are the raw '00db' chunk
+    payloads (DIB pixel planes) in stream order.
+
+    Honesty gates (r10 review): compressed content raises
+    NotImplementedError — both on an 'strf' BITMAPINFOHEADER declaring
+    biCompression != 0 and on any '..dc' (compressed-frame) chunk —
+    never emitted as fake pixel bytes; truncated/lying chunk sizes
+    raise ValueError (the documented malformed-input contract), never
+    a silently short frame or a raw struct.error."""
     import struct
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     width = height = 0
     frames: list[bytes] = []
+    strh_type = b""  # fccType of the most recent stream header
 
     def walk(start: int, end: int) -> None:
-        nonlocal width, height
+        nonlocal width, height, strh_type
+        if end > len(b):
+            raise ValueError("malformed RIFF/AVI: LIST extends past payload")
         pos = start
         while pos + 8 <= end:
             fourcc = b[pos:pos + 4]
             (size,) = struct.unpack("<I", b[pos + 4:pos + 8])
             body = pos + 8
+            if body + size > end:
+                raise ValueError(
+                    "malformed RIFF/AVI: chunk %r size %d overruns its parent"
+                    % (fourcc, size)
+                )
             if fourcc == b"LIST":
                 walk(body + 4, body + size)  # skip the list subtype
             elif fourcc == b"avih" and size >= 40:
                 width, height = struct.unpack("<II", b[body + 32:body + 40])
-            elif fourcc[2:4] in (b"db", b"dc") and fourcc[:2].isdigit():
+            elif fourcc == b"strh" and size >= 4:
+                strh_type = bytes(b[body:body + 4])
+            elif fourcc == b"strf" and strh_type == b"vids" and size >= 20:
+                # the VIDEO stream's BITMAPINFOHEADER (strf follows its
+                # strh, whose fccType discriminates video from audio):
+                # biCompression at +16; 0 = BI_RGB (uncompressed DIB) —
+                # anything else needs a real codec.
+                (compression,) = struct.unpack("<I", b[body + 16:body + 20])
+                if compression != 0:
+                    raise NotImplementedError(
+                        "compressed AVI stream (biCompression=%d) "
+                        "needs an ffmpeg-family decoder" % compression
+                    )
+            elif fourcc[2:4] == b"dc" and fourcc[:2].isdigit():
+                raise NotImplementedError(
+                    "compressed AVI frame chunk %r needs an ffmpeg-family "
+                    "decoder" % fourcc
+                )
+            elif fourcc[2:4] == b"db" and fourcc[:2].isdigit():
                 frames.append(b[body:body + size])
             pos = body + size + (size & 1)  # chunks pad to even offsets
 

@@ -12,9 +12,11 @@ empty sections mean "nothing to report" (no spill, no hung tasks, ...),
 which is itself the finding on a healthy run.
 """
 import json
+import os
 import sys
 
-sys.path.insert(0, ".")
+# repo root, not cwd: the CLI must work from any working directory
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tez_spark.observability import (  # noqa: E402
     critical_path_from_history,
