@@ -815,12 +815,13 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever reaches the driver."""
     from tez_spark.operators.core import tracked_persist
     from tez_spark.operators.similarity import all_pairs_cosine
+    from tez_spark.sources.catalog import table_row_count
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = tracked_persist(
-        all_pairs_cosine(emb, threshold=0.45).select(
-            F.col("va").alias("da"), F.col("vb").alias("db")
-        )
+        all_pairs_cosine(
+            emb, threshold=0.45, n_rows=table_row_count(sf_dir, "embeddings")
+        ).select(F.col("va").alias("da"), F.col("vb").alias("db"))
     )
     return bounded_sort(
         connected_components(pairs).withColumnRenamed("doc_id", "vec_id"),

@@ -582,6 +582,7 @@ def all_pairs_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_rows: int = 2048,
+    n_rows: "int | None" = None,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold via distributed block-pair
     matmul — NO driver-side collect of the corpus (the round-1 version
@@ -602,7 +603,13 @@ def all_pairs_cosine(
     the right tool up to ~10⁶ vectors."""
     import pandas as pd
 
-    n = df.count()  # scalar aggregate, not a data collect
+    # Block-grid sizing needs |df| — a CARDINALITY, not data. Callers
+    # passing a whole fixture table supply it from parquet footer
+    # metadata (catalog.table_row_count: no Spark job — r10, the
+    # chunked_cross_join pattern); filtered inputs fall back to the
+    # scalar count() job. An n_rows above the true count only makes
+    # blocks smaller (correct, slightly more pairs), never wrong.
+    n = n_rows if n_rows is not None else df.count()
     nb = max(1, -(-n // block_rows))
     v = df.select(
         F.col(id_col).alias("_id"),
@@ -873,8 +880,12 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH path (O(tables·corpus·dim) shuffle); at fixture/bench SFs the
     exact side is the same distributed block-pair matmul
     dedup_embedding already runs in ~0 s."""
+    from tez_spark.sources.catalog import table_row_count
+
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = all_pairs_cosine(emb, threshold=0.45).select("va", "vb")
+    exact = all_pairs_cosine(
+        emb, threshold=0.45, n_rows=table_row_count(sf_dir, "embeddings")
+    ).select("va", "vb")
     lsh = dedup_embedding_lsh(emb, threshold=0.45, dim=64).select(
         "va", "vb", "sim"
     )

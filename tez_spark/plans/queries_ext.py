@@ -291,9 +291,16 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     sublinear 100TB path is dedup_embedding_lsh (candidates + re-rank);
     this exact form is the DuckDB-verifiable truth."""
     from tez_spark.operators.similarity import all_pairs_cosine
+    from tez_spark.sources.catalog import table_row_count
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return bounded_sort(all_pairs_cosine(emb, threshold=0.45), "va", "vb")
+    return bounded_sort(
+        all_pairs_cosine(
+            emb, threshold=0.45, n_rows=table_row_count(sf_dir, "embeddings")
+        ),
+        "va",
+        "vb",
+    )
 
 
 # --- correlated subqueries (EXISTS / NOT EXISTS as semi/anti joins) --------
