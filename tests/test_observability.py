@@ -451,7 +451,8 @@ spark.stop()
 
 
 def _task_end(sid, tid, idx, att, launch, finish, status="SUCCESS",
-              host="h1", spec=False, reason=None, stage_att=0):
+              host="h1", spec=False, reason=None, stage_att=0,
+              locality="PROCESS_LOCAL"):
     reason = {"Reason": "Success"} if status == "SUCCESS" else {
         "Reason": reason or "ExceptionFailure"}
     return {
@@ -461,7 +462,7 @@ def _task_end(sid, tid, idx, att, launch, finish, status="SUCCESS",
         "Task Info": {
             "Task ID": tid, "Index": idx, "Attempt": att,
             "Launch Time": launch, "Finish Time": finish,
-            "Host": host, "Speculative": spec,
+            "Host": host, "Speculative": spec, "Locality": locality,
             "Failed": status == "FAILED", "Killed": status == "KILLED",
         },
         "Task Metrics": {"Executor Run Time": finish - launch},
@@ -699,7 +700,8 @@ def test_analyze_log_cli_runs_every_analyzer(tmp_path):
     for section in ("dag_overview", "critical_path", "stage_report",
                     "slowest_vertices", "slow_tasks", "skew", "spill",
                     "shuffle_time", "task_concurrency", "task_assignment",
-                    "attempt_stats", "hung_tasks", "input_read_errors"):
+                    "slow_nodes", "locality", "attempt_stats",
+                    "hung_tasks", "input_read_errors"):
         assert section in out, section
     assert out["hung_tasks"] == [] and out["input_read_errors"] == []
     assert [r["task_id"] for r in out["slow_tasks"]] == [1, 0]
@@ -745,3 +747,59 @@ def test_hung_task_last_attempt_across_stage_retries(tmp_path):
     # stage attempt 0 row: the 6000 ms FAILED attempt sets its makespan
     att0 = [v for v in vert if v["stage_id"] == 5 and v["num_attempts"] == 2]
     assert att0 and att0[0]["makespan_ms"] == 6500 and att0[0]["p98_ms"] == 6000
+
+
+def test_slow_node_and_locality_analyzers_synthetic(tmp_path):
+    """SlowNodeAnalyzer / LocalityAnalyzer parity pinned on a synthetic
+    two-host log: h2's succeeded attempts average 3x h1's (the bad-node
+    signal), and a stage whose ANY-locality attempts dominate AND run
+    slower than its local ones raises the locality-wait
+    recommendation."""
+    import json
+
+    from tez_spark.observability import (
+        load_history,
+        locality_report_from_history,
+        slow_node_report_from_history,
+    )
+
+    log = [
+        _stage_completed(0, "scan", 0, 20000),
+        # h1: two fast succeeded attempts (1000ms each), local
+        _task_end(0, 0, 0, 0, 0, 1000, host="h1"),
+        _task_end(0, 1, 1, 0, 0, 1000, host="h1"),
+        # h2: two slow succeeded (3000ms) non-local + one failed
+        _task_end(0, 2, 2, 0, 0, 3000, host="h2", locality="ANY"),
+        _task_end(0, 3, 3, 0, 0, 3000, host="h2", locality="ANY"),
+        _task_end(0, 4, 4, 0, 0, 500, status="FAILED", host="h2",
+                  locality="ANY"),
+    ]
+    p = tmp_path / "app-log"
+    p.write_text("\n".join(json.dumps(e) for e in log))
+    h = load_history(str(p))
+
+    nodes = {r["host"]: r for r in slow_node_report_from_history(h)}
+    assert nodes["h1"]["avg_succeeded_ms"] == 1000
+    assert nodes["h2"]["avg_succeeded_ms"] == 3000
+    assert nodes["h2"]["num_failed"] == 1 and nodes["h1"]["num_failed"] == 0
+    # cluster avg = 2000; h2 runs 1.5x it, h1 0.5x — h2 ranked first
+    assert abs(nodes["h2"]["speed_vs_cluster"] - 1.5) < 1e-9
+    assert slow_node_report_from_history(h)[0]["host"] == "h2"
+
+    loc = locality_report_from_history(h)
+    assert len(loc) == 1
+    r = loc[0]
+    # 2 of 5 attempts local -> ratio 0.4 < 0.5, and local (1000ms avg)
+    # beats non-local (3000/3000/500 -> 2166.7ms): recommend raising
+    # spark.locality.wait
+    assert (r["n_process_local"], r["n_any"]) == (2, 3)
+    assert abs(r["local_ratio"] - 0.4) < 1e-9
+    assert r["raise_locality_wait"] is True
+    # flip: with locality mostly local the recommendation clears
+    log2 = log[:3] + [
+        _task_end(0, 3, 3, 0, 0, 3000, host="h2"),
+        _task_end(0, 4, 4, 0, 0, 500, host="h2"),
+    ]
+    p.write_text("\n".join(json.dumps(e) for e in log2))
+    r2 = locality_report_from_history(str(p))[0]
+    assert r2["raise_locality_wait"] is False

@@ -362,6 +362,7 @@ def load_history(path: str) -> dict[str, Any]:
                             "index": info.get("Index"),
                             "attempt": int(info.get("Attempt", 0)),
                             "host": info.get("Host", ""),
+                            "locality": info.get("Locality", ""),
                             "speculative": bool(info.get("Speculative")),
                             "status": (
                                 "SUCCESS"
@@ -1031,6 +1032,112 @@ def input_read_error_report_from_history(
         if any(t["reason"].startswith(r) for r in _INPUT_LOSS_REASONS)
     ]
     return sorted(rows, key=lambda r: -r["finish_ms"])
+
+
+def _avg(vals: list[int]) -> float:
+    return sum(vals) / len(vals) if vals else 0.0
+
+
+def slow_node_report_from_history(
+    history: dict[str, Any] | str
+) -> list[dict[str, Any]]:
+    """SlowNodeAnalyzer parity (tez-tools/analyzers/job-analyzer/...
+    /plugins/SlowNodeAnalyzer.java:44-100 — per-node attempt counts by
+    outcome and average execution times): per host, how many attempts
+    ran / were killed / failed and the average SUCCEEDED attempt
+    duration, plus speed_vs_cluster — that average as a multiple of the
+    cluster-wide one (>1 = slower than the fleet). A host consistently
+    above ~1.5x with a normal task mix is the bad-hardware signal; in
+    local mode every task shares one host and the report is a single
+    ratio-1.0 row (the healthy degenerate case)."""
+    h = load_history(history) if isinstance(history, str) else history
+    by_host: dict[str, list[dict[str, Any]]] = {}
+    for t in h.get("tasks", []):
+        by_host.setdefault(t["host"], []).append(t)
+    all_ok = [
+        t["duration_ms"] for t in h.get("tasks", []) if t["status"] == "SUCCESS"
+    ]
+    cluster_avg = _avg(all_ok)
+    rows = []
+    for host, ts in by_host.items():
+        ok = [t["duration_ms"] for t in ts if t["status"] == "SUCCESS"]
+        rows.append(
+            {
+                "host": host,
+                "num_attempts": len(ts),
+                "num_killed": sum(1 for t in ts if t["status"] == "KILLED"),
+                "num_failed": sum(1 for t in ts if t["status"] == "FAILED"),
+                "avg_succeeded_ms": _avg(ok),
+                "avg_killed_ms": _avg(
+                    [t["duration_ms"] for t in ts if t["status"] == "KILLED"]
+                ),
+                "avg_failed_ms": _avg(
+                    [t["duration_ms"] for t in ts if t["status"] == "FAILED"]
+                ),
+                "speed_vs_cluster": (
+                    _avg(ok) / cluster_avg if cluster_avg else 0.0
+                ),
+            }
+        )
+    return sorted(rows, key=lambda r: -r["speed_vs_cluster"])
+
+
+# Spark locality levels, best to worst (Task Info "Locality")
+_LOCAL_LEVELS = ("PROCESS_LOCAL", "NODE_LOCAL", "RACK_LOCAL", "ANY")
+
+
+def locality_report_from_history(
+    history: dict[str, Any] | str, local_ratio_threshold: float = 0.5
+) -> list[dict[str, Any]]:
+    """LocalityAnalyzer parity (tez-tools/analyzers/job-analyzer/...
+    /plugins/LocalityAnalyzer.java:36-120 — per-vertex data-local/
+    rack-local task ratios, per-level average runtimes, and a
+    recommendation when locality is low while local tasks run faster):
+    per stage, the Spark locality-level distribution (PROCESS_LOCAL /
+    NODE_LOCAL / RACK_LOCAL / ANY from Task Info), per-level average
+    durations, and raise_locality_wait=True when the local ratio sits
+    under the threshold while local attempts are measurably faster —
+    the reference's exact recommendation logic, mapped to Spark's
+    spark.locality.wait knob."""
+    h = load_history(history) if isinstance(history, str) else history
+    names = _stage_names(h)
+    by_stage: dict[int, list[dict[str, Any]]] = {}
+    for t in h.get("tasks", []):
+        by_stage.setdefault(t["stage_id"], []).append(t)
+    rows = []
+    for sid, ts in by_stage.items():
+        n = len(ts)
+        levels = {
+            lvl: [t["duration_ms"] for t in ts if t["locality"] == lvl]
+            for lvl in _LOCAL_LEVELS
+        }
+        local = levels["PROCESS_LOCAL"] + levels["NODE_LOCAL"]
+        other = levels["RACK_LOCAL"] + levels["ANY"]
+        local_ratio = len(local) / n if n else 0.0
+        rec = bool(
+            local
+            and other
+            and local_ratio < local_ratio_threshold
+            and _avg(local) < _avg(other)
+        )
+        rows.append(
+            {
+                "stage_id": sid,
+                "name": names.get(sid, ""),
+                "num_attempts": n,
+                "local_ratio": local_ratio,
+                **{
+                    f"n_{lvl.lower()}": len(levels[lvl])
+                    for lvl in _LOCAL_LEVELS
+                },
+                **{
+                    f"avg_{lvl.lower()}_ms": _avg(levels[lvl])
+                    for lvl in _LOCAL_LEVELS
+                },
+                "raise_locality_wait": rec,
+            }
+        )
+    return sorted(rows, key=lambda r: r["local_ratio"])
 
 
 def q_observability_counters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,8 +24,10 @@ from tez_spark.observability import (  # noqa: E402
     hung_task_report_from_history,
     input_read_error_report_from_history,
     load_history,
+    locality_report_from_history,
     shuffle_time_report_from_history,
     skew_report_from_history,
+    slow_node_report_from_history,
     slow_task_report_from_history,
     slowest_vertex_report_from_history,
     spill_report_from_history,
@@ -51,6 +53,8 @@ def analyze(path: str, top: int = 20) -> dict:
         "shuffle_time": shuffle_time_report_from_history(h, top=top),
         "task_concurrency": task_concurrency_from_history(h),
         "task_assignment": task_assignment_from_history(h),
+        "slow_nodes": slow_node_report_from_history(h),
+        "locality": locality_report_from_history(h),
         "attempt_stats": task_attempt_stats_from_history(h),
         "hung_tasks": hung_task_report_from_history(h),
         "input_read_errors": input_read_error_report_from_history(h),
