@@ -307,7 +307,8 @@ def test_parse_avi_frames_roundtrip():
 
     frames = [b"frame-zero!", b"f1-odd", b"\x00\x01\x02", b"last"]
     avi = _avi_bytes(16, 9, frames)
-    w, h, got = _parse_avi_frames(avi)
+    w, h, got, usec = _parse_avi_frames(avi)
+    assert usec == 33366  # avih dwMicroSecPerFrame round-trips (~29.97 fps)
     assert (w, h) == (16, 9)
     assert got == frames
     with pytest.raises(ValueError, match="RIFF/AVI"):
@@ -431,3 +432,43 @@ def test_audio_features_oracle_equivalence_on_edge_corpora(spark):
                 assert by_id[0] == (0, 0.0, 0.0, 0.0)   # empty-doc branch
                 assert by_id[3][1] == 1.0 and by_id[3][2] == 1.0
                 assert all(r[3] == 0.0 for r in srows)  # ASCII => zcr 0
+
+
+def test_video_decode_real_avi_metadata(spark):
+    """decode_video_meta(fake=False) reads ACTUAL container metadata —
+    dimensions, frame count, fps from dwMicroSecPerFrame — from
+    generated uncompressed AVIs (stdlib codec, live everywhere: the
+    decode_audio_meta contract applied to video)."""
+    from tez_spark.operators.multimodal import decode_video_meta
+
+    clips = [
+        (0, _avi_bytes(32, 18, [b"f0", b"f1", b"f2"])),
+        (1, _avi_bytes(8, 8, [b"only"])),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in clips], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: r for r in decode_video_meta(df, fake=False).collect()}
+    assert (rows[0].width, rows[0].height, rows[0].n_frames) == (32, 18, 3)
+    assert (rows[1].width, rows[1].height, rows[1].n_frames) == (8, 8, 1)
+    # _avi_bytes writes dwMicroSecPerFrame=33366 -> ~29.97 fps
+    assert abs(rows[0].fps - 1e6 / 33366) < 1e-9
+    for i, b in clips:
+        assert rows[i].n_bytes == len(b)
+
+
+def test_video_decode_fake_is_pure_function_of_bytes(spark):
+    """The fake branch (the SQL-oracle-able surface) depends only on
+    payload bytes — the decode_image_meta/decode_audio_meta contract."""
+    from tez_spark.operators.multimodal import decode_video_meta
+
+    df = spark.createDataFrame(
+        [(0, b"abcdef"), (1, b"abcdef"), (2, b"abcdefg")],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_video_meta(df, fake=True).collect()}
+    a, b, c = rows[0], rows[1], rows[2]
+    assert (a.width, a.height, a.n_frames, a.fps, a.checksum) == (
+        b.width, b.height, b.n_frames, b.fps, b.checksum
+    )
+    assert c.checksum != a.checksum and c.n_bytes == 7

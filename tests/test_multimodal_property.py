@@ -42,7 +42,8 @@ def _avi(width: int, height: int, frames: list[bytes]) -> bytes:
 def test_avi_roundtrip_random(width, height, frames):
     from tez_spark.operators.multimodal import _parse_avi_frames
 
-    w, h, got = _parse_avi_frames(_avi(width, height, frames))
+    w, h, got, usec = _parse_avi_frames(_avi(width, height, frames))
+    assert usec == 33366
     assert (w, h) == (width, height)
     assert got == frames
 

@@ -119,12 +119,14 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(proc, "doc_id long, feature array<double>")
 
 
-def _parse_avi_frames(b: bytes) -> tuple[int, int, list[bytes]]:
+def _parse_avi_frames(b: bytes) -> tuple[int, int, list[bytes], int]:
     """Minimal RIFF/AVI reader for UNCOMPRESSED video streams — pure
     stdlib, the video analog of decode_audio_meta's ``wave`` codec
     (AVI is the same RIFF container family as WAV). Returns
-    (width, height, frames) where frames are the raw '00db' chunk
-    payloads (DIB pixel planes) in stream order.
+    (width, height, frames, usec_per_frame) where frames are the raw
+    '00db' chunk payloads (DIB pixel planes) in stream order and
+    usec_per_frame is avih's dwMicroSecPerFrame (0 when absent —
+    decode_video_meta derives fps from it).
 
     Honesty gates (r10 review): compressed content raises
     NotImplementedError — both on an 'strf' BITMAPINFOHEADER declaring
@@ -136,12 +138,12 @@ def _parse_avi_frames(b: bytes) -> tuple[int, int, list[bytes]]:
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
-    width = height = 0
+    width = height = usec_per_frame = 0
     frames: list[bytes] = []
     strh_type = b""  # fccType of the most recent stream header
 
     def walk(start: int, end: int) -> None:
-        nonlocal width, height, strh_type
+        nonlocal width, height, usec_per_frame, strh_type
         if end > len(b):
             raise ValueError("malformed RIFF/AVI: LIST extends past payload")
         pos = start
@@ -157,6 +159,7 @@ def _parse_avi_frames(b: bytes) -> tuple[int, int, list[bytes]]:
             if fourcc == b"LIST":
                 walk(body + 4, body + size)  # skip the list subtype
             elif fourcc == b"avih" and size >= 40:
+                (usec_per_frame,) = struct.unpack("<I", b[body:body + 4])
                 width, height = struct.unpack("<II", b[body + 32:body + 40])
             elif fourcc == b"strh" and size >= 4:
                 strh_type = bytes(b[body:body + 4])
@@ -181,7 +184,7 @@ def _parse_avi_frames(b: bytes) -> tuple[int, int, list[bytes]]:
             pos = body + size + (size & 1)  # chunks pad to even offsets
 
     walk(12, len(b))
-    return width, height, frames
+    return width, height, frames, usec_per_frame
 
 
 def frame_sample(
@@ -223,7 +226,7 @@ def frame_sample(
                         idxs.append(i)
                         frames.append(chunk)
                 elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
-                    _, _, all_frames = _parse_avi_frames(b)
+                    _, _, all_frames, _ = _parse_avi_frames(b)
                     total = len(all_frames)
                     take = min(n_frames, total)
                     # evenly spaced over the clip, always incl. frame 0
@@ -479,6 +482,91 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(payloads, fake=True).orderBy("doc_id")
 
 
+VIDEO_SCHEMA = (
+    "doc_id long, n_bytes long, width long, height long, n_frames long, "
+    "fps double, checksum string"
+)
+
+
+def decode_video_meta(
+    df: DataFrame, payload_col: str = "payload", fake: bool = True
+) -> DataFrame:
+    """Video payload -> typed metadata via Arrow-batched mapInPandas —
+    the video member of the decode_image_meta / decode_audio_meta
+    family (r10: completes typed-metadata decode across all three
+    modalities).
+
+    fake=True: deterministic fake 'video header' (pure function of the
+    byte length — width/height/frames/fps derived from n_bytes), the
+    SQL-oracle-able surface. fake=False: REAL container parse —
+    uncompressed RIFF/AVI via the pure-stdlib _parse_avi_frames
+    (dimensions from avih, frame count from the stream, fps from
+    dwMicroSecPerFrame; live everywhere), animated GIF via PIL when
+    importable (n_frames from seek, fps from frame duration);
+    compressed containers raise NotImplementedError."""
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        Image = _pil_image()
+
+        def one(payload: bytes) -> tuple[int, int, int, int, float, str]:
+            b = bytes(payload)
+            n = len(b)
+            md5 = hashlib.md5(b).hexdigest()
+            if fake:
+                w = 160 + (n % 16) * 8
+                h = 90 + (n % 9) * 6
+                nf = 1 + n % 120
+                return n, w, h, nf, 24.0, md5
+            if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                w, h, frames, usec = _parse_avi_frames(b)
+                fps = 1e6 / usec if usec else 0.0
+                return n, w, h, len(frames), fps, md5
+            if Image is not None:
+                with Image.open(io.BytesIO(b)) as im:
+                    nf = getattr(im, "n_frames", 1)
+                    dur_ms = im.info.get("duration", 0)
+                    fps = 1000.0 / dur_ms if dur_ms else 0.0
+                    return n, im.width, im.height, nf, fps, md5
+            raise NotImplementedError(
+                "real video metadata: uncompressed RIFF/AVI decodes "
+                "everywhere (stdlib); this payload needs PIL (GIF) or an "
+                "ffmpeg-family decoder (mp4/webm) on the EXECUTORS"
+            )
+
+        for pdf in batches:
+            decoded = [one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": [d[0] for d in decoded],
+                    "width": [d[1] for d in decoded],
+                    "height": [d[2] for d in decoded],
+                    "n_frames": [d[3] for d in decoded],
+                    "fps": [d[4] for d in decoded],
+                    "checksum": [d[5] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(proc, VIDEO_SCHEMA)
+
+
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents' text bytes pushed through the VIDEO decode pipeline
+    (fake branch — the deterministic, SQL-oracle-able surface; the real
+    RIFF/AVI branch is tested on generated clips). Completes the
+    typed-metadata decode family: multimodal_decode (image),
+    multimodal_audio (audio), this (video)."""
+    from tez_spark.operators.core import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = fan_out(
+        docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    )
+    return decode_video_meta(payloads, fake=True).orderBy("doc_id")
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents' text bytes pushed through frame_sample's fake branch
     (byte-range frames: step = max(n//4, 1), frame i = bytes
@@ -594,6 +682,21 @@ ORACLE: dict[str, str] = {
         WHERE length(chunk) > 0
         ORDER BY doc_id, frame_idx
     """,
+    # fake video header, a pure function of byte length (see
+    # decode_video_meta): width = 160 + (n%16)*8, height = 90 + (n%9)*6,
+    # n_frames = 1 + n%120, fps = 24.0
+    "multimodal_video": """
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_bytes,
+               CAST(160 + (n % 16) * 8 AS BIGINT) AS width,
+               CAST(90 + (n % 9) * 6 AS BIGINT) AS height,
+               CAST(1 + n % 120 AS BIGINT) AS n_frames,
+               CAST(24.0 AS DOUBLE) AS fps,
+               md5(text) AS checksum
+        FROM (SELECT doc_id, text, octet_length(encode(text)) AS n
+              FROM documents)
+        ORDER BY doc_id
+    """,
 }
 
 QUERIES = {
@@ -601,4 +704,5 @@ QUERIES = {
     "multimodal_audio": q_multimodal_audio,
     "audio_features": q_audio_features,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_video": q_multimodal_video,
 }

@@ -35,10 +35,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # broadcast gate, ADVICE r9); (3) the 15 oracled queries whose last
 # driver row is round 7 — their r7 rows leave the three-round union at
 # r10, so they MUST be here (the displacement the r9 comment scheduled,
-# plus embedding_incremental per ADVICE r9); (4) 30 of the 46 oracled
+# plus embedding_incremental per ADVICE r9); (4) 29 of the 46 oracled
 # queries whose last driver row is round 8. Displaced to round 11,
 # union-covered by their r8 rows — these must head the r11 window:
-# seq_pack,
+# regex_tokens, seq_pack,
 # source_cap, source_mix, source_quality, star_join, stratified_sample,
 # text_fingerprint, text_langid, text_logprob, text_metrics,
 # text_repetition, text_winnow, tfidf_top_terms, time_gapfill,
@@ -46,7 +46,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _WINDOW_ROUND = 10
 _PRIORITY: tuple[str, ...] = (
     # 1. newly oracled this round — first driver rows
-    "audio_features", "multimodal_frames",
+    "audio_features", "multimodal_frames", "multimodal_video",
     # 2. plan changed this round — re-verify
     "ann_ivf", "dedup_embedding_lsh", "editdistance_discovery",
     # 3. oracled queries whose last driver row is round 7
@@ -61,7 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize", "event_anomalies", "event_funnel",
     "event_retention", "interval_join", "length_curriculum",
     "multimodal_decode", "percentiles", "percentiles_approx",
-    "pii_redact", "pmi_collocations", "regex_tokens",
+    "pii_redact", "pmi_collocations",
 )
 
 
