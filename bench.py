@@ -41,6 +41,11 @@ def format_headline(line: dict, timings: dict, names, budget: int = 1980) -> str
        names the tier-3 realistic mix measured 1994 chars, 14 over
        budget, and steal_pct's ~20 chars are strictly cheaper than
        integer-rounding every sub-second entry (r10);
+    3c. 1dp kept exactly where the integer would print 0 for a query
+       that really ran (total signal loss), nearest integer everywhere
+       else (error <= ~0.5) — an honest mid-step between full
+       sub-second precision and tier 4's zeros (r10: at 118 names
+       tier 3 no longer fit even with steal_pct shed);
     4. integer seconds for everything and failed queries as -1 — at 109
        real names a partial emit full of "-1.0" was measured at 2105
        chars, over the tail, so the r6 tiers alone were not a guarantee;
@@ -69,6 +74,12 @@ def format_headline(line: dict, timings: dict, names, budget: int = 1980) -> str
             t = timings.get(n, -1.0)
             if tier >= 4:
                 return int(round(t))
+            if tier == 3.5:
+                # keyed on the OUTCOME, not a threshold: keep 1dp
+                # exactly where the integer would print 0 (and the
+                # query really ran) — "never print 0" is the contract
+                i = int(round(t))
+                return round(t, 1) if i == 0 and t > 0 else i
             if tier == 3:
                 return int(round(t)) if abs(t) >= 0.95 else round(t, 1)
             if tier == 2:
@@ -81,7 +92,9 @@ def format_headline(line: dict, timings: dict, names, budget: int = 1980) -> str
         line["queries"] = {n: v(n) for n in ordered}
         return json.dumps(line, separators=(",", ":"))
 
-    for tier, keep_steal in ((1, True), (2, True), (3, True), (3, False), (4, False)):
+    for tier, keep_steal in (
+        (1, True), (2, True), (3, True), (3, False), (3.5, False), (4, False),
+    ):
         out = render(tier, keep_steal)
         if len(out) <= budget:
             return out
