@@ -45,7 +45,11 @@ def format_headline(line: dict, timings: dict, names, budget: int = 1980) -> str
        that really ran (total signal loss), nearest integer everywhere
        else (error <= ~0.5) — an honest mid-step between full
        sub-second precision and tier 4's zeros (r10: at 118 names
-       tier 3 no longer fit even with steal_pct shed);
+       tier 3 no longer fit even with steal_pct shed). Contract bound:
+       a query at or above the 1dp tick (t >= 0.05) never prints 0;
+       genuinely sub-tick queries (t < 0.05) quantize to 0.0 — that is
+       honest rounding, not signal loss, and inflating them to a fake
+       0.1 would overstate a 5ms query 20x;
     4. integer seconds for everything and failed queries as -1 — at 109
        real names a partial emit full of "-1.0" was measured at 2105
        chars, over the tail, so the r6 tiers alone were not a guarantee;

@@ -71,23 +71,30 @@ def test_headline_partial_all_failed_fits_without_omission():
 
 def test_headline_realistic_mix_keeps_subsecond_precision():
     """Today's realistic shape (0.2–3s values at the full registry) must
-    NEVER print 0 for a query that really ran — integer rounding a 0.3s
-    query to 0 would destroy the per-query BENCH record the judge
-    compares across rounds. Precision degrades honestly with registry
-    size: sub-0.45s entries keep 1dp at worst (tier 3c), 0.45s-and-up
-    may round to the nearest integer (error <= 0.55)."""
+    NEVER print 0 for a query at or above the 1dp tick (t >= 0.05s) —
+    integer rounding a 0.3s query to 0 would destroy the per-query
+    BENCH record the judge compares across rounds. Precision degrades
+    honestly with registry size (tier 3c keeps 1dp exactly where the
+    integer would be 0); genuinely sub-tick queries may quantize to
+    0.0 — honest rounding, not signal loss."""
     import random
 
     names = _real_names()
     rng = random.Random(3)
     timings = {n: round(rng.uniform(0.2, 3.0), 3) for n in names}
+    # plant one sub-tick entry: it MAY print 0.0 (honest quantization)
+    subtick = sorted(names)[0]
+    timings[subtick] = 0.031
     out = bench.format_headline(_line(), timings, names)
     assert len(out) < 2000
     parsed = json.loads(out)
     assert "queries_omitted" not in parsed
     assert len(parsed["queries"]) == len(names)
     for n, v in parsed["queries"].items():
-        assert v != 0, (n, v, timings[n])  # a real query never prints 0
+        if n == subtick:
+            assert abs(v - timings[n]) <= 0.051, (n, v, timings[n])
+            continue
+        assert v != 0, (n, v, timings[n])  # >= tick: never prints 0
         assert abs(v - timings[n]) <= 0.551, (n, v, timings[n])
 
 

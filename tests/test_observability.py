@@ -545,9 +545,11 @@ def test_slow_hung_overview_vertex_analyzers_synthetic(tmp_path):
     assert fin1["status"] == "FAILED"
     assert fin1["diagnostics"] == "Job aborted"  # first line only
     # TASK-level (distinct index) counts: indexes {3, 4}; both
-    # eventually succeeded, index 3 also had a failed attempt
+    # eventually succeeded, so NEITHER is failed (final-state
+    # semantics — the failed attempt on index 3 is attempt-level
+    # history, visible in attempt_stats, not a failed TASK)
     assert (fin1["num_tasks"], fin1["completed_tasks"],
-            fin1["failed_tasks"]) == (2, 2, 1)
+            fin1["failed_tasks"]) == (2, 2, 0)
 
     vert = slowest_vertex_report_from_history(h)
     # reduce: ALL attempts (failed included) span 2000 -> 11000
@@ -742,6 +744,10 @@ def test_hung_task_last_attempt_across_stage_retries(tmp_path):
     r = hung[0]
     assert (r["index"], r["num_attempts"], r["last_status"]) == (7, 3, "SUCCESS")
     assert r["last_duration_ms"] == 800
+    # the winning attempt is attempt 0 OF STAGE-ATTEMPT 1 — the
+    # stage_attempt column is what makes "3 attempts, last_attempt 0"
+    # legible as a resubmission rerun
+    assert (r["last_stage_attempt"], r["last_attempt"]) == (1, 0)
 
     vert = slowest_vertex_report_from_history(h)
     # stage attempt 0 row: the 6000 ms FAILED attempt sets its makespan
@@ -803,3 +809,60 @@ def test_slow_node_and_locality_analyzers_synthetic(tmp_path):
     p.write_text("\n".join(json.dumps(e) for e in log2))
     r2 = locality_report_from_history(str(p))[0]
     assert r2["raise_locality_wait"] is False
+
+
+def test_slow_node_all_failed_host_ranks_first(tmp_path):
+    """r10 review: a host whose EVERY attempt failed has no succeeded
+    average (speed 0.0) — it must rank FIRST, not sink below every
+    healthy host in a report whose top row is 'the bad node'."""
+    import json
+
+    from tez_spark.observability import (
+        load_history,
+        slow_node_report_from_history,
+    )
+
+    log = [
+        _stage_completed(0, "scan", 0, 10000),
+        _task_end(0, 0, 0, 0, 0, 1000, host="h1"),
+        _task_end(0, 1, 1, 0, 0, 2000, host="h2"),
+        _task_end(0, 2, 2, 0, 0, 4000, status="FAILED", host="h3"),
+        _task_end(0, 3, 3, 0, 0, 4000, status="FAILED", host="h3"),
+    ]
+    p = tmp_path / "app-log"
+    p.write_text("\n".join(json.dumps(e) for e in log))
+    rows = slow_node_report_from_history(load_history(str(p)))
+    assert rows[0]["host"] == "h3" and rows[0]["num_failed"] == 2
+    # then slowest healthy host first
+    assert [r["host"] for r in rows[1:]] == ["h2", "h1"]
+
+
+def test_locality_no_pref_excluded_from_ratio(tmp_path):
+    """r10 review: NO_PREF attempts (reduce tasks emit it routinely)
+    must not dilute local_ratio or trigger a recommendation that
+    spark.locality.wait cannot act on — a stage of 8 NO_PREF + 1 local
+    + 1 ANY has a preference-expressing ratio of 0.5, not 0.1."""
+    import json
+
+    from tez_spark.observability import (
+        load_history,
+        locality_report_from_history,
+    )
+
+    log = [_stage_completed(0, "reduce", 0, 10000)]
+    log += [
+        _task_end(0, i, i, 0, 0, 1000, locality="NO_PREF")
+        for i in range(8)
+    ]
+    log += [
+        _task_end(0, 8, 8, 0, 0, 600, locality="PROCESS_LOCAL"),
+        _task_end(0, 9, 9, 0, 0, 2000, locality="ANY"),
+    ]
+    p = tmp_path / "app-log"
+    p.write_text("\n".join(json.dumps(e) for e in log))
+    rows = locality_report_from_history(load_history(str(p)))
+    r = rows[0]
+    assert r["num_attempts"] == 10 and r["n_no_pref"] == 8
+    assert abs(r["local_ratio"] - 0.5) < 1e-9  # 1 of 2 preference-bearing
+    # ratio 0.5 is NOT under the 0.5 threshold: no recommendation
+    assert r["raise_locality_wait"] is False

@@ -840,18 +840,19 @@ def dag_overview_from_history(
         ts = by_stage_tasks.get(s["stage_id"], [])
         # TASK-level counts (distinct partition index), matching the
         # reference's getNumTasks/getCompletedTasksCount semantics —
-        # NOT attempt counts, which speculation/retries inflate (r10
-        # review: a retried task must not count as both completed and
-        # failed work)
+        # NOT attempt counts, which speculation/retries inflate. A task
+        # is failed only when it NEVER succeeded (final-state semantics,
+        # r10 review second pass: counting a failed-then-retried index
+        # in both columns made completed+failed exceed num_tasks).
         idx = {t["index"] for t in ts}
+        ok_idx = {t["index"] for t in ts if t["status"] == "SUCCESS"}
+        fail_idx = {
+            t["index"] for t in ts if t["status"] == "FAILED"
+        } - ok_idx
         stats = {
             "num_tasks": len(idx),
-            "completed_tasks": len(
-                {t["index"] for t in ts if t["status"] == "SUCCESS"}
-            ),
-            "failed_tasks": len(
-                {t["index"] for t in ts if t["status"] == "FAILED"}
-            ),
+            "completed_tasks": len(ok_idx),
+            "failed_tasks": len(fail_idx),
         }
         for ev_type, ts_ms in (
             ("STAGE_SUBMITTED", s.get("submission_ms")),
@@ -910,6 +911,9 @@ def hung_task_report_from_history(
                 "name": names.get(sid, ""),
                 "index": idx,
                 "num_attempts": len(attempts),
+                # stage_attempt included so "3 attempts, last_attempt 0"
+                # is legible as a stage-resubmission rerun (r10 review)
+                "last_stage_attempt": last["stage_attempt_id"],
                 "last_attempt": last["attempt"],
                 "last_status": last["status"],
                 "last_duration_ms": last["duration_ms"],
@@ -1079,7 +1083,16 @@ def slow_node_report_from_history(
                 ),
             }
         )
-    return sorted(rows, key=lambda r: -r["speed_vs_cluster"])
+    # hosts with attempts but ZERO successes first (the strongest
+    # bad-node signal — ranking them by speed 0.0 buried them at the
+    # bottom, r10 review), then slowest-to-fastest by succeeded speed
+    return sorted(
+        rows,
+        key=lambda r: (
+            not (r["num_attempts"] > 0 and r["avg_succeeded_ms"] == 0.0),
+            -r["speed_vs_cluster"],
+        ),
+    )
 
 
 # Spark locality levels, best to worst (Task Info "Locality")
@@ -1098,7 +1111,14 @@ def locality_report_from_history(
     durations, and raise_locality_wait=True when the local ratio sits
     under the threshold while local attempts are measurably faster —
     the reference's exact recommendation logic, mapped to Spark's
-    spark.locality.wait knob."""
+    spark.locality.wait knob.
+
+    NO_PREF attempts (tasks with no locality preference — reduce/
+    shuffle-read tasks emit it routinely) are counted in n_no_pref but
+    EXCLUDED from local_ratio and the recommendation: spark.locality.wait
+    cannot affect a task that expresses no preference, so including them
+    in the denominator would recommend a knob that can't act (r10
+    review)."""
     h = load_history(history) if isinstance(history, str) else history
     names = _stage_names(h)
     by_stage: dict[int, list[dict[str, Any]]] = {}
@@ -1106,14 +1126,16 @@ def locality_report_from_history(
         by_stage.setdefault(t["stage_id"], []).append(t)
     rows = []
     for sid, ts in by_stage.items():
-        n = len(ts)
         levels = {
             lvl: [t["duration_ms"] for t in ts if t["locality"] == lvl]
             for lvl in _LOCAL_LEVELS
         }
         local = levels["PROCESS_LOCAL"] + levels["NODE_LOCAL"]
         other = levels["RACK_LOCAL"] + levels["ANY"]
-        local_ratio = len(local) / n if n else 0.0
+        n_pref = len(local) + len(other)
+        # everything else: NO_PREF plus any level this code doesn't know
+        n_no_pref = len(ts) - n_pref
+        local_ratio = len(local) / n_pref if n_pref else 1.0
         rec = bool(
             local
             and other
@@ -1124,7 +1146,8 @@ def locality_report_from_history(
             {
                 "stage_id": sid,
                 "name": names.get(sid, ""),
-                "num_attempts": n,
+                "num_attempts": len(ts),
+                "n_no_pref": n_no_pref,
                 "local_ratio": local_ratio,
                 **{
                     f"n_{lvl.lower()}": len(levels[lvl])

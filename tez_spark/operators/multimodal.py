@@ -235,7 +235,10 @@ def frame_sample(
                         ids.append(doc_id)
                         idxs.append(out_idx)
                         frames.append(all_frames[src_idx])
-                elif Image is not None:
+                elif Image is not None and b[:6] in (b"GIF87a", b"GIF89a"):
+                    # GIF-signature gated, like decode_video_meta: a
+                    # still PNG/JPEG is not a video and must hit the
+                    # contract error, not emit one fake "frame"
                     with Image.open(io.BytesIO(b)) as im:
                         total = getattr(im, "n_frames", 1)
                         take = min(n_frames, total)
@@ -250,9 +253,9 @@ def frame_sample(
                 else:
                     raise NotImplementedError(
                         "real frame extraction: uncompressed RIFF/AVI "
-                        "decodes everywhere (stdlib); this payload needs "
-                        "PIL (GIF) or an ffmpeg-family decoder "
-                        "(mp4/webm) on the EXECUTORS — install one "
+                        "decodes everywhere (stdlib); GIF needs PIL on "
+                        "the EXECUTORS; other containers (mp4/webm) "
+                        "need an ffmpeg-family decoder — install one "
                         "cluster-wide or pass fake=True"
                     )
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
@@ -523,7 +526,14 @@ def decode_video_meta(
                 w, h, frames, usec = _parse_avi_frames(b)
                 fps = 1e6 / usec if usec else 0.0
                 return n, w, h, len(frames), fps, md5
-            if Image is not None:
+            # PIL path gated on the GIF signature, not on whatever PIL
+            # can open: a PNG/JPEG is a STILL image, not a video — it
+            # must hit the contract error below, not come back as a
+            # 1-frame clip; and open failures must surface as the
+            # documented NotImplementedError, never a PIL-specific
+            # exception that differs between PIL-present and PIL-absent
+            # executors (r10 review second pass).
+            if Image is not None and b[:6] in (b"GIF87a", b"GIF89a"):
                 with Image.open(io.BytesIO(b)) as im:
                     nf = getattr(im, "n_frames", 1)
                     dur_ms = im.info.get("duration", 0)
@@ -531,8 +541,9 @@ def decode_video_meta(
                     return n, im.width, im.height, nf, fps, md5
             raise NotImplementedError(
                 "real video metadata: uncompressed RIFF/AVI decodes "
-                "everywhere (stdlib); this payload needs PIL (GIF) or an "
-                "ffmpeg-family decoder (mp4/webm) on the EXECUTORS"
+                "everywhere (stdlib); GIF needs PIL on the EXECUTORS; "
+                "other containers (mp4/webm) need an ffmpeg-family "
+                "decoder"
             )
 
         for pdf in batches:
