@@ -69,6 +69,50 @@ def test_headline_partial_all_failed_fits_without_omission():
     assert all(v == -1 for v in parsed["queries"].values())
 
 
+def _flat(parsed: dict) -> dict:
+    """Per-query seconds across both maps: 'queries' (seconds) plus the
+    tier-3d 'queries_ds' sibling (deciseconds)."""
+    out = dict(parsed["queries"])
+    for n, v in parsed.get("queries_ds", {}).items():
+        assert n not in out  # exactly one map per query
+        out[n] = v / 10.0
+    return out
+
+
+def test_headline_measured_r10_mix_never_prints_zero():
+    """The MIX THAT ACTUALLY SHIPPED broken in BENCH_r10 (VERDICT r10
+    item 2): at the live registry size, ~59% of queries in [0.05, 0.5)s,
+    ~28% in [0.5, 0.95)s, the rest 1-10s (the r11 idle-measured
+    distribution — ZERO sub-tick entries, so the drop-0.0-entries
+    fallback frees nothing). Tier 3d must fire: every query appears by
+    name with NONZERO sub-second signal (deciseconds in queries_ds or
+    integer seconds in queries), within +/-0.05s for sub-second entries,
+    and the line fits the driver tail."""
+    import random
+
+    names = _real_names()
+    rng = random.Random(11)
+    timings = {}
+    for i, n in enumerate(sorted(names)):
+        r = i / len(names)
+        if r < 0.59:
+            timings[n] = round(rng.uniform(0.05, 0.49), 3)
+        elif r < 0.87:
+            timings[n] = round(rng.uniform(0.5, 0.94), 3)
+        else:
+            timings[n] = round(rng.uniform(1.0, 10.0), 3)
+    out = bench.format_headline(_line(), timings, names)
+    assert len(out) <= 1980, f"headline overflows the driver tail: {len(out)}"
+    parsed = json.loads(out)
+    flat = _flat(parsed)
+    assert set(flat) == set(names)  # nothing dropped, nothing doubled
+    for n, v in flat.items():
+        assert v != 0, (n, v, timings[n])  # >= tick: never prints 0
+        assert abs(v - timings[n]) <= 0.551, (n, v, timings[n])
+        if timings[n] < 0.45:  # decisecond entries: +/-0.05 signal
+            assert abs(v - timings[n]) <= 0.051, (n, v, timings[n])
+
+
 def test_headline_realistic_mix_keeps_subsecond_precision():
     """Today's realistic shape (0.2–3s values at the full registry) must
     NEVER print 0 for a query at or above the 1dp tick (t >= 0.05s) —

@@ -452,7 +452,7 @@ spark.stop()
 
 def _task_end(sid, tid, idx, att, launch, finish, status="SUCCESS",
               host="h1", spec=False, reason=None, stage_att=0,
-              locality="PROCESS_LOCAL"):
+              locality="PROCESS_LOCAL", ex="1"):
     reason = {"Reason": "Success"} if status == "SUCCESS" else {
         "Reason": reason or "ExceptionFailure"}
     return {
@@ -462,17 +462,19 @@ def _task_end(sid, tid, idx, att, launch, finish, status="SUCCESS",
         "Task Info": {
             "Task ID": tid, "Index": idx, "Attempt": att,
             "Launch Time": launch, "Finish Time": finish,
-            "Host": host, "Speculative": spec, "Locality": locality,
+            "Host": host, "Executor ID": ex, "Speculative": spec,
+            "Locality": locality,
             "Failed": status == "FAILED", "Killed": status == "KILLED",
         },
         "Task Metrics": {"Executor Run Time": finish - launch},
     }
 
 
-def _stage_completed(sid, name, sub, comp, fail=None):
+def _stage_completed(sid, name, sub, comp, fail=None, parents=None, att=0):
     si = {
-        "Stage ID": sid, "Stage Attempt ID": 0, "Stage Name": name,
-        "Parent IDs": [], "Submission Time": sub, "Completion Time": comp,
+        "Stage ID": sid, "Stage Attempt ID": att, "Stage Name": name,
+        "Parent IDs": list(parents or []),
+        "Submission Time": sub, "Completion Time": comp,
         "RDD Info": [{"RDD ID": sid * 10}],
     }
     if fail:
@@ -866,3 +868,129 @@ def test_locality_no_pref_excluded_from_ratio(tmp_path):
     assert abs(r["local_ratio"] - 0.5) < 1e-9  # 1 of 2 preference-bearing
     # ratio 0.5 is NOT under the 0.5 threshold: no recommendation
     assert r["raise_locality_wait"] is False
+
+
+def test_container_reuse_one_on_one_and_vertex_paths_synthetic(tmp_path):
+    """The final three reference analyzers (VERDICT r10 item 5 —
+    15/17 -> 17/17) pinned on one synthetic log. Stage graph
+    0(scan), 2(side) -> 1(map):
+
+    - ContainerReuseAnalyzer: stage 0 packs two attempts onto executor
+      1@h1 and one onto 2@h2 — reuse profile (2, 1), num_attempts 3
+    - OneOnOneEdgeAnalyzer: stages 0 -> 1 have identical successful
+      index sets {0,1,2} (the identity-width inference); index 1 moved
+      h1 -> h2, the single reported locality miss. 2 -> 1 has a
+      DIFFERENT width (one index) and must NOT be inferred as 1:1.
+    - VertexLevelCriticalPathAnalyzer: every backward path prefix from
+      the final stage, scored by cumulative stage wall, desc; the top
+      row agrees with critical_path_from_history's argmax chain.
+    """
+    import json
+
+    from tez_spark.observability import (
+        container_reuse_report_from_history,
+        critical_path_from_history,
+        load_history,
+        one_on_one_edge_report_from_history,
+        vertex_critical_paths_from_history,
+    )
+
+    log = [
+        _stage_completed(0, "scan", 1000, 3000),               # wall 2000
+        _task_end(0, 0, 0, 0, 1000, 1500, host="h1", ex="1"),
+        _task_end(0, 1, 1, 0, 1500, 2000, host="h1", ex="1"),
+        _task_end(0, 2, 2, 0, 1000, 2900, host="h2", ex="2"),
+        _stage_completed(2, "side", 1000, 1400),               # wall 400
+        _task_end(2, 3, 0, 0, 1000, 1300, host="h2", ex="2"),
+        _stage_completed(1, "map", 3000, 6000, parents=[0, 2]),  # wall 3000
+        _task_end(1, 4, 0, 0, 3000, 4000, host="h1", ex="1"),
+        _task_end(1, 5, 1, 0, 3000, 4500, host="h2", ex="2"),   # the miss
+        _task_end(1, 6, 2, 0, 3000, 5900, host="h2", ex="2"),
+    ]
+    p = tmp_path / "app-log"
+    p.write_text("\n".join(json.dumps(e) for e in log))
+    h = load_history(str(p))
+
+    reuse = container_reuse_report_from_history(h)
+    s0 = [r for r in reuse if r["stage_id"] == 0]
+    assert [(r["executor_id"], r["reuse_count"]) for r in s0] == [
+        ("1", 2), ("2", 1)]
+    assert all(r["num_attempts"] == 3 for r in s0)
+    assert {r["stage_id"] for r in reuse} == {0, 1, 2}
+
+    misses = one_on_one_edge_report_from_history(h)
+    assert len(misses) == 1, misses
+    m = misses[0]
+    assert (m["src_stage_id"], m["dest_stage_id"], m["index"]) == (0, 1, 1)
+    assert (m["src_host"], m["dest_host"]) == ("h1", "h2")
+    # explicit edge declaration overrides inference; a perfect edge
+    # (2 -> 1 shares no index hosts... use 0 -> 0) yields no rows
+    assert one_on_one_edge_report_from_history(h, edges=[(0, 0)]) == []
+
+    paths = vertex_critical_paths_from_history(h)
+    scores = {r["critical_path"]: r["score_ms"] for r in paths}
+    assert scores == {
+        "map": 3000,
+        "map-->scan": 5000,
+        "map-->side": 3400,
+    }
+    assert [r["score_ms"] for r in paths] == sorted(
+        (r["score_ms"] for r in paths), reverse=True)
+    # top path == THE critical chain (head-first there, dest-first here)
+    chain = [r["name"] for r in critical_path_from_history(h)]
+    assert paths[0]["critical_path"] == "-->".join(reversed(chain))
+
+
+def test_makespan_and_overview_guards_on_malformed_attempts(tmp_path):
+    """ADVICE r10 regressions pinned: (1) slowest_vertex skips
+    launch_ms == 0 attempts (a log line missing 'Launch Time') for the
+    min-launch bound, and falls back to the sum of durations when NO
+    attempt carries one; (2) dag_overview keys task counts by
+    (stage_id, stage_attempt_id) so a resubmitted stage's timeline rows
+    carry what ran in THAT attempt, not the across-attempt merge."""
+    import json
+
+    from tez_spark.observability import (
+        dag_overview_from_history,
+        load_history,
+        slowest_vertex_report_from_history,
+    )
+
+    log = [
+        # stage 0: one malformed attempt (no Launch Time -> 0) + one
+        # sane; makespan must use the sane launch, not epoch 0
+        _stage_completed(0, "scan", 1000, 3100),
+        _task_end(0, 0, 0, 0, 0, 3000),
+        _task_end(0, 1, 1, 0, 1000, 2000),
+        # stage 3: ONLY malformed attempts -> sum-of-durations fallback
+        _stage_completed(3, "sink", 4000, 5000),
+        _task_end(3, 2, 0, 0, 0, 4800),
+    ]
+    p = tmp_path / "app-log"
+    p.write_text("\n".join(json.dumps(e) for e in log))
+    h = load_history(str(p))
+    vert = {r["stage_id"]: r for r in slowest_vertex_report_from_history(h)}
+    assert vert[0]["makespan_ms"] == 2000  # 3000 - 1000, NOT 3000 - 0
+    assert vert[3]["makespan_ms"] == 4800  # sum of durations fallback
+
+    log2 = [
+        # attempt 0: idx0 ok, idx1 fails (fetch failure) -> resubmit
+        _stage_completed(7, "reduce", 1000, 4000, att=0),
+        _task_end(7, 0, 0, 0, 1000, 2000, stage_att=0),
+        _task_end(7, 1, 1, 0, 1000, 2500, status="FAILED",
+                  reason="FetchFailed", stage_att=0),
+        # attempt 1: only idx1 reruns
+        _stage_completed(7, "reduce", 5000, 6000, att=1),
+        _task_end(7, 2, 1, 0, 5000, 5800, stage_att=1),
+    ]
+    p2 = tmp_path / "app-log2"
+    p2.write_text("\n".join(json.dumps(e) for e in log2))
+    over = dag_overview_from_history(load_history(str(p2)))
+    att0 = [r for r in over if r["event_type"] == "STAGE_FINISHED"
+            and r["event_time_ms"] == 4000][0]
+    att1 = [r for r in over if r["event_type"] == "STAGE_FINISHED"
+            and r["event_time_ms"] == 6000][0]
+    assert (att0["num_tasks"], att0["completed_tasks"],
+            att0["failed_tasks"]) == (2, 1, 1)
+    assert (att1["num_tasks"], att1["completed_tasks"],
+            att1["failed_tasks"]) == (1, 1, 0)

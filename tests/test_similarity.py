@@ -181,8 +181,8 @@ def test_ann_incremental_recall_vs_exact_truth(spark):
     from pyspark.sql import Window
 
     from tez_spark.operators.similarity import (
+        ann_incremental_neighbors,
         cross_pairs_cosine,
-        q_ann_incremental,
     )
     from tez_spark.sources.catalog import load_table
 
@@ -199,7 +199,10 @@ def test_ann_incremental_recall_vs_exact_truth(spark):
         .collect()
     }
     assert truth, "exact truth returned nothing"
-    got = {(r.q_id, r.vec_id) for r in q_ann_incremental(spark, SF_DIR).collect()}
+    got = {
+        (r.q_id, r.vec_id)
+        for r in ann_incremental_neighbors(spark, SF_DIR).collect()
+    }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.3, f"incremental IVF recall collapsed: {recall:.2f}"
     # neighbors must come from the corpus side only (the index holds no
@@ -296,6 +299,7 @@ def test_recall_contracts_hold_at_driver_sfs(spark):
 
     from tez_spark.operators.similarity import (
         K,
+        q_ann_incremental,
         q_ann_ivf,
         q_ann_lsh,
         q_dedup_embedding_lsh,
@@ -307,7 +311,11 @@ def test_recall_contracts_hold_at_driver_sfs(spark):
     if not sfs:
         pytest.skip("driver-scale fixtures absent")
     for sf_dir in sfs:
-        for name, fn in (("ann_ivf", q_ann_ivf), ("ann_lsh", q_ann_lsh)):
+        for name, fn in (
+            ("ann_ivf", q_ann_ivf),
+            ("ann_lsh", q_ann_lsh),
+            ("ann_incremental", q_ann_incremental),
+        ):
             rows = fn(spark, sf_dir).collect()
             bad = [r.q_id for r in rows
                    if not r.recall_ok or r.k_returned != K]

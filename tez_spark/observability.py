@@ -362,6 +362,10 @@ def load_history(path: str) -> dict[str, Any]:
                             "index": info.get("Index"),
                             "attempt": int(info.get("Attempt", 0)),
                             "host": info.get("Host", ""),
+                            # the Spark container analog: executors are
+                            # the long-lived processes tasks reuse
+                            # (ContainerReuseAnalyzer parity)
+                            "executor_id": str(info.get("Executor ID", "")),
                             "locality": info.get("Locality", ""),
                             "speculative": bool(info.get("Speculative")),
                             "status": (
@@ -796,9 +800,18 @@ def slowest_vertex_report_from_history(
     for key, attempts in by_stage.items():
         s = by_key.get(key, {})
         durs = sorted(t["duration_ms"] for t in attempts)
-        makespan = max(t["finish_ms"] for t in attempts) - min(
-            t["launch_ms"] for t in attempts
-        )
+        # launch_ms == 0 means the event-log line was missing 'Launch
+        # Time' (load_history's default) — an epoch-0 lower bound would
+        # inflate the makespan to the full epoch-ms finish time and put
+        # this stage at the top of the report (ADVICE r10). Skip those
+        # attempts for the min-launch bound; if NO attempt has a real
+        # launch time, fall back to the sum of durations (the
+        # serialized-execution upper bound on the wall this stage held).
+        launches = [t["launch_ms"] for t in attempts if t["launch_ms"] > 0]
+        if launches:
+            makespan = max(t["finish_ms"] for t in attempts) - min(launches)
+        else:
+            makespan = sum(durs)
         run_ms = s.get("EXECUTOR_RUN_TIME_MS", 0)
         fetch_wait = s.get("SHUFFLE_FETCH_WAIT_MS", 0)
         rows.append(
@@ -832,12 +845,19 @@ def dag_overview_from_history(
     the timeline that shows which stages overlapped, where the gaps
     are, and what was in flight when something failed."""
     h = load_history(history) if isinstance(history, str) else history
-    by_stage_tasks: dict[int, list[dict[str, Any]]] = {}
+    # keyed by (stage_id, stage_attempt_id): a resubmitted stage gets
+    # its own timeline rows, and each attempt's rows must carry the
+    # counts of what ran IN that attempt, not the across-attempt merge
+    # (ADVICE r10 — two SUBMITTED/FINISHED pairs with identical merged
+    # counts misread as both attempts having done the same work)
+    by_stage_tasks: dict[tuple[int, int], list[dict[str, Any]]] = {}
     for t in h.get("tasks", []):
-        by_stage_tasks.setdefault(t["stage_id"], []).append(t)
+        by_stage_tasks.setdefault(
+            (t["stage_id"], t["stage_attempt_id"]), []
+        ).append(t)
     rows = []
     for s in h["stages"]:
-        ts = by_stage_tasks.get(s["stage_id"], [])
+        ts = by_stage_tasks.get((s["stage_id"], s["attempt_id"]), [])
         # TASK-level counts (distinct partition index), matching the
         # reference's getNumTasks/getCompletedTasksCount semantics —
         # NOT attempt counts, which speculation/retries inflate. A task
@@ -1161,6 +1181,161 @@ def locality_report_from_history(
             }
         )
     return sorted(rows, key=lambda r: r["local_ratio"])
+
+
+def container_reuse_report_from_history(
+    history: dict[str, Any] | str
+) -> list[dict[str, Any]]:
+    """ContainerReuseAnalyzer parity (tez-tools/analyzers/job-analyzer/
+    .../plugins/ContainerReuseAnalyzer.java:40-67 — per vertex, one row
+    per container it used: vertexName, taskAttempts, node, containerId,
+    reuseCount): per stage, one row per EXECUTOR that ran any of its
+    attempts — the Spark container analog (executors are the long-lived
+    reused processes; Tez containers are reused across tasks the same
+    way when container reuse is on).
+
+    reuse_count is the number of task attempts that stage packed onto
+    that executor; num_attempts is the stage's total. A stage whose
+    attempts all land on one executor (reuse_count == num_attempts on a
+    multi-executor app) is serialized by placement; reuse_count ~
+    num_attempts / n_executors is the healthy spread. Sorted by stage,
+    then reuse desc — the reference's CSV is per-vertex grouped too."""
+    h = load_history(history) if isinstance(history, str) else history
+    names = _stage_names(h)
+    per: dict[tuple[int, str, str], int] = {}
+    totals: dict[int, int] = {}
+    for t in h.get("tasks", []):
+        sid = t["stage_id"]
+        totals[sid] = totals.get(sid, 0) + 1
+        key = (sid, t.get("host", ""), t.get("executor_id", ""))
+        per[key] = per.get(key, 0) + 1
+    rows = [
+        {
+            "stage_id": sid,
+            "name": names.get(sid, ""),
+            "num_attempts": totals[sid],
+            "host": host,
+            "executor_id": ex,
+            "reuse_count": n,
+        }
+        for (sid, host, ex), n in per.items()
+    ]
+    return sorted(rows, key=lambda r: (r["stage_id"], -r["reuse_count"],
+                                       r["executor_id"]))
+
+
+def one_on_one_edge_report_from_history(
+    history: dict[str, Any] | str,
+    edges: list[tuple[int, int]] | None = None,
+) -> list[dict[str, Any]]:
+    """OneOnOneEdgeAnalyzer parity (tez-tools/analyzers/job-analyzer/
+    .../plugins/OneOnOneEdgeAnalyzer.java:60-118 — for each ONE_TO_ONE
+    edge, tasks whose downstream attempt was NOT scheduled on the same
+    node as the source attempt and hence paid a network download):
+    per declared (src_stage_id, dest_stage_id) identity edge, one row
+    per partition index whose successful dest attempt ran on a
+    different host than its successful src attempt.
+
+    Spark note: a DataMovement.ONE_TO_ONE edge normally FUSES into one
+    stage (narrow chaining — no boundary to misplace), so this analyzer
+    matters for the cases that keep a real boundary with identity
+    partition routing: DataMovement.CUSTOM identity routers and
+    stage-boundary coalesce(n)->n chains. `edges` names those stage
+    pairs (the DAG declares edge types; history alone doesn't). With
+    edges=None, candidate pairs are inferred as parent->child stages
+    whose SUCCESSFUL partition index sets are identical — the identity-
+    width heuristic, documented as such; pass explicit pairs for audit
+    use. Only misses are emitted (the reference logs hits, emits
+    misses); empty output = perfect 1:1 locality."""
+    h = load_history(history) if isinstance(history, str) else history
+    names = _stage_names(h)
+    # successful attempt host per (stage_id, index) — getSuccessfulTask
+    # Attempt semantics; latest stage attempt wins on retries
+    host_of: dict[int, dict[int, str]] = {}
+    for t in h.get("tasks", []):
+        if t["status"] == "SUCCESS":
+            host_of.setdefault(t["stage_id"], {})[t["index"]] = t["host"]
+    if edges is None:
+        edges = []
+        by_id = {}
+        for s in h["stages"]:
+            cur = by_id.get(s["stage_id"])
+            if cur is None or s["attempt_id"] > cur["attempt_id"]:
+                by_id[s["stage_id"]] = s
+        for s in by_id.values():
+            for p in s.get("parent_ids", []):
+                src, dst = host_of.get(p), host_of.get(s["stage_id"])
+                if src and dst and set(src) == set(dst):
+                    edges.append((p, s["stage_id"]))
+    rows = []
+    for src_id, dst_id in edges:
+        src, dst = host_of.get(src_id, {}), host_of.get(dst_id, {})
+        for idx, src_host in sorted(src.items()):
+            dst_host = dst.get(idx)
+            if dst_host is not None and src_host.lower() != dst_host.lower():
+                rows.append(
+                    {
+                        "src_stage_id": src_id,
+                        "dest_stage_id": dst_id,
+                        "src_name": names.get(src_id, ""),
+                        "dest_name": names.get(dst_id, ""),
+                        "index": idx,
+                        "src_host": src_host,
+                        "dest_host": dst_host,
+                    }
+                )
+    return rows
+
+
+def vertex_critical_paths_from_history(
+    history: dict[str, Any] | str, top: int = 20
+) -> list[dict[str, Any]]:
+    """VertexLevelCriticalPathAnalyzer parity (tez-tools/analyzers/
+    job-analyzer/.../plugins/VertexLevelCriticalPathAnalyzer.java:64-127
+    — from the DAG's final vertex, walk every incoming-edge path
+    backwards, scoring each visited prefix by cumulative vertex
+    timeTaken, sorted by score desc; headers CriticalPath, Score):
+    same enumeration over the stage DAG — every dependency path prefix
+    reachable backwards from the FINAL stage (max completion time),
+    path string dest-->...-->src like the reference's CONNECTOR format,
+    score = cumulative stage wall (completion - submission) in ms.
+
+    critical_path_from_history returns only THE argmax chain with
+    per-stage wait/share detail; this is the reference's other cut —
+    ALL candidate paths ranked, the view that shows how close the
+    runner-up chains are (a near-tie means shrinking one chain just
+    promotes the other). Top row's path == the argmax chain."""
+    h = load_history(history) if isinstance(history, str) else history
+    timed = [
+        s for s in h["stages"]
+        if s.get("submission_ms") is not None
+        and s.get("completion_ms") is not None
+    ]
+    by_id: dict[int, dict[str, Any]] = {}
+    for s in timed:
+        cur = by_id.get(s["stage_id"])
+        if cur is None or s["completion_ms"] > cur["completion_ms"]:
+            by_id[s["stage_id"]] = s
+    if not by_id:
+        return []
+    final = max(by_id.values(), key=lambda s: s["completion_ms"])
+    out: list[dict[str, Any]] = []
+
+    def walk(sid: int, prefix: str, t: int, seen: frozenset[int]) -> None:
+        s = by_id[sid]
+        t += s["completion_ms"] - s["submission_ms"]
+        prefix = (prefix + "-->" if prefix else "") + (
+            s["name"] or str(sid)
+        )
+        out.append({"critical_path": prefix, "score_ms": t})
+        for p in s.get("parent_ids", []):
+            # seen-guard: Spark stage DAGs are acyclic, but a malformed
+            # log must terminate, not recurse forever
+            if p in by_id and p not in seen:
+                walk(p, prefix, t, seen | {p})
+
+    walk(final["stage_id"], "", 0, frozenset({final["stage_id"]}))
+    return sorted(out, key=lambda r: -r["score_ms"])[: max(top, 0)]
 
 
 def q_observability_counters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -44,9 +44,14 @@ N_QUERIES = 10  # query set = vec_id < 10, fixed for oracle reproducibility
 LSH_TABLES = 12
 LSH_PLANES = 4
 _LSH_SEED = 42
-# 1-ulp slack for cross-kernel threshold comparisons (different BLAS
-# reduction orders disagree in the last bits for pairs sitting exactly
-# on a similarity threshold — ADVICE r9)
+# Small ABSOLUTE slack for cross-kernel threshold comparisons: different
+# BLAS reduction orders disagree in the last bits for pairs sitting
+# exactly on a similarity threshold (ADVICE r9). Not "1 ulp" — one ulp
+# at 0.45 is ~5.5e-17; 1e-12 is ~2e4 ulps, sized as a comfortable upper
+# bound on dim * eps * ||x||*||y|| reduction-order divergence for the
+# 64-dim unit-norm fixtures (64 * 2.2e-16 ≈ 1.4e-14, ~70x margin)
+# while staying ~9 orders below the 1e-3-scale similarity gaps that
+# matter (ADVICE r10 wording fix).
 _THRESH_EPS = 1e-12
 
 
@@ -315,6 +320,13 @@ IVF_CELLS = 64
 # item 3). Uniform-random fixtures are IVF's worst case; real clustered
 # embeddings concentrate neighbors in fewer cells — lower nprobe there.
 IVF_NPROBE = 20
+# ann_incremental's contract probe: its batch query set (212 at sf0.1)
+# makes the min-over-draws ~20x harsher than ann_ivf's 10 queries, and
+# nprobe=20 measured a zero-overlap query at sf0.01. 40 measures min
+# 2/2/2 exact-top-5 hits across sf0.001/0.01/0.1 (2x margin, the
+# ann_ivf precedent). 40-of-64 cells is honest fixture tuning, not the
+# scale story: clustered real embeddings prune deeper at smaller nprobe.
+ANN_INCR_NPROBE = 40
 
 
 # Coarse-quantizer training knobs: the sample is n_cells * IVF_KMEANS_SAMPLE
@@ -957,6 +969,22 @@ ORACLE: dict[str, str] = {
         FROM embeddings WHERE vec_id < {N_QUERIES}
         ORDER BY q_id
     """,
+    # ann_incremental: promoted from rows-only via the same contract
+    # (VERDICT r10 item 8). One row per NEW-batch vector (the md5 split
+    # embedding_incremental's oracle already reproduces); k_returned is
+    # deterministically 5 (probed cells hold far more than 5 corpus
+    # vectors at every fixture SF) and recall_ok is the verified
+    # >= 1-of-exact-top-5 bound (measured min overlap 2/2/2 across SFs
+    # at nprobe=ANN_INCR_NPROBE; real booleans evaluated in
+    # test_recall_contracts_hold_at_driver_sfs).
+    "ann_incremental": """
+        SELECT vec_id AS q_id,
+               CAST(5 AS BIGINT) AS k_returned,
+               TRUE AS recall_ok
+        FROM embeddings
+        WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) >= 'e6'
+        ORDER BY q_id
+    """,
     # dedup_embedding_lsh: n_exact is the DuckDB-computable all-pairs
     # truth at cosine >= 0.45 (same CTE family as dedup_embedding);
     # the booleans are the verified precision/recall bounds (see
@@ -1150,28 +1178,85 @@ def ann_ivf_probe_index(
     return bounded_sort(out, "q_id", "rn")
 
 
-def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily-ingest ANN: the new ~10% batch of vectors (md5(vec_id) >=
-    'e6') top-5-probed against a PERSISTED IVF index built over the ~90%
-    corpus — the sublinear scale twin of embedding_incremental (which
-    scores the batch × corpus product exactly). The index is built once
-    per fixture fingerprint (an on-disk memo under the system temp dir:
-    the cell-partitioned layout IS the index, rebuilt only when the
-    fixture regenerates) and probes read only the probed cell partitions
-    via partition pruning.
-
-    Rows-only by design (cell layout/probe order are engine-specific);
-    recall vs the exact batch×corpus truth is asserted in
-    tests/test_similarity.py. The probe streams to the driver in
-    bounded chunks (probe_chunk_rows — the index is stateless, probe
-    jobs compose), so a 100× batch costs extra probe jobs, not driver
-    memory."""
+def _incremental_split(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The daily-ingest fixture split: ~90% corpus / ~10% new batch by
+    md5(vec_id) prefix — the same split embedding_incremental's oracle
+    reproduces in DuckDB."""
     emb = load_table(spark, sf_dir, "embeddings")
     h = F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8"))
     corpus = emb.filter(F.substring(h, 1, 2) < "e6")
     batch = emb.filter(F.substring(h, 1, 2) >= "e6")
+    return corpus, batch
+
+
+def ann_incremental_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest ANN neighbor rows: the new ~10% batch of vectors
+    (md5(vec_id) >= 'e6') top-5-probed against a PERSISTED IVF index
+    built over the ~90% corpus — the sublinear scale twin of
+    embedding_incremental (which scores the batch × corpus product
+    exactly). The index is built once per fixture fingerprint (an
+    on-disk memo under the system temp dir: the cell-partitioned layout
+    IS the index, rebuilt only when the fixture regenerates) and probes
+    read only the probed cell partitions via partition pruning.
+
+    Neighbor rows are engine-specific (cell layout / probe order), so
+    the ORACLED surface is q_ann_incremental's recall contract; recall
+    vs the exact batch×corpus truth is also asserted directly in
+    tests/test_similarity.py. The probe streams to the driver in
+    bounded chunks (probe_chunk_rows — the index is stateless, probe
+    jobs compose), so a 100× batch costs extra probe jobs, not driver
+    memory. Probes at ANN_INCR_NPROBE — the SAME depth as the oracled
+    contract surface (q_ann_incremental): the contract only speaks for
+    this surface if both probe identically (the ann_lsh shared-kernel
+    rule)."""
+    corpus, batch = _incremental_split(spark, sf_dir)
     idx = ensure_ivf_index(corpus, sf_dir)
-    return ann_ivf_probe_index(spark, idx, batch, k=5, probe_chunk_rows=10_000)
+    return ann_ivf_probe_index(
+        spark, idx, batch, k=5, nprobe=ANN_INCR_NPROBE,
+        probe_chunk_rows=10_000,
+    )
+
+
+def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_incremental's ORACLED surface (VERDICT r10 item 8 — the
+    q_ann_ivf/q_ann_lsh recall-contract promotion applied to the
+    incremental probe): per new-batch vector, (q_id, k_returned,
+    recall_ok) where recall_ok asserts the persisted-index probe found
+    at least one of the EXACT batch×corpus cosine top-5, so the driver
+    hash-verifies the recall bound end-to-end instead of the weaker
+    rows-only contact. Neighbor rows stay available via
+    ann_incremental_neighbors.
+
+    Bound choice: deterministic on a fixture (TakeOrdered centroid
+    sample, tie-broken ranking). The contract probe runs at
+    nprobe=ANN_INCR_NPROBE (40): the batch is 212 queries at sf0.1 —
+    a min-over-draws ~20x harsher than ann_ivf's 10-query set — and on
+    the uniform-random fixtures (IVF's worst case: neighbors at cosine
+    ~0.3-0.5 spread across many cells) nprobe=20 measured a ZERO-overlap
+    query at sf0.01. Measured min exact-top-5 overlap at nprobe=40 is
+    2/2/2 across sf0.001/0.01/0.1 (2x margin over the >= 1 bound, the
+    ann_ivf precedent), and tests/test_similarity.py::
+    test_recall_contracts_hold_at_driver_sfs evaluates the real
+    booleans at all three SFs. Real clustered corpora prune deeper at
+    far smaller nprobe — tune it down there. The exact side here is
+    the AUDIT path (one corpus pass against the driver-broadcast
+    batch); at 100TB drop the audit and serve ann_incremental_neighbors
+    — the probe itself reads only probed cell partitions."""
+    corpus, batch = _incremental_split(spark, sf_dir)
+    idx = ensure_ivf_index(corpus, sf_dir)
+    probe = ann_ivf_probe_index(
+        spark, idx, batch, k=5, nprobe=ANN_INCR_NPROBE,
+        probe_chunk_rows=10_000,
+    )
+    exact = brute_force_topk(corpus, batch, k=5)
+    both = probe.select(
+        F.lit("ivf").alias("path"), "q_id", "vec_id", "sim"
+    ).unionByName(
+        exact.select(F.lit("exact").alias("path"), "q_id", "vec_id", "sim")
+    )
+    return _recall_contract(both, "ivf", k=5)
 
 
 def publish_build_dir(scratch: str, idx: str, max_attempts: int = 5) -> None:

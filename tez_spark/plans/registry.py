@@ -16,52 +16,58 @@ from tez_spark.plans import queries as core_q
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# insertion order.  90+ of the 99 queries are oracled, so ordering decides
-# which get a driver-verified row each round.  Rotation policy: every
-# oracled query gets a driver row at least every other round; queries green
-# in the PREVIOUS round's window rotate out first (their code is unchanged
-# and tests/test_queries_oracle.py still runs the identical DuckDB
-# comparison over every entry).  _WINDOW_ROUND names the round this window
-# was built FOR: the coverage invariant (window ∪ previous round's driver
-# rows ⊇ all oracled) is checked against CORRECTNESS_r{_WINDOW_ROUND-1},
-# not the latest file on disk — so the driver dropping this round's own
-# CORRECTNESS file no longer flips the guard red at judging time.
+# insertion order.  Nearly every query is oracled (the live counts are
+# len(all_oracles()) of len(all_queries()) — never hardcode them here:
+# VERDICT r10 item 6 caught this comment three registry generations
+# stale), so ordering decides which get a driver-verified row each
+# round.  Rotation policy: every oracled query gets a driver row at
+# least every third round; queries green in the PREVIOUS round's window
+# rotate out first (their code is unchanged and
+# tests/test_queries_oracle.py still runs the identical DuckDB
+# comparison over every entry).  _WINDOW_ROUND names the round this
+# window was built FOR: the coverage invariant (window ∪ previous
+# round's driver rows ⊇ all oracled) is checked against
+# CORRECTNESS_r{_WINDOW_ROUND-1}, not the latest file on disk — so the
+# driver dropping this round's own CORRECTNESS file no longer flips the
+# guard red at judging time.
 #
-# Round-10 window (VERDICT r9 item 1 executed): (1) audio_features —
-# NEW this round (VERDICT r9 item 6), never rowed, must be in the
-# window; (2) plans changed this round, re-verify: ann_ivf (k-means
-# centroid refinement, VERDICT item 3), dedup_embedding_lsh (threshold
-# epsilon slack, ADVICE r9), editdistance_discovery (short-stratum
-# broadcast gate, ADVICE r9); (3) the 15 oracled queries whose last
-# driver row is round 7 — their r7 rows leave the three-round union at
-# r10, so they MUST be here (the displacement the r9 comment scheduled,
-# plus embedding_incremental per ADVICE r9); (4) 29 of the 46 oracled
-# queries whose last driver row is round 8. Displaced to round 11,
-# union-covered by their r8 rows — these must head the r11 window:
-# regex_tokens, seq_pack,
-# source_cap, source_mix, source_quality, star_join, stratified_sample,
-# text_fingerprint, text_langid, text_logprob, text_metrics,
-# text_repetition, text_winnow, tfidf_top_terms, time_gapfill,
-# train_split, window_sliding.
-_WINDOW_ROUND = 10
+# Round-11 window (VERDICT r10 item 1 executed): (1) the 17 oracled
+# queries whose last driver row is round 8 — their r8 rows leave the
+# three-round union at r11, so they MUST be here (exactly the
+# displacement the r10 comment scheduled); (2) ann_incremental —
+# promoted from rows-only to oracled this round (recall contract,
+# VERDICT r10 item 8), first oracled driver row; (3) dedup_incremental —
+# plan changed this round (serialized-job collapse, VERDICT r10 item 3),
+# re-verify; (4) 31 of the 47 remaining oracled queries whose last
+# driver row is round 9.  Displaced to round 12, union-covered by their
+# r9 rows — these must head the r12 window: q07, q08, q09, q10, q11,
+# q12, q13, q14, q15, q16, q17, q18, rollup, scalar_funcs, sessionize,
+# unpivot, window_funcs.
+_WINDOW_ROUND = 11
 _PRIORITY: tuple[str, ...] = (
-    # 1. newly oracled this round — first driver rows
-    "audio_features", "multimodal_frames", "multimodal_video",
-    # 2. plan changed this round — re-verify
-    "ann_ivf", "dedup_embedding_lsh", "editdistance_discovery",
-    # 3. oracled queries whose last driver row is round 7
-    "embedding_incremental", "set_ops", "string_agg", "text_dup_spans",
-    "tpch01", "tpch03", "tpch04", "tpch06", "tpch07", "tpch08",
-    "tpch13", "tpch17", "tpch19", "tpch22", "weighted_sample",
-    # 4. oracled queries whose last driver row is round 8
-    "tpch02", "tpch05", "tpch09", "tpch10", "tpch11", "tpch12",
-    "tpch14", "tpch15", "tpch16", "tpch18", "tpch20", "tpch21",
-    "ann_topk", "cross_join_chunked", "decontaminate",
-    "dedup_embedding", "dedup_ngram_jaccard", "embedding_centroids",
-    "embedding_quantize", "event_anomalies", "event_funnel",
-    "event_retention", "interval_join", "length_curriculum",
-    "multimodal_decode", "percentiles", "percentiles_approx",
-    "pii_redact", "pmi_collocations",
+    # 1. oracled queries whose last driver row is round 8 — age out of
+    #    the three-round union at r11
+    "regex_tokens", "seq_pack", "source_cap", "source_mix",
+    "source_quality", "star_join", "stratified_sample",
+    "text_fingerprint", "text_langid", "text_logprob", "text_metrics",
+    "text_repetition", "text_winnow", "tfidf_top_terms", "time_gapfill",
+    "train_split", "window_sliding",
+    # 2. newly oracled this round — first oracled driver row
+    "ann_incremental",
+    # 3. plan changed this round — re-verify (the _verify_pairs one-pass
+    #    rewrite also reshapes dedup_minhash_lsh / dedup_winnow /
+    #    dedup_clusters / curation_pipeline_lsh — all already below —
+    #    and dedup_ngram_jaccard, pulled forward from its r10 row)
+    "dedup_incremental", "dedup_ngram_jaccard",
+    # 4. oracled queries whose last driver row is round 9
+    "ann_lsh", "approx_distinct", "argmax_funcs", "asof_join",
+    "cms_heavyhitters", "column_profile", "cross_join_bucketed", "cube",
+    "curation_pipeline", "curation_pipeline_lsh", "date_funcs",
+    "dedup_clusters", "dedup_editdistance", "dedup_embedding_clusters",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_winnow",
+    "doc_chunk", "exists_subquery", "grouping_sets", "json_extract",
+    "multimodal_audio", "pivot", "q01", "q02", "q03", "q04", "q05",
+    "q06",
 )
 
 
