@@ -199,22 +199,23 @@ def _verify_pairs(
     sh: DataFrame,
     id_col: str = "doc_id",
     broadcast_small: bool = True,
+    sh_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs only — the LSH verification stage.
     Cost is O(candidates × shingles-per-doc), never all-pairs.
 
-    Plan shape (r6 rewrite — set-per-doc instead of pair-expansion): the
-    candidate doc ids semi-filter the shingle table, one groupBy folds
-    the surviving shingles into a per-doc SET (docs are bounded — a set
-    is one array cell, and |A| is just its size), and the candidate
-    pairs join the set table to score |A∩B| / (|A|+|B|-|A∩B|) with
-    array_intersect, entirely map-side when the sides broadcast.
-    Compared with the former pair-expanded shape (shingles joined to
-    pairs, three aggregations, an (id, sh) equijoin, two stitch-back
-    joins) this halves the stage count — the per-run floor
-    dedup_incremental pays per batch (r5 verdict: the ~30-stage floor
-    WAS the residual). Bytes moved are unchanged: O(candidate docs ×
-    doc size) either way.
+    Plan shape (r6 rewrite — set-per-doc instead of pair-expansion): each
+    side's candidate doc ids semi-filter its shingle table ONCE, one
+    groupBy folds the surviving shingles into a per-doc SET (docs are
+    bounded — a set is one array cell, and |A| is just its size), and the
+    candidate pairs join the two set tables to score
+    |A∩B| / (|A|+|B|-|A∩B|) with array_intersect, entirely map-side when
+    the sides broadcast. Compared with the former pair-expanded shape
+    (shingles joined to pairs, three aggregations, an (id, sh) equijoin,
+    two stitch-back joins) this halves the stage count and scans each
+    shingle table once — the per-run floor dedup_incremental pays per
+    batch (r5 verdict: the ~30-stage floor WAS the residual). Bytes
+    moved are unchanged: O(candidate docs × doc size) either way.
 
     broadcast_small: when the candidate set is known to be pruned-small
     (the MinHash-LSH path), broadcast the candidate-bounded sides
@@ -224,39 +225,47 @@ def _verify_pairs(
     overrides size thresholds and would collect the whole candidate
     table to the driver.
 
-    r11 one-pass shape (VERDICT r10 item 3 — dedup_incremental's floor
-    is serialized driver jobs, not bytes): both sides' shingle sets come
-    from the SAME table, so ONE id union + ONE semi-filter scan + ONE
-    groupBy builds a single per-doc set table that serves da AND db —
-    the second broadcast of it is a ReusedExchange, so the r7 two-sided
-    shape's second table scan, second aggregation, and two of its four
-    broadcast builds (each an AQE job at ~0.15-0.2 s of serialized
-    driver latency, PERF.md r7 profile) are gone. This also subsumes
-    the r10 sh_b parameter (b-side scanning the smaller batch table):
-    the single pass scans the union once instead of big + small."""
+    sh_b: when the caller KNOWS every db comes from a smaller table (the
+    incremental path: db is always a new-batch doc), pass that table so
+    the b-side semi-filter scans it instead of the full corpus union.
+
+    r11 measured-and-REJECTED variant (VERDICT r10 item 3): a one-pass
+    shape — da ∪ db id union, one semi-filter, one groupBy, the single
+    set table broadcast to both joins — looked strictly job-leaner on
+    paper but A/B-profiled WORSE on dedup_incremental (27-28 AQE jobs /
+    4.02 s idle min-of-3 vs this shape's 21 / 3.52 s; the union +
+    doubly-consumed aggregate made AQE materialize MORE stages, not
+    fewer) and a wash on the other callers (six-query bench total 6.74
+    vs 7.07 s, per-query moves within noise). Full table in PERF.md
+    round 11. Keep this shape; re-measure before re-attempting."""
     maybe_b = F.broadcast if broadcast_small else (lambda df: df)
 
-    ids = cand.select(F.col("da").alias(id_col)).unionByName(
-        cand.select(F.col("db").alias(id_col))
-    )
-    # In the broadcast regime, no .distinct() on the id union: the
+    def doc_sets(table: DataFrame, ids: DataFrame, out: str) -> DataFrame:
+        return (
+            table.join(maybe_b(ids), id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(F.collect_set("sh").alias(out))
+        )
+
+    # In the broadcast regime, no .distinct() on the id projections: the
     # broadcast hash relation the left_semi builds is a SET, so duplicate
     # ids collapse in the build anyway — the distinct added one exchange
-    # + one AQE job for nothing (r7 stage-floor profile). In the shuffle
-    # regime (broadcast_small=False) the distinct stays: there the dup
-    # ids would travel the exchange.
-    if not broadcast_small:
-        ids = ids.distinct()
-    sets = (
-        sh.join(maybe_b(ids), id_col, "left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_set("sh").alias("shs"))
+    # + one AQE job per side for nothing (r7 stage-floor profile:
+    # dedup_incremental's wall is driver orchestration, not bytes; see
+    # PERF.md round 7). In the shuffle regime (broadcast_small=False) the
+    # distinct stays: there the dup ids would travel the exchange.
+    maybe_distinct = (lambda df: df) if broadcast_small else (lambda df: df.distinct())
+    a_sets = doc_sets(
+        sh, maybe_distinct(cand.select(F.col("da").alias(id_col))), "sha"
     )
-    a_sets = sets.select(F.col(id_col).alias("da"), F.col("shs").alias("sha"))
-    b_sets = sets.select(F.col(id_col).alias("db"), F.col("shs").alias("shb"))
+    b_sets = doc_sets(
+        sh_b if sh_b is not None else sh,
+        maybe_distinct(cand.select(F.col("db").alias(id_col))),
+        "shb",
+    )
     return (
-        cand.join(maybe_b(a_sets), "da")
-        .join(maybe_b(b_sets), "db")
+        cand.join(maybe_b(a_sets.select(F.col(id_col).alias("da"), "sha")), "da")
+        .join(maybe_b(b_sets.select(F.col(id_col).alias("db"), "shb")), "db")
         .withColumn("_i", F.size(F.array_intersect("sha", "shb")))
         .select(
             "da",
@@ -711,7 +720,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # closed before the section was written) — the exchange moves
     # hundreds of rows. At true 100TB output sizes swap to orderBy.
     return bounded_sort(
-        _verify_pairs(cand, sh_all).filter(F.col("j") >= 0.8),
+        _verify_pairs(cand, sh_all, sh_b=batch_sh).filter(F.col("j") >= 0.8),
         "da",
         "db",
     )

@@ -36,13 +36,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # three-round union at r11, so they MUST be here (exactly the
 # displacement the r10 comment scheduled); (2) ann_incremental —
 # promoted from rows-only to oracled this round (recall contract,
-# VERDICT r10 item 8), first oracled driver row; (3) dedup_incremental —
-# plan changed this round (serialized-job collapse, VERDICT r10 item 3),
-# re-verify; (4) 31 of the 47 remaining oracled queries whose last
-# driver row is round 9.  Displaced to round 12, union-covered by their
-# r9 rows — these must head the r12 window: q07, q08, q09, q10, q11,
-# q12, q13, q14, q15, q16, q17, q18, rollup, scalar_funcs, sessionize,
-# unpivot, window_funcs.
+# VERDICT r10 item 8), first oracled driver row; (3) 32 of the 48
+# oracled queries whose last driver row is round 9 (VERDICT r10 item 3's
+# one-pass _verify_pairs variant was A/B-profiled WORSE and REVERTED —
+# see PERF.md r11 — so no dedup plan changed this round;
+# dedup_incremental sits in this group by its r9 row age).  Displaced
+# to round 12, union-covered by their r9 rows — these must head the
+# r12 window: q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
+# rollup, scalar_funcs, sessionize, unpivot, window_funcs.
 _WINDOW_ROUND = 11
 _PRIORITY: tuple[str, ...] = (
     # 1. oracled queries whose last driver row is round 8 — age out of
@@ -54,20 +55,15 @@ _PRIORITY: tuple[str, ...] = (
     "train_split", "window_sliding",
     # 2. newly oracled this round — first oracled driver row
     "ann_incremental",
-    # 3. plan changed this round — re-verify (the _verify_pairs one-pass
-    #    rewrite also reshapes dedup_minhash_lsh / dedup_winnow /
-    #    dedup_clusters / curation_pipeline_lsh — all already below —
-    #    and dedup_ngram_jaccard, pulled forward from its r10 row)
-    "dedup_incremental", "dedup_ngram_jaccard",
-    # 4. oracled queries whose last driver row is round 9
+    # 3. oracled queries whose last driver row is round 9
     "ann_lsh", "approx_distinct", "argmax_funcs", "asof_join",
     "cms_heavyhitters", "column_profile", "cross_join_bucketed", "cube",
     "curation_pipeline", "curation_pipeline_lsh", "date_funcs",
     "dedup_clusters", "dedup_editdistance", "dedup_embedding_clusters",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_winnow",
-    "doc_chunk", "exists_subquery", "grouping_sets", "json_extract",
-    "multimodal_audio", "pivot", "q01", "q02", "q03", "q04", "q05",
-    "q06",
+    "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_winnow", "doc_chunk", "exists_subquery",
+    "grouping_sets", "json_extract", "multimodal_audio", "pivot",
+    "q01", "q02", "q03", "q04", "q05", "q06", "q07",
 )
 
 

@@ -101,7 +101,7 @@ def maintain_dedup(
         within = candidates_from_bands(micro_bands)
         cand = tracked_persist(cross.unionByName(within))
         sh_all = store_sh.unionByName(micro_sh)
-        pairs = _verify_pairs(cand, sh_all).filter(
+        pairs = _verify_pairs(cand, sh_all, sh_b=micro_sh).filter(
             F.col("j") >= threshold
         )
         report(pairs, batch_id)
