@@ -1,0 +1,198 @@
+"""Scale-evidence A/B (VERDICT r10 item 7): the 100TB claims rest on
+plan shapes + counters at sf0.1 — this harness generates fixture-style
+synthetic corpora at 1x / 3x / 10x the bench SF and MEASURES how the
+flagship candidate-bounded paths scale (wall clock + shuffle bytes)
+against their quadratic twins, replacing asserted-linear claims with
+fitted exponents.
+
+Corpus style mirrors the driver fixtures (TESTDATA.md): ~31-word
+vocabulary, ~55-word documents (word-3-gram shingling collision
+profile), ~2% planted near-dup pairs, 64-dim float32 embeddings.
+Quadratic twins are capped at 3x where their runtime would explode —
+the cap is the point: the fitted exponent says WHY the twin cannot
+ship at 100TB.
+
+Usage: python tools/scale_ab.py [--scales 1,3,10] [--out /tmp/scale_ab.json]
+Run on an IDLE box (uptime first — see PERF.md host-noise protocol);
+results land in PERF.md round 11.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_DOCS = 5_000      # sf0.1 documents row count
+BASE_EMB = 2_000       # sf0.1 embeddings row count
+ROOT = "/tmp/tez_spark_scale_ab"
+
+VOCAB = (
+    "batch part spark line column order small sort fast value scan hash "
+    "slow group agg filter query big key window row table stream merge "
+    "data join shuffle stage task plan node"
+).split()  # 31 words — the fixture's collision profile
+
+LANGS = ["en", "en", "de", "zh", "fr", "es"]
+
+
+def gen_fixture(scale: int) -> str:
+    """Write documents.parquet + embeddings.parquet for one scale under
+    ROOT/x{scale}. Deterministic (seed embeds the scale); ~2% of docs
+    are near-dups of an earlier doc (last 3 of ~55 words replaced) so
+    candidate-bounded paths have real work at every scale."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(ROOT, f"x{scale}")
+    if os.path.exists(os.path.join(out, "_COMPLETE")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    n = BASE_DOCS * scale
+    rng = np.random.RandomState(1234 + scale)
+    words = np.array(VOCAB)
+    # (n, 55) word-index matrix -> texts
+    idx = rng.randint(0, len(words), size=(n, 55))
+    stride = max(n // 10, 1)
+    dup_mask = (np.arange(n) % 47 == 1) & (np.arange(n) >= stride)
+    src = np.arange(n) - stride
+    idx[dup_mask] = idx[src[dup_mask]]
+    idx[dup_mask, -3:] = rng.randint(0, len(words), size=(dup_mask.sum(), 3))
+    texts = [" ".join(words[row]) for row in idx]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts,
+            "lang": [LANGS[i % len(LANGS)] for i in range(n)],
+            "source": [f"src{i % 7}" for i in range(n)],
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        os.path.join(out, "documents.parquet"),
+    )
+
+    m = BASE_EMB * scale
+    emb = rng.standard_normal((m, 64)).astype(np.float32)
+    # plant ~2% near-identical vectors so threshold paths have output
+    edup = (np.arange(m) % 53 == 1) & (np.arange(m) >= m // 10)
+    esrc = np.arange(m) - m // 10
+    emb[edup] = emb[esrc[edup]] + 0.01 * rng.standard_normal(
+        (edup.sum(), 64)
+    ).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(m, dtype=np.int64)),
+                "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+                "label": pa.array((np.arange(m) % 10).astype(np.int32)),
+            }
+        ),
+        os.path.join(out, "embeddings.parquet"),
+    )
+    with open(os.path.join(out, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    return out
+
+
+def main() -> None:
+    scales = [int(s) for s in "1,3,10".split(",")]
+    for a in sys.argv[1:]:
+        if a.startswith("--scales"):
+            scales = [int(s) for s in a.split("=", 1)[1].split(",")]
+    out_path = "/tmp/scale_ab.json"
+
+    from tez_spark.observability import capture
+    from tez_spark.operators.core import release_caches
+    from tez_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_ab", cpus=32, shuffle_partitions=32)
+
+    from tez_spark.plans.registry import all_queries
+
+    reg = all_queries()
+    # (name, max_scale): twins capped where runtime would explode —
+    # the cap IS the finding (see module docstring)
+    case_spec = [
+        # flagship candidate-bounded paths
+        ("dedup_minhash_lsh", None),
+        ("dedup_incremental", None),
+        ("editdistance_discovery", None),
+        ("dedup_embedding_lsh", None),
+        ("ann_ivf", None),
+        # quadratic twins
+        ("dedup_ngram_jaccard", 3),
+        ("dedup_embedding", None),  # exact all-pairs cosine
+        ("ann_topk", None),  # exact brute-force scan baseline
+    ]
+    cases = [
+        (n, (lambda d, _n=n: reg[_n](spark, d)), cap) for n, cap in case_spec
+    ]
+
+    results: dict[str, dict] = {}
+    for scale in scales:
+        sf_dir = gen_fixture(scale)
+        print(f"=== scale x{scale}: {sf_dir}", file=sys.stderr, flush=True)
+        for name, fn, cap in cases:
+            if cap is not None and scale > cap:
+                continue
+            # warm run (codegen + artifact build excluded from timing,
+            # like bench prewarm), then min-of-2 timed
+            try:
+                fn(sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:
+                print(f"{name}@x{scale} FAILED: {exc}", file=sys.stderr)
+                continue
+            best = None
+            counters = None
+            for _ in range(2):
+                t0 = time.monotonic()
+                _, c = capture(
+                    spark,
+                    lambda: fn(sf_dir)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save(),
+                )
+                w = time.monotonic() - t0
+                if best is None or w < best:
+                    best, counters = w, c
+            row = {
+                "wall_sec": round(best, 3),
+                "shuffle_bytes": counters.get("SHUFFLE_BYTES_WRITTEN", 0),
+                "executor_ms": counters.get("EXECUTOR_RUN_TIME_MS", 0),
+            }
+            results.setdefault(name, {})[f"x{scale}"] = row
+            print(f"{name}@x{scale}: {row}", file=sys.stderr, flush=True)
+        release_caches()
+
+    # fitted exponent between the smallest and largest measured scale
+    for name, by_scale in results.items():
+        ks = sorted(by_scale, key=lambda k: int(k[1:]))
+        lo, hi = ks[0], ks[-1]
+        r = int(hi[1:]) / int(lo[1:])
+        if r > 1:
+            for metric in ("wall_sec", "shuffle_bytes", "executor_ms"):
+                a, b = by_scale[lo][metric], by_scale[hi][metric]
+                if a and b:
+                    by_scale["exponent_" + metric] = round(
+                        math.log(b / a) / math.log(r), 2
+                    )
+    print(json.dumps(results, indent=1))
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
