@@ -173,3 +173,59 @@ def test_headline_never_overflows_even_at_absurd_scale():
     assert accounted == 200
     # failed entries are dropped BEFORE any successful timing
     assert all(v >= 0 for v in parsed["queries"].values())
+
+
+def test_headline_accounting_property():
+    """Property sweep over random registry sizes and value mixes: every
+    query is accounted for exactly once across queries / queries_ds /
+    queries_failed / queries_omitted, the line always fits and parses,
+    and whenever the ladder settled at tier 3d or better (no omission,
+    no failure-collapse), a >= 0.05s query never reads as 0 anywhere."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    real = _real_names()
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=200),
+        seed=st.integers(min_value=0, max_value=10**6),
+        fail_rate=st.floats(min_value=0.0, max_value=1.0),
+    )
+    def check(n, seed, fail_rate):
+        rng = random.Random(seed)
+        names = (real * 3)[:n] if n <= len(real) * 3 else real
+        names = [f"{nm}_{i}" if i >= len(real) else nm
+                 for i, nm in enumerate(names)]
+        timings = {}
+        for nm in names:
+            if rng.random() < fail_rate:
+                timings[nm] = -1.0
+            else:
+                timings[nm] = round(rng.choice([
+                    rng.uniform(0.0, 0.049),   # sub-tick
+                    rng.uniform(0.05, 0.49),   # decisecond band
+                    rng.uniform(0.5, 9.99),    # small seconds
+                    rng.uniform(10, 999),      # heavy
+                ]), 3)
+        out = bench.format_headline(_line(), timings, names)
+        assert len(out) <= 1980
+        parsed = json.loads(out)
+        qs = parsed["queries"]
+        ds = parsed.get("queries_ds", {})
+        assert not (set(qs) & set(ds))
+        accounted = (len(qs) + len(ds)
+                     + parsed.get("queries_failed", 0)
+                     + parsed.get("queries_omitted", 0))
+        assert accounted == len(names), (accounted, len(names))
+        if "queries_omitted" not in parsed and "queries_failed" not in parsed:
+            full_tier = len(qs) + len(ds) == len(names)
+            for nm, t in timings.items():
+                if t >= 0.05 and full_tier and (ds or nm in ds):
+                    # tier 3d fired: sub-second signal must survive
+                    v = ds.get(nm, qs.get(nm))
+                    assert v != 0, (nm, t, v)
+
+    check()
