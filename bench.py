@@ -358,6 +358,19 @@ def main() -> None:
         # budget again.
         aggregate()
         total = round(sum(t for t in timings.values() if t >= 0), 3)
+        # full-precision ORACLED subtotal (the paired-window numerator
+        # vs tools/bench_oracle.py): summing the quantized headline map
+        # instead mis-stated the r10 band by ~15% (69 zero-printed
+        # entries) — the stamp must come from the raw mins (r11)
+        try:
+            from tez_spark.plans.registry import all_oracles
+
+            ok = set(all_oracles())
+            total_oracled = round(
+                sum(t for n, t in timings.items() if t >= 0 and n in ok), 3
+            )
+        except Exception:
+            total_oracled = None
         steal1, total1 = _cpu_jiffies()
         dt = total1 - total0
         steal_pct = round(100.0 * (steal1 - steal0) / dt, 2) if dt > 0 else 0.0
@@ -372,6 +385,7 @@ def main() -> None:
                 # host-noise protocol must keep its signal somewhere
                 # (r10 review)
                 "steal_pct": steal_pct,
+                "total_oracled": total_oracled,
                 "runs_policy": runs,
                 "prewarm": {
                     "cold_submit_sec": cold_submit,
