@@ -331,3 +331,30 @@ def test_recall_contracts_hold_at_driver_sfs(spark):
             f"(n_exact={r.n_exact}, subset={r.lsh_subset_ok}, "
             f"recall={r.recall_ok}); re-measure bounds"
         )
+
+
+def test_brute_force_chunked_equals_single_collect(spark):
+    """Forced multi-chunk exact top-k (query_chunk_rows=7 over ~20
+    queries): per-query top-k composes across chunks, so the chunked
+    result must equal the single-collect path exactly — the
+    driver-bounded audit mode q_ann_incremental uses for its
+    corpus-scaled batch (r11, the probe_chunk_rows pattern)."""
+    from pyspark.sql import functions as F
+
+    from tez_spark.operators.similarity import brute_force_topk
+    from tez_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    assert queries.count() > 7  # forces >= 2 chunks
+    single = {
+        (r.q_id, r.vec_id, r.rn)
+        for r in brute_force_topk(emb, queries, 5).collect()
+    }
+    chunked = {
+        (r.q_id, r.vec_id, r.rn)
+        for r in brute_force_topk(
+            emb, queries, 5, query_chunk_rows=7
+        ).collect()
+    }
+    assert chunked == single

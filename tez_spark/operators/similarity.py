@@ -61,6 +61,7 @@ def brute_force_topk(
     k: int = K,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_chunk_rows: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine: numpy matmul per Arrow batch against a
     driver-broadcast normalized query matrix, LOCAL top-k per partition,
@@ -71,7 +72,48 @@ def brute_force_topk(
     k·|queries| rows, so the merge shuffle is negligible. BLAS matmul
     replaces zip_with/aggregate cosine: Catalyst evaluates higher-order
     functions interpreted per element, which benchmarked ~100x slower
-    than vectorized numpy for dense float math."""
+    than vectorized numpy for dense float math.
+
+    query_chunk_rows bounds DRIVER memory exactly like
+    ann_ivf_probe_index's probe_chunk_rows (r11 — added when
+    q_ann_incremental's audit path started brute-forcing a
+    corpus-scaled batch instead of the fixed 10-query set): the query
+    set streams via toLocalIterator in chunks, each chunk pays one
+    corpus pass, and per-query top-k composes losslessly across chunks
+    because queries partition. None collects the whole query set at
+    once — right for bounded query sets; a corpus-scaled audit sets a
+    chunk size and pays extra scans, never driver memory."""
+    if query_chunk_rows is not None:
+        proj = queries.select(F.col(id_col), as_double(vec_col).alias("v"))
+        parts: list[DataFrame] = []
+        buf: list = []
+
+        def flush() -> None:
+            if not buf:
+                return
+            chunk = queries.sparkSession.createDataFrame(
+                [(r[0], list(r[1])) for r in buf],
+                f"{id_col} long, {vec_col} array<double>",
+            )
+            parts.append(
+                brute_force_topk(corpus, chunk, k, id_col, vec_col)
+            )
+            buf.clear()
+
+        for r in proj.toLocalIterator():
+            buf.append(r)
+            if len(buf) >= query_chunk_rows:
+                flush()
+        flush()
+        if not parts:
+            return queries.sparkSession.createDataFrame(
+                [], f"q_id long, {id_col} long, sim double, rn long"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     import pandas as pd
 
     from tez_spark.operators.core import fan_out
@@ -1241,8 +1283,10 @@ def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_recall_contracts_hold_at_driver_sfs evaluates the real
     booleans at all three SFs. Real clustered corpora prune deeper at
     far smaller nprobe — tune it down there. The exact side here is
-    the AUDIT path (one corpus pass against the driver-broadcast
-    batch); at 100TB drop the audit and serve ann_incremental_neighbors
+    the AUDIT path (corpus passes against driver-bounded query chunks —
+    query_chunk_rows streams the corpus-scaled batch exactly like the
+    probe's probe_chunk_rows, so neither side ever collects unbounded
+    rows); at 100TB drop the audit and serve ann_incremental_neighbors
     — the probe itself reads only probed cell partitions."""
     corpus, batch = _incremental_split(spark, sf_dir)
     idx = ensure_ivf_index(corpus, sf_dir)
@@ -1250,7 +1294,7 @@ def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, idx, batch, k=5, nprobe=ANN_INCR_NPROBE,
         probe_chunk_rows=10_000,
     )
-    exact = brute_force_topk(corpus, batch, k=5)
+    exact = brute_force_topk(corpus, batch, k=5, query_chunk_rows=10_000)
     both = probe.select(
         F.lit("ivf").alias("path"), "q_id", "vec_id", "sim"
     ).unionByName(
