@@ -19,12 +19,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tez_spark.observability import (  # noqa: E402
+    container_reuse_report_from_history,
     critical_path_from_history,
     dag_overview_from_history,
     hung_task_report_from_history,
     input_read_error_report_from_history,
     load_history,
     locality_report_from_history,
+    one_on_one_edge_report_from_history,
     shuffle_time_report_from_history,
     skew_report_from_history,
     slow_node_report_from_history,
@@ -35,6 +37,7 @@ from tez_spark.observability import (  # noqa: E402
     task_assignment_from_history,
     task_attempt_stats_from_history,
     task_concurrency_from_history,
+    vertex_critical_paths_from_history,
 )
 
 
@@ -58,6 +61,10 @@ def analyze(path: str, top: int = 20) -> dict:
         "attempt_stats": task_attempt_stats_from_history(h),
         "hung_tasks": hung_task_report_from_history(h),
         "input_read_errors": input_read_error_report_from_history(h),
+        # r11 — the final three reference plugins (17/17)
+        "container_reuse": container_reuse_report_from_history(h),
+        "one_on_one_edges": one_on_one_edge_report_from_history(h),
+        "vertex_critical_paths": vertex_critical_paths_from_history(h, top=top),
     }
 
 
