@@ -1320,8 +1320,16 @@ def vertex_critical_paths_from_history(
         return []
     final = max(by_id.values(), key=lambda s: s["completion_ms"])
     out: list[dict[str, Any]] = []
+    # path-prefix enumeration is exponential on diamond-cascade DAGs
+    # (the reference analyzer has the same exposure); cap the visit
+    # count so a pathological log terminates with the highest-scoring
+    # prefixes it reached rather than OOMing — real AQE stage DAGs are
+    # near-chains and never approach this
+    budget = max(10_000, top * 100)
 
     def walk(sid: int, prefix: str, t: int, seen: frozenset[int]) -> None:
+        if len(out) >= budget:
+            return
         s = by_id[sid]
         t += s["completion_ms"] - s["submission_ms"]
         prefix = (prefix + "-->" if prefix else "") + (
