@@ -61,6 +61,13 @@ def format_headline(line: dict, timings: dict, names, budget: int = 1980) -> str
        the honest sub-tick quantization). Integer-second entries stay
        in "queries". Every query still appears by name exactly once
        across the two maps — nothing dropped, nothing prints a false 0;
+    3e. if even the decisecond split overflows (r11: at 119 names the
+       ds line measures within ~10 chars of budget on fat value
+       mixes), sub-second entries DROP from the maps into an explicit
+       "queries_sub_sec" count (the VERDICT r10 proposal) — per-query
+       sub-second signal then lives only in the diagnostics line, but
+       no query ever reads as a false 0 and integer-second entries
+       keep their names;
     4. integer seconds for everything and failed queries as -1 — at 109
        real names a partial emit full of "-1.0" was measured at 2105
        chars, over the tail, so the r6 tiers alone were not a guarantee;
@@ -81,6 +88,7 @@ def format_headline(line: dict, timings: dict, names, budget: int = 1980) -> str
 
     def render(tier: float, keep_steal: bool = True) -> str:
         line.pop("queries_ds", None)
+        line.pop("queries_sub_sec", None)
         if steal is not None:
             if keep_steal:
                 line["steal_pct"] = steal
@@ -105,29 +113,35 @@ def format_headline(line: dict, timings: dict, names, budget: int = 1980) -> str
                 return int(r) if r == int(r) else r
             return round(t, 2)
 
-        if tier == 3.8:
+        if tier in (3.8, 3.9):
             qs: dict = {}
             ds: dict = {}
+            sub = 0
             for n in ordered:
                 t = timings.get(n, -1.0)
                 i = int(round(t))
                 if i == 0 and t > 0:
-                    # HALF-UP, not banker's: a query exactly at the
-                    # 0.05s tick must round to 1 ds, never 0 (the
-                    # contract bound), and round(0.5) == 0 in Python
-                    ds[n] = int(t * 10 + 0.5)
+                    if tier == 3.9:
+                        sub += 1
+                    else:
+                        # HALF-UP, not banker's: a query exactly at the
+                        # 0.05s tick must round to 1 ds, never 0 (the
+                        # contract bound), and round(0.5) == 0 in Python
+                        ds[n] = int(t * 10 + 0.5)
                 else:
                     qs[n] = i
             line["queries"] = qs
             if ds:
                 line["queries_ds"] = ds
+            if sub:
+                line["queries_sub_sec"] = sub
             return json.dumps(line, separators=(",", ":"))
         line["queries"] = {n: v(n) for n in ordered}
         return json.dumps(line, separators=(",", ":"))
 
     for tier, keep_steal in (
         (1, True), (2, True), (3, True), (3, False), (3.5, False),
-        (3.8, False), (4, False),
+        (3.8, False), (3.9, False), (4, False),
     ):
         out = render(tier, keep_steal)
         if len(out) <= budget:

@@ -105,7 +105,16 @@ def test_headline_measured_r10_mix_never_prints_zero():
     assert len(out) <= 1980, f"headline overflows the driver tail: {len(out)}"
     parsed = json.loads(out)
     flat = _flat(parsed)
-    assert set(flat) == set(names)  # nothing dropped, nothing doubled
+    # every query accounted for: by name, or (tier 3e overflow at fat
+    # mixes) inside the explicit sub-second drop count — never silently
+    dropped = parsed.get("queries_sub_sec", 0)
+    assert len(flat) + dropped == len(names)
+    assert set(flat) <= set(names)
+    if dropped:
+        # only sub-second entries may be dropped; integer-second names
+        # always survive
+        assert all(timings[n] >= 0.95 or n in flat or timings[n] < 0.5
+                   for n in names)
     for n, v in flat.items():
         assert v != 0, (n, v, timings[n])  # >= tick: never prints 0
         assert abs(v - timings[n]) <= 0.551, (n, v, timings[n])
@@ -133,8 +142,9 @@ def test_headline_realistic_mix_keeps_subsecond_precision():
     assert len(out) < 2000
     parsed = json.loads(out)
     assert "queries_omitted" not in parsed
-    assert len(parsed["queries"]) == len(names)
-    for n, v in parsed["queries"].items():
+    flat = _flat(parsed)
+    assert len(flat) + parsed.get("queries_sub_sec", 0) == len(names)
+    for n, v in flat.items():
         if n == subtick:
             assert abs(v - timings[n]) <= 0.051, (n, v, timings[n])
             continue
@@ -217,6 +227,7 @@ def test_headline_accounting_property():
         ds = parsed.get("queries_ds", {})
         assert not (set(qs) & set(ds))
         accounted = (len(qs) + len(ds)
+                     + parsed.get("queries_sub_sec", 0)
                      + parsed.get("queries_failed", 0)
                      + parsed.get("queries_omitted", 0))
         assert accounted == len(names), (accounted, len(names))

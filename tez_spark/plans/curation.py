@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tez_spark.functions import text as X
 from tez_spark.operators.core import bounded_sort
 
 QUALITY_MIN = 0.68
@@ -767,6 +768,104 @@ _WEIGHTED_SAMPLE_SQL = f"""
 """
 
 
+DECONTAM_NGRAM_L = 13  # the exact-substring standard (GPT-3 App. C /
+# Llama filtering use verbatim 13-gram overlap as the contamination test)
+
+
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim n-gram decontamination (r11) — the industry-standard
+    exact-substring method (13-token verbatim overlap, the GPT-3
+    Appendix-C / Llama eval-filtering rule), complementing
+    q_decontaminate's fuzzy winnow+Jaccard check: per HOLDOUT document,
+    how many of its 13-gram windows appear verbatim ANYWHERE in the
+    train split, and the drop/keep flag. The per-doc report is the
+    actionable artifact (which eval docs to exclude); q_decontaminate's
+    per-source rates answer a different question (is my holdout
+    trustworthy at all).
+
+    Plan: one gram explode per side (the text_dup_spans codegen shape —
+    grams travel as 16-hex md5 prefixes, 8x smaller than the raw
+    13-token strings), the train side collapsed to a DISTINCT gram set,
+    one gram-keyed LEFT join marking shared holdout gram instances, one
+    per-doc aggregation. Scale: everything is gram-hash-keyed — no
+    pairwise document product exists anywhere; the join's exchange is
+    bounded by gram vocabulary, the same class as text_dup_spans'
+    frequency exchange. A 64-bit prefix collision needs ~2^32 distinct
+    grams per false shared window (same argument as text_dup_spans)."""
+    from tez_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    L = DECONTAM_NGRAM_L
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    base = docs.select(
+        "doc_id",
+        (F.substring(h, 1, 2) >= "e6").alias("is_hold"),
+        X.tokens("text").alias("_toks"),
+    ).filter(F.size("_toks") >= L)
+    grams = base.select(
+        "doc_id",
+        "is_hold",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(_toks) - {L}),"
+                f" i -> array_join(slice(_toks, i + 1, {L}), ' '))"
+            )
+        ).alias("gram"),
+    ).select(
+        "doc_id",
+        "is_hold",
+        F.substring(F.md5(F.col("gram").cast("binary")), 1, 16).alias("g"),
+    )
+    train_g = (
+        grams.filter(~F.col("is_hold")).select("g").distinct()
+        .withColumn("_m", F.lit(1))
+    )
+    marked = grams.filter(F.col("is_hold")).join(train_g, "g", "left")
+    out = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_m"), F.lit(0))).alias("n_shared_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared_grams",
+            (F.col("n_shared_grams") > 0).alias("contaminated"),
+        )
+    )
+    return bounded_sort(out, "doc_id")
+
+
+_DECONTAMINATE_NGRAM_SQL = f"""
+    WITH base AS (
+        SELECT doc_id,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6' AS is_hold,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, is_hold,
+               substring(md5(array_to_string(
+                   list_slice(toks, i + 1, i + {DECONTAM_NGRAM_L}), ' ')),
+                   1, 16) AS g
+        FROM base, unnest(range(len(toks) - {DECONTAM_NGRAM_L - 1})) AS u(i)
+        WHERE len(toks) >= {DECONTAM_NGRAM_L}
+    ), tg AS (
+        SELECT DISTINCT g FROM grams WHERE NOT is_hold
+    )
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_grams,
+           SUM(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) > 0
+               AS contaminated
+    FROM grams gr LEFT JOIN tg ON gr.g = tg.g
+    WHERE gr.is_hold
+    GROUP BY gr.doc_id
+    ORDER BY gr.doc_id
+"""
+
+
 QUERIES = {
     "source_mix": q_source_mix,
     "weighted_sample": q_weighted_sample,
@@ -777,6 +876,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "doc_chunk": q_doc_chunk,
     "decontaminate": q_decontaminate,
+    "decontaminate_ngram": q_decontaminate_ngram,
     "length_curriculum": q_length_curriculum,
     "source_cap": q_source_cap,
 }
@@ -793,5 +893,6 @@ ORACLE = {
     "stratified_sample": _STRATIFIED_SAMPLE_SQL,
     "doc_chunk": _DOC_CHUNK_SQL,
     "decontaminate": _DECONTAMINATE_SQL,
+    "decontaminate_ngram": _DECONTAMINATE_NGRAM_SQL,
     "length_curriculum": _LENGTH_CURRICULUM_SQL,
 }

@@ -42,8 +42,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # see PERF.md r11 — so no dedup plan changed this round;
 # dedup_incremental sits in this group by its r9 row age).  Displaced
 # to round 12, union-covered by their r9 rows — these must head the
-# r12 window: q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18,
-# rollup, scalar_funcs, sessionize, unpivot, window_funcs.
+# r12 window: q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17,
+# q18, rollup, scalar_funcs, sessionize, unpivot, window_funcs.
 _WINDOW_ROUND = 11
 _PRIORITY: tuple[str, ...] = (
     # 1. oracled queries whose last driver row is round 8 — age out of
@@ -53,8 +53,10 @@ _PRIORITY: tuple[str, ...] = (
     "text_fingerprint", "text_langid", "text_logprob", "text_metrics",
     "text_repetition", "text_winnow", "tfidf_top_terms", "time_gapfill",
     "train_split", "window_sliding",
-    # 2. newly oracled this round — first oracled driver row
-    "ann_incremental",
+    # 2. newly oracled this round — first oracled driver rows
+    # (ann_incremental promoted; decontaminate_ngram NEW — verbatim
+    # 13-gram exact-substring decontamination)
+    "ann_incremental", "decontaminate_ngram",
     # 3. oracled queries whose last driver row is round 9
     "ann_lsh", "approx_distinct", "argmax_funcs", "asof_join",
     "cms_heavyhitters", "column_profile", "cross_join_bucketed", "cube",
@@ -63,7 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_winnow", "doc_chunk", "exists_subquery",
     "grouping_sets", "json_extract", "multimodal_audio", "pivot",
-    "q01", "q02", "q03", "q04", "q05", "q06", "q07",
+    "q01", "q02", "q03", "q04", "q05", "q06",
 )
 
 
