@@ -44,6 +44,30 @@ def tokens(text: str | Column) -> Column:
     return F.filter(F.split(text, " "), lambda t: t != "")
 
 
+def gram_windows(length: int, toks_col: str = "_toks") -> Column:
+    """Word n-gram windows of a token-array column: array of the
+    space-joined L-token windows (size - L + 1 of them). THE shared
+    windowing kernel for winnow fingerprints, text_dup_spans and
+    decontaminate_ngram (r11 review: three hand-copied versions of this
+    expression meant a windowing change could silently diverge the
+    engines' candidate schemes); each DuckDB oracle mirrors it with
+    list_slice + array_to_string over the same token list."""
+    return F.expr(
+        f"transform(sequence(0, size({toks_col}) - {length}),"
+        f" i -> array_join(slice({toks_col}, i + 1, {length}), ' '))"
+    )
+
+
+def gram_hash(gram: str | Column, width: int = 16) -> Column:
+    """Gram -> md5-hex prefix (width hex chars): grams travel hashed
+    through every exchange (8x smaller than raw token strings); the
+    oracles recompute substring(md5(...), 1, width) identically. A
+    width-16 (64-bit) prefix collision needs ~2^32 distinct grams per
+    false match; at that scale switch to the full digest."""
+    col = F.col(gram) if isinstance(gram, str) else gram
+    return F.substring(F.md5(col.cast("binary")), 1, width)
+
+
 def char_count(text: str | Column) -> Column:
     return F.length(text).cast("long")
 

@@ -166,17 +166,10 @@ def winnow_fingerprints(
     )
     grams = base.select(
         id_col,
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(_toks) - {k}),"
-                f" i -> array_join(slice(_toks, i + 1, {k}), ' '))"
-            )
-        ).alias("pos", "gram"),
+        F.posexplode(X.gram_windows(k)).alias("pos", "gram"),
     )
     hashed = grams.select(
-        id_col,
-        "pos",
-        F.substring(F.md5(F.col("gram").cast("binary")), 1, 8).alias("h"),
+        id_col, "pos", X.gram_hash("gram", width=8).alias("h")
     )
     win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
     n_w = Window.partitionBy(id_col)
@@ -671,16 +664,8 @@ def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.size("_toks") >= L)
     grams = base.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(_toks) - {L}),"
-                f" i -> array_join(slice(_toks, i + 1, {L}), ' '))"
-            )
-        ).alias("gram"),
-    ).select(
-        "doc_id",
-        F.substring(F.md5(F.col("gram").cast("binary")), 1, 16).alias("g"),
-    )
+        F.explode(X.gram_windows(L)).alias("gram"),
+    ).select("doc_id", X.gram_hash("gram").alias("g"))
     counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_c"))
     per_doc = (
         grams.join(counts, "g")

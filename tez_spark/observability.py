@@ -799,19 +799,25 @@ def slowest_vertex_report_from_history(
     rows = []
     for key, attempts in by_stage.items():
         s = by_key.get(key, {})
-        durs = sorted(t["duration_ms"] for t in attempts)
         # launch_ms == 0 means the event-log line was missing 'Launch
         # Time' (load_history's default) — an epoch-0 lower bound would
-        # inflate the makespan to the full epoch-ms finish time and put
-        # this stage at the top of the report (ADVICE r10). Skip those
-        # attempts for the min-launch bound; if NO attempt has a real
-        # launch time, fall back to the sum of durations (the
-        # serialized-execution upper bound on the wall this stage held).
-        launches = [t["launch_ms"] for t in attempts if t["launch_ms"] > 0]
-        if launches:
-            makespan = max(t["finish_ms"] for t in attempts) - min(launches)
+        # inflate the makespan to the full epoch-ms finish time AND its
+        # duration_ms (finish - 0) to epoch scale, so malformed
+        # attempts are excluded from the percentile histogram too, not
+        # just the min-launch bound (ADVICE r10 + r11 review: the first
+        # fix's sum-of-durations fallback summed exactly those
+        # epoch-scale durations). If NO attempt carries a real launch
+        # time, fall back to the stage's aggregated Executor Run Time —
+        # a real measured quantity that a missing Launch Time cannot
+        # inflate.
+        valid = [t for t in attempts if t["launch_ms"] > 0]
+        durs = sorted(t["duration_ms"] for t in valid)
+        if valid:
+            makespan = max(t["finish_ms"] for t in attempts) - min(
+                t["launch_ms"] for t in valid
+            )
         else:
-            makespan = sum(durs)
+            makespan = s.get("EXECUTOR_RUN_TIME_MS", 0)
         run_ms = s.get("EXECUTOR_RUN_TIME_MS", 0)
         fetch_wait = s.get("SHUFFLE_FETCH_WAIT_MS", 0)
         rows.append(
@@ -1244,9 +1250,14 @@ def one_on_one_edge_report_from_history(
     pairs (the DAG declares edge types; history alone doesn't). With
     edges=None, candidate pairs are inferred as parent->child stages
     whose SUCCESSFUL partition index sets are identical — the identity-
-    width heuristic, documented as such; pass explicit pairs for audit
-    use. Only misses are emitted (the reference logs hits, emits
-    misses); empty output = perfect 1:1 locality."""
+    width heuristic. CAUTION (r11 review): under a constant
+    spark.sql.shuffle.partitions, ordinary reduce->reduce ALL_TO_ALL
+    boundaries ALSO carry identical index sets, so inference over a
+    plain shuffle chain reports hosts that legitimately differ as
+    "misses" — pass explicit pairs for trustworthy audits (the
+    analyze_log CLI deliberately does not auto-infer for this reason).
+    Only misses are emitted (the reference logs hits, emits misses);
+    empty output = perfect 1:1 locality."""
     h = load_history(history) if isinstance(history, str) else history
     names = _stage_names(h)
     # successful attempt host per (stage_id, index) — getSuccessfulTask
@@ -1326,10 +1337,14 @@ def vertex_critical_paths_from_history(
     # prefixes it reached rather than OOMing — real AQE stage DAGs are
     # near-chains and never approach this
     budget = max(10_000, top * 100)
-
-    def walk(sid: int, prefix: str, t: int, seen: frozenset[int]) -> None:
-        if len(out) >= budget:
-            return
+    # explicit stack, not recursion (r11 review): legitimate iterative
+    # jobs chain thousands of stages — well under the breadth budget but
+    # past Python's recursion limit
+    stack: list[tuple[int, str, int, frozenset[int]]] = [
+        (final["stage_id"], "", 0, frozenset({final["stage_id"]}))
+    ]
+    while stack and len(out) < budget:
+        sid, prefix, t, seen = stack.pop()
         s = by_id[sid]
         t += s["completion_ms"] - s["submission_ms"]
         prefix = (prefix + "-->" if prefix else "") + (
@@ -1338,11 +1353,9 @@ def vertex_critical_paths_from_history(
         out.append({"critical_path": prefix, "score_ms": t})
         for p in s.get("parent_ids", []):
             # seen-guard: Spark stage DAGs are acyclic, but a malformed
-            # log must terminate, not recurse forever
+            # log must terminate, not loop forever
             if p in by_id and p not in seen:
-                walk(p, prefix, t, seen | {p})
-
-    walk(final["stage_id"], "", 0, frozenset({final["stage_id"]}))
+                stack.append((p, prefix, t, seen | {p}))
     return sorted(out, key=lambda r: -r["score_ms"])[: max(top, 0)]
 
 

@@ -79,12 +79,17 @@ def _is_webm(b: bytes) -> bool:
     return b[:4] == b"\x1a\x45\xdf\xa3"
 
 
-def _pyav_frames(av, b: bytes, gray: bool = True):
+def _pyav_frames(av, b: bytes, keep_frames: bool = True):
     """Decode every video frame of an in-memory mp4/webm clip via PyAV:
-    yields (width, height, fps, frames) where frames is the list of
-    grayscale-plane bytes (gray=True) or av frame objects. Malformed
-    payloads map to ValueError — the _parse_avi_frames contract, so the
-    error type matches the stdlib branches."""
+    returns (width, height, fps, frames, n_frames). keep_frames=True
+    stores each frame's grayscale-plane bytes (the frame_sample path —
+    same in-memory footprint as the stdlib AVI parser's chunk list);
+    keep_frames=False streams the decode and only COUNTS frames (the
+    decode_video_meta path — r11 review: materializing ~GBs of planes
+    per task just to take len() would OOM on clips the AVI/GIF metadata
+    paths handle fine), returning frames=None. Malformed payloads map
+    to ValueError — the _parse_avi_frames contract, so the error type
+    matches the stdlib branches."""
     import io as _io
 
     try:
@@ -92,17 +97,17 @@ def _pyav_frames(av, b: bytes, gray: bool = True):
             stream = container.streams.video[0]
             rate = stream.average_rate
             fps = float(rate) if rate else 0.0
-            frames = []
+            frames = [] if keep_frames else None
+            n = 0
             w = h = 0
             for frame in container.decode(stream):
                 w, h = frame.width, frame.height
-                if gray:
+                n += 1
+                if keep_frames:
                     frames.append(
                         frame.to_ndarray(format="gray").tobytes()
                     )
-                else:
-                    frames.append(frame)
-            return w, h, fps, frames
+            return w, h, fps, frames, n
     except ValueError:
         raise
     except Exception as exc:
@@ -284,6 +289,13 @@ def frame_sample(
                 elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
                     _, _, all_frames, _ = _parse_avi_frames(b)
                     total = len(all_frames)
+                    if total == 0:
+                        # same loud contract as the mp4/webm branch
+                        # (r11 review): frames or an error, never a
+                        # silent zero-row drop
+                        raise ValueError(
+                            "RIFF/AVI payload holds zero video frames"
+                        )
                     take = min(n_frames, total)
                     # evenly spaced over the clip, always incl. frame 0
                     picks = sorted({i * total // take for i in range(take)})
@@ -317,8 +329,13 @@ def frame_sample(
                     # compressed containers via PyAV (VERDICT r10 item
                     # 4): decode once, pick evenly spaced grayscale
                     # planes — same spacing rule as the AVI/GIF branches
-                    _, _, _, all_frames = _pyav_frames(av, b, gray=True)
-                    total = len(all_frames)
+                    _, _, _, all_frames, total = _pyav_frames(av, b)
+                    if total == 0:
+                        # loud, not a silent zero-row drop (r11 review):
+                        # the contract is frames or an error
+                        raise ValueError(
+                            "mp4/webm payload decoded zero video frames"
+                        )
                     take = min(n_frames, total)
                     picks = sorted({i * total // take for i in range(take)})
                     for out_idx, src_idx in enumerate(picks):
@@ -628,8 +645,8 @@ def decode_video_meta(
             # containers take the PyAV path; anything else falls to the
             # contract error even with PyAV installed
             if av is not None and (_is_mp4(b) or _is_webm(b)):
-                w, h, fps, frames = _pyav_frames(av, b)
-                return n, w, h, len(frames), fps, md5
+                w, h, fps, _, nf = _pyav_frames(av, b, keep_frames=False)
+                return n, w, h, nf, fps, md5
             raise NotImplementedError(
                 "real video metadata: uncompressed RIFF/AVI decodes "
                 "everywhere (stdlib); GIF needs PIL on the EXECUTORS; "

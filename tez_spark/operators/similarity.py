@@ -80,12 +80,18 @@ def brute_force_topk(
     corpus-scaled batch instead of the fixed 10-query set): the query
     set streams via toLocalIterator in chunks, each chunk pays one
     corpus pass, and per-query top-k composes losslessly across chunks
-    because queries partition. None collects the whole query set at
-    once — right for bounded query sets; a corpus-scaled audit sets a
-    chunk size and pays extra scans, never driver memory."""
+    because queries partition. Each chunk's k-row-per-query RESULT is
+    collected before the next chunk starts (r11 review: retaining
+    per-chunk plans/broadcasts until one final action would hold every
+    chunk's query vectors driver-resident simultaneously — the O(input)
+    footprint this mode exists to avoid), so peak extra driver state is
+    one chunk of vectors plus the O(k x |queries|) result rows the
+    caller is asking for. None collects the whole query set at once —
+    right for bounded query sets; a corpus-scaled audit sets a chunk
+    size and pays extra scans, never input-sized driver memory."""
     if query_chunk_rows is not None:
-        proj = queries.select(F.col(id_col), as_double(vec_col).alias("v"))
-        parts: list[DataFrame] = []
+        out_schema = f"q_id long, {id_col} long, sim double, rn long"
+        result_rows: list[tuple] = []
         buf: list = []
 
         def flush() -> None:
@@ -95,24 +101,21 @@ def brute_force_topk(
                 [(r[0], list(r[1])) for r in buf],
                 f"{id_col} long, {vec_col} array<double>",
             )
-            parts.append(
-                brute_force_topk(corpus, chunk, k, id_col, vec_col)
+            result_rows.extend(
+                tuple(r)
+                for r in brute_force_topk(
+                    corpus, chunk, k, id_col, vec_col
+                ).collect()
             )
             buf.clear()
 
+        proj = queries.select(F.col(id_col), as_double(vec_col).alias("v"))
         for r in proj.toLocalIterator():
             buf.append(r)
             if len(buf) >= query_chunk_rows:
                 flush()
         flush()
-        if not parts:
-            return queries.sparkSession.createDataFrame(
-                [], f"q_id long, {id_col} long, sim double, rn long"
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        return queries.sparkSession.createDataFrame(result_rows, out_schema)
 
     import pandas as pd
 

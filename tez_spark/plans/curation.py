@@ -805,17 +805,8 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = base.select(
         "doc_id",
         "is_hold",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(_toks) - {L}),"
-                f" i -> array_join(slice(_toks, i + 1, {L}), ' '))"
-            )
-        ).alias("gram"),
-    ).select(
-        "doc_id",
-        "is_hold",
-        F.substring(F.md5(F.col("gram").cast("binary")), 1, 16).alias("g"),
-    )
+        F.explode(X.gram_windows(L)).alias("gram"),
+    ).select("doc_id", "is_hold", X.gram_hash("gram").alias("g"))
     train_g = (
         grams.filter(~F.col("is_hold")).select("g").distinct()
         .withColumn("_m", F.lit(1))

@@ -34,9 +34,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Round-11 window (VERDICT r10 item 1 executed): (1) the 17 oracled
 # queries whose last driver row is round 8 — their r8 rows leave the
 # three-round union at r11, so they MUST be here (exactly the
-# displacement the r10 comment scheduled); (2) ann_incremental —
-# promoted from rows-only to oracled this round (recall contract,
-# VERDICT r10 item 8), first oracled driver row; (3) 32 of the 48
+# displacement the r10 comment scheduled); (2) two never-rowed oracled
+# entries — ann_incremental (promoted from rows-only via the recall
+# contract, VERDICT r10 item 8) and decontaminate_ngram (NEW this
+# round: verbatim 13-gram exact-substring decontamination); (3) 31 of
+# the 48
 # oracled queries whose last driver row is round 9 (VERDICT r10 item 3's
 # one-pass _verify_pairs variant was A/B-profiled WORSE and REVERTED —
 # see PERF.md r11 — so no dedup plan changed this round;

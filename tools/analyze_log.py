@@ -61,9 +61,18 @@ def analyze(path: str, top: int = 20) -> dict:
         "attempt_stats": task_attempt_stats_from_history(h),
         "hung_tasks": hung_task_report_from_history(h),
         "input_read_errors": input_read_error_report_from_history(h),
-        # r11 — the final three reference plugins (17/17)
+        # r11 — the final three reference plugins (17/17).
+        # one_on_one needs DECLARED edge pairs: the identity-width
+        # inference cannot distinguish true 1:1 edges from ordinary
+        # constant-partition shuffle boundaries, so an unattended CLI
+        # run would flood healthy jobs with false "misses" — call
+        # one_on_one_edge_report_from_history(h, edges=[(src, dst)...])
+        # with the DAG's declared pairs for the real audit.
+        "one_on_one_edges": {
+            "note": "requires declared edge pairs; see "
+            "one_on_one_edge_report_from_history(history, edges)"
+        },
         "container_reuse": container_reuse_report_from_history(h),
-        "one_on_one_edges": one_on_one_edge_report_from_history(h),
         "vertex_critical_paths": vertex_critical_paths_from_history(h, top=top),
     }
 

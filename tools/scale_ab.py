@@ -106,11 +106,24 @@ def gen_fixture(scale: int) -> str:
 
 
 def main() -> None:
-    scales = [int(s) for s in "1,3,10".split(",")]
-    for a in sys.argv[1:]:
-        if a.startswith("--scales"):
-            scales = [int(s) for s in a.split("=", 1)[1].split(",")]
+    scales = [1, 3, 10]
     out_path = "/tmp/scale_ab.json"
+    args = sys.argv[1:]
+    i = 0
+    while i < len(args):
+        a = args[i]
+        # accept both --flag=value and --flag value (r11 review: the
+        # docstring's space-separated form crashed, and --out was
+        # parsed nowhere)
+        if a.startswith("--scales"):
+            val = a.split("=", 1)[1] if "=" in a else args[i + 1]
+            scales = [int(s) for s in val.split(",")]
+            i += 1 if "=" in a else 2
+        elif a.startswith("--out"):
+            out_path = a.split("=", 1)[1] if "=" in a else args[i + 1]
+            i += 1 if "=" in a else 2
+        else:
+            i += 1
 
     from tez_spark.observability import capture
     from tez_spark.operators.core import release_caches
