@@ -994,3 +994,55 @@ def test_makespan_and_overview_guards_on_malformed_attempts(tmp_path):
             att0["failed_tasks"]) == (2, 1, 1)
     assert (att1["num_tasks"], att1["completed_tasks"],
             att1["failed_tasks"]) == (1, 1, 0)
+
+
+def test_new_analyzers_empty_and_malformed_inputs():
+    """The r11 analyzers degrade cleanly on empty/minimal histories:
+    no stages -> empty reports everywhere, and a single-stage log
+    yields exactly one critical-path prefix with its own wall."""
+    from tez_spark.observability import (
+        container_reuse_report_from_history,
+        one_on_one_edge_report_from_history,
+        vertex_critical_paths_from_history,
+    )
+
+    empty = {"stages": [], "durations": {}, "intervals": {}, "tasks": []}
+    assert container_reuse_report_from_history(empty) == []
+    assert one_on_one_edge_report_from_history(empty) == []
+    assert one_on_one_edge_report_from_history(empty, edges=[(0, 1)]) == []
+    assert vertex_critical_paths_from_history(empty) == []
+
+    one = {
+        "stages": [{
+            "stage_id": 4, "attempt_id": 0, "name": "solo",
+            "status": "COMPLETE", "parent_ids": [],
+            "submission_ms": 100, "completion_ms": 350,
+        }],
+        "durations": {}, "intervals": {}, "tasks": [],
+    }
+    paths = vertex_critical_paths_from_history(one)
+    assert paths == [{"critical_path": "solo", "score_ms": 250}]
+
+
+def test_vertex_paths_deep_chain_no_recursion_error(tmp_path):
+    """A 5000-stage linear chain (legitimate long iterative job) must
+    return ranked prefixes, not RecursionError (r11 review: the walk is
+    an explicit stack) — and the breadth budget caps output size."""
+    from tez_spark.observability import vertex_critical_paths_from_history
+
+    n = 5000
+    stages = [
+        {
+            "stage_id": i, "attempt_id": 0, "name": f"s{i}",
+            "status": "COMPLETE",
+            "parent_ids": [i - 1] if i else [],
+            "submission_ms": i * 10, "completion_ms": i * 10 + 5,
+        }
+        for i in range(n)
+    ]
+    h = {"stages": stages, "durations": {}, "intervals": {}, "tasks": []}
+    paths = vertex_critical_paths_from_history(h, top=5)
+    assert len(paths) == 5
+    # the deepest prefix accumulated the most wall
+    assert paths[0]["score_ms"] >= paths[-1]["score_ms"]
+    assert paths[0]["critical_path"].startswith(f"s{n-1}-->")
