@@ -31,43 +31,35 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # driver dropping this round's own CORRECTNESS file no longer flips the
 # guard red at judging time.
 #
-# Round-11 window (VERDICT r10 item 1 executed): (1) the 17 oracled
-# queries whose last driver row is round 8 — their r8 rows leave the
-# three-round union at r11, so they MUST be here (exactly the
-# displacement the r10 comment scheduled); (2) two never-rowed oracled
-# entries — ann_incremental (promoted from rows-only via the recall
-# contract, VERDICT r10 item 8) and decontaminate_ngram (NEW this
-# round: verbatim 13-gram exact-substring decontamination); (3) 31 of
-# the 48
-# oracled queries whose last driver row is round 9 (VERDICT r10 item 3's
-# one-pass _verify_pairs variant was A/B-profiled WORSE and REVERTED —
-# see PERF.md r11 — so no dedup plan changed this round;
-# dedup_incremental sits in this group by its r9 row age).  Displaced
-# to round 12, union-covered by their r9 rows — these must head the
-# r12 window: q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17,
-# q18, rollup, scalar_funcs, sessionize, unpivot, window_funcs.
-_WINDOW_ROUND = 11
+# Round-12 window (VERDICT r11 item 1 executed): (1) the 17 oracled
+# queries whose last driver row is round 9 — their r9 rows leave the
+# three-round union at r12, so they MUST be here (exactly the
+# displacement the r11 comment scheduled); (2) 33 of the 50 oracled
+# queries whose last driver row is round 10 (alphabetically first —
+# deliberately including dedup_embedding_lsh, whose band geometry is
+# under review this round per VERDICT r11 item 6, so any plan change
+# gets a fresh driver row).  Displaced to round 13, union-covered by
+# their r10 rows — these must head the r13 window: tpch07, tpch08,
+# tpch09, tpch10, tpch11, tpch12, tpch13, tpch14, tpch15, tpch16,
+# tpch17, tpch18, tpch19, tpch20, tpch21, tpch22, weighted_sample.
+_WINDOW_ROUND = 12
 _PRIORITY: tuple[str, ...] = (
-    # 1. oracled queries whose last driver row is round 8 — age out of
-    #    the three-round union at r11
-    "regex_tokens", "seq_pack", "source_cap", "source_mix",
-    "source_quality", "star_join", "stratified_sample",
-    "text_fingerprint", "text_langid", "text_logprob", "text_metrics",
-    "text_repetition", "text_winnow", "tfidf_top_terms", "time_gapfill",
-    "train_split", "window_sliding",
-    # 2. newly oracled this round — first oracled driver rows
-    # (ann_incremental promoted; decontaminate_ngram NEW — verbatim
-    # 13-gram exact-substring decontamination)
-    "ann_incremental", "decontaminate_ngram",
-    # 3. oracled queries whose last driver row is round 9
-    "ann_lsh", "approx_distinct", "argmax_funcs", "asof_join",
-    "cms_heavyhitters", "column_profile", "cross_join_bucketed", "cube",
-    "curation_pipeline", "curation_pipeline_lsh", "date_funcs",
-    "dedup_clusters", "dedup_editdistance", "dedup_embedding_clusters",
-    "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_winnow", "doc_chunk", "exists_subquery",
-    "grouping_sets", "json_extract", "multimodal_audio", "pivot",
-    "q01", "q02", "q03", "q04", "q05", "q06",
+    # 1. oracled queries whose last driver row is round 9 — age out of
+    #    the three-round union at r12
+    "q07", "q08", "q09", "q10", "q11", "q12", "q13", "q14", "q15",
+    "q16", "q17", "q18", "rollup", "scalar_funcs", "sessionize",
+    "unpivot", "window_funcs",
+    # 2. oracled queries whose last driver row is round 10
+    "ann_ivf", "ann_topk", "audio_features", "cross_join_chunked",
+    "decontaminate", "dedup_embedding", "dedup_embedding_lsh",
+    "dedup_ngram_jaccard", "editdistance_discovery",
+    "embedding_centroids", "embedding_incremental", "embedding_quantize",
+    "event_anomalies", "event_funnel", "event_retention",
+    "interval_join", "length_curriculum", "multimodal_decode",
+    "multimodal_frames", "multimodal_video", "percentiles",
+    "percentiles_approx", "pii_redact", "pmi_collocations", "set_ops",
+    "string_agg", "text_dup_spans", "tpch01", "tpch02", "tpch03",
+    "tpch04", "tpch05", "tpch06",
 )
 
 
