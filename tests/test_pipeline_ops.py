@@ -324,3 +324,18 @@ def test_weighted_sample_matches_python_reference(spark):
     corpus_mean = sum(w for _, w in rows) / len(rows)
     sample_mean = sum(w for _, _, w in want) / len(want)
     assert sample_mean > corpus_mean
+
+
+def test_gram_windows_total_on_short_docs(spark):
+    """gram_windows is total (ADVICE r11): documents shorter than one
+    window yield the EMPTY array, not bogus clamped grams from Spark's
+    descending sequence(0, size-L) when size < L."""
+    from pyspark.sql import functions as F
+
+    from tez_spark.functions.text import gram_windows, tokens
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",), ("solo",)], "text string"
+    ).select(tokens("text").alias("_toks"))
+    got = [r.g for r in df.select(gram_windows(3).alias("g")).collect()]
+    assert got == [["a b c", "b c d"], [], [], []]

@@ -46,15 +46,21 @@ def tokens(text: str | Column) -> Column:
 
 def gram_windows(length: int, toks_col: str = "_toks") -> Column:
     """Word n-gram windows of a token-array column: array of the
-    space-joined L-token windows (size - L + 1 of them). THE shared
+    space-joined L-token windows (size - L + 1 of them), or the EMPTY
+    array when the document is shorter than one window. THE shared
     windowing kernel for winnow fingerprints, text_dup_spans and
     decontaminate_ngram (r11 review: three hand-copied versions of this
     expression meant a windowing change could silently diverge the
     engines' candidate schemes); each DuckDB oracle mirrors it with
-    list_slice + array_to_string over the same token list."""
+    list_slice + array_to_string over the same token list. The helper is
+    total (ADVICE r11): without the size guard, sequence(0, size - L)
+    with size < L emits a DESCENDING sequence (step defaults to -1) and
+    fabricates bogus short grams."""
     return F.expr(
-        f"transform(sequence(0, size({toks_col}) - {length}),"
+        f"CASE WHEN size({toks_col}) >= {length} THEN"
+        f" transform(sequence(0, size({toks_col}) - {length}),"
         f" i -> array_join(slice({toks_col}, i + 1, {length}), ' '))"
+        f" ELSE CAST(array() AS array<string>) END"
     )
 
 

@@ -1205,29 +1205,33 @@ def container_reuse_report_from_history(
     attempts all land on one executor (reuse_count == num_attempts on a
     multi-executor app) is serialized by placement; reuse_count ~
     num_attempts / n_executors is the healthy spread. Sorted by stage,
-    then reuse desc — the reference's CSV is per-vertex grouped too."""
+    then reuse desc — the reference's CSV is per-vertex grouped too.
+    Keyed by (stage_id, stage_attempt_id) like dag_overview (ADVICE
+    r11): a resubmitted stage gets one row set per execution instead of
+    merging both executions' attempts and executor spread."""
     h = load_history(history) if isinstance(history, str) else history
     names = _stage_names(h)
-    per: dict[tuple[int, str, str], int] = {}
-    totals: dict[int, int] = {}
+    per: dict[tuple[int, int, str, str], int] = {}
+    totals: dict[tuple[int, int], int] = {}
     for t in h.get("tasks", []):
-        sid = t["stage_id"]
-        totals[sid] = totals.get(sid, 0) + 1
-        key = (sid, t.get("host", ""), t.get("executor_id", ""))
+        sk = (t["stage_id"], t.get("stage_attempt_id", 0))
+        totals[sk] = totals.get(sk, 0) + 1
+        key = (*sk, t.get("host", ""), t.get("executor_id", ""))
         per[key] = per.get(key, 0) + 1
     rows = [
         {
             "stage_id": sid,
+            "stage_attempt_id": sat,
             "name": names.get(sid, ""),
-            "num_attempts": totals[sid],
+            "num_attempts": totals[(sid, sat)],
             "host": host,
             "executor_id": ex,
             "reuse_count": n,
         }
-        for (sid, host, ex), n in per.items()
+        for (sid, sat, host, ex), n in per.items()
     ]
-    return sorted(rows, key=lambda r: (r["stage_id"], -r["reuse_count"],
-                                       r["executor_id"]))
+    return sorted(rows, key=lambda r: (r["stage_id"], r["stage_attempt_id"],
+                                       -r["reuse_count"], r["executor_id"]))
 
 
 def one_on_one_edge_report_from_history(
@@ -1261,11 +1265,19 @@ def one_on_one_edge_report_from_history(
     h = load_history(history) if isinstance(history, str) else history
     names = _stage_names(h)
     # successful attempt host per (stage_id, index) — getSuccessfulTask
-    # Attempt semantics; latest stage attempt wins on retries
+    # Attempt semantics; latest (stage_attempt_id, attempt) wins on
+    # retries by explicit comparison (ADVICE r11: last-write-wins over
+    # event-log ordering would let a straggler SUCCESS from an older
+    # attempt, logged late, report the stale host)
     host_of: dict[int, dict[int, str]] = {}
+    best_rank: dict[tuple[int, int], tuple[int, int]] = {}
     for t in h.get("tasks", []):
         if t["status"] == "SUCCESS":
-            host_of.setdefault(t["stage_id"], {})[t["index"]] = t["host"]
+            key = (t["stage_id"], t["index"])
+            rank = (t.get("stage_attempt_id", 0), t.get("attempt", 0))
+            if key not in best_rank or rank >= best_rank[key]:
+                best_rank[key] = rank
+                host_of.setdefault(t["stage_id"], {})[t["index"]] = t["host"]
     if edges is None:
         edges = []
         by_id = {}

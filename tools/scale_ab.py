@@ -185,22 +185,28 @@ def main() -> None:
                 "shuffle_bytes": counters.get("SHUFFLE_BYTES_WRITTEN", 0),
                 "executor_ms": counters.get("EXECUTOR_RUN_TIME_MS", 0),
             }
-            results.setdefault(name, {})[f"x{scale}"] = row
+            results.setdefault(name, {}).setdefault("scales", {})[
+                f"x{scale}"
+            ] = row
             print(f"{name}@x{scale}: {row}", file=sys.stderr, flush=True)
         release_caches()
 
-    # fitted exponent between the smallest and largest measured scale
-    for name, by_scale in results.items():
+    # fitted exponent between the smallest and largest measured scale,
+    # emitted under a sibling key so scale keys and metric keys never
+    # coexist in one dict (ADVICE r11: consumers iterating scale keys
+    # had to special-case the exponent entries)
+    for name, entry in results.items():
+        by_scale = entry["scales"]
         ks = sorted(by_scale, key=lambda k: int(k[1:]))
         lo, hi = ks[0], ks[-1]
         r = int(hi[1:]) / int(lo[1:])
         if r > 1:
+            exps = {}
             for metric in ("wall_sec", "shuffle_bytes", "executor_ms"):
                 a, b = by_scale[lo][metric], by_scale[hi][metric]
                 if a and b:
-                    by_scale["exponent_" + metric] = round(
-                        math.log(b / a) / math.log(r), 2
-                    )
+                    exps[metric] = round(math.log(b / a) / math.log(r), 2)
+            entry["exponents"] = exps
     print(json.dumps(results, indent=1))
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
