@@ -183,6 +183,17 @@ def _registry_names():
     return sorted(all_queries())
 
 
+# The adjudicated BroadcastNestedLoopJoin rows (PLANS.md's 9 BNLJ=1
+# rows, each spot-verified r11: the broadcast side is a single-row
+# aggregate/bounds or a tiny literal grid, i.e. a scalar-append). A new
+# BNLJ anywhere else fails test_plan_shape_guard loudly.
+BNLJ_ALLOWED = frozenset({
+    "q11", "tpch11", "tpch22", "cms_heavyhitters", "cross_join_chunked",
+    "cross_join_bucketed", "pmi_collocations", "text_logprob",
+    "tfidf_top_terms",
+})
+
+
 @pytest.mark.parametrize("name", _registry_names())
 def test_plan_shape_guard(spark, name):
     """Scale-guard walk of every registry query's physical plan.
@@ -194,9 +205,14 @@ def test_plan_shape_guard(spark, name):
     outside the declared cross-join queries, or monotonically_increasing_id
     / rand() sneaking into a declared-deterministic query path.
 
-    BroadcastNestedLoopJoin is allowed: it only appears for sub-threshold
-    broadcast sides (e.g. tpch15's one-row scalar-max join), which is the
-    intended plan, not an accident."""
+    BroadcastNestedLoopJoin is PINNED to the adjudicated scalar-append
+    rows (VERDICT r11 item 3): each broadcasts a single-row total/bounds
+    or a tiny literal grid — the correct plan for "append a scalar to
+    every row" — and nothing else may plan one. The r11 guard allowed
+    BNLJ unconditionally on a comment-level assumption, so a regression
+    planning a corpus-sized side under a BNLJ would have passed
+    silently; now any NEW BNLJ row fails here with this adjudication
+    text until its small side is reviewed and the row added."""
     from tez_spark.plans.registry import all_queries
 
     df = all_queries()[name](spark, SF_DIR)
@@ -209,12 +225,39 @@ def test_plan_shape_guard(spark, name):
     # product is the broadcast NLJ over the 25-nation dim.
     if name != "q11":
         assert "CartesianProduct" not in plan, f"{name}: unplanned cartesian"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: BroadcastNestedLoopJoin outside the adjudicated "
+            f"scalar-append set {sorted(BNLJ_ALLOWED)} — verify the "
+            "broadcast side is a single-row/tiny-literal relation, then "
+            "add the row here AND regenerate PLANS.md"
+        )
     assert "monotonically_increasing_id" not in plan, (
         f"{name}: nondeterministic id generator in a declared query"
     )
     assert " rand(" not in plan.lower(), (
         f"{name}: rand() in a declared-deterministic query"
     )
+
+
+def test_bnlj_guard_catches_corpus_side_nested_loop(spark):
+    """Red-case proof for the pinned BNLJ guard: a non-equi join between
+    two corpus tables plans a BroadcastNestedLoopJoin, and the guard's
+    detection substring matches it — so a registry regression of this
+    shape would fail test_plan_shape_guard, not pass silently."""
+    from tests.conftest import SF_DIR
+    from tez_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # corpus × corpus on an inequality — the anti-pattern the guard exists
+    # to catch (Spark has no equi-key to hash on, so it nests the loop)
+    bad = docs.alias("a").join(
+        docs.alias("b"),
+        F.col("a.n_chars") < F.col("b.n_chars"),
+        "left",
+    )
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan[:500]
 
 
 def test_tpch_plan_shapes(spark):
