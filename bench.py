@@ -416,6 +416,13 @@ def main() -> None:
             "queries": {},
             "sf": sf,
             "steal_pct": steal_pct,
+            # the sample count travels IN the headline (VERDICT r11 item
+            # 4): a load-degraded driver window stamps min-of-1 timings —
+            # systematically inflated on this host — and the diagnostics
+            # line that records runs_policy is exactly what the driver's
+            # 2000-char tail truncates first, so the shipped artifact
+            # must be classifiable alone
+            "runs": runs,
         }
         if partial:
             line["partial"] = True

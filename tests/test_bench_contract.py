@@ -10,7 +10,7 @@ import json
 import bench
 
 
-def _line(partial: bool = False) -> dict:
+def _line(partial: bool = False, runs: int = 1) -> dict:
     d = {
         "metric": "tez_spark_total_wall_clock",
         "value": 123456.789,
@@ -18,6 +18,7 @@ def _line(partial: bool = False) -> dict:
         "queries": {},
         "sf": "/root/testdata/sf0.1",
         "steal_pct": 99.99,
+        "runs": runs,
     }
     if partial:
         d["partial"] = True
@@ -240,3 +241,25 @@ def test_headline_accounting_property():
                     assert v != 0, (nm, t, v)
 
     check()
+
+
+def test_headline_carries_sample_count_through_every_tier():
+    """VERDICT r11 item 4: a load-degraded driver window defaults to
+    min-of-1 sampling — systematically inflated on this host — and the
+    diagnostics line that records runs_policy is what the driver tail
+    truncates first. The "runs" field must therefore survive in the
+    HEADLINE at every precision tier, including the overflow ladder's
+    deepest steps, so a one-sample artifact is classifiable alone."""
+    names = _real_names()
+    # realistic mix (forces the decisecond tiers at today's size)
+    timings = {n: (0.4 if i % 2 else 3.0) for i, n in enumerate(names)}
+    out = bench.format_headline(_line(runs=1), timings, names)
+    assert json.loads(out)["runs"] == 1
+
+    # absurd overflow mix (drives tier 5/6 omission) still keeps it
+    big = names + [f"extra_q{i:03d}" for i in range(150)]
+    timings = {n: 999.99 for n in big}
+    out = bench.format_headline(_line(runs=2), timings, big)
+    parsed = json.loads(out)
+    assert len(out) < 2000
+    assert parsed["runs"] == 2
