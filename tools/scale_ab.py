@@ -152,6 +152,20 @@ def main() -> None:
         (n, (lambda d, _n=n: reg[_n](spark, d)), cap) for n, cap in case_spec
     ]
 
+    # the LSH PATH alone, without the registry query's in-query exact
+    # recall audit (r12: the registry row's N^1.21 shuffle exponent is
+    # the AUDIT's all-pairs block matmul — the declared quadratic twin —
+    # riding the same query; the shipping path must be measured apart
+    # to attribute the exponent honestly)
+    def _lsh_path_only(d):
+        from tez_spark.operators.similarity import dedup_embedding_lsh
+        from tez_spark.sources.catalog import load_table as _lt
+
+        return dedup_embedding_lsh(_lt(spark, d, "embeddings"),
+                                   threshold=0.45, dim=64)
+
+    cases.append(("dedup_embedding_lsh_path", _lsh_path_only, None))
+
     results: dict[str, dict] = {}
     for scale in scales:
         sf_dir = gen_fixture(scale)
