@@ -1,0 +1,113 @@
+"""Record a deps-installed multimodal verification (VERDICT r11 item 7).
+
+The real-codec branches (PIL images/GIF, PyAV mp4/webm) are honestly
+gated behind imports; in the dep-less build container their tests SKIP,
+so the repo carried no record of the real branches ever passing with
+deps installed. Run this once in any environment that has PIL and/or
+PyAV:
+
+    python tools/verify_multimodal_deps.py
+
+It executes exactly the dep-gated test subset (plus a PyAV self-
+round-trip: encode a tiny clip with PyAV, decode it through
+frame_sample) and appends a machine-checkable ledger line to
+tests/fixtures/MULTIMODAL_DEPS_LEDGER.txt recording the environment and
+outcome. Commit the ledger change — that file IS the in-repo evidence.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import platform
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LEDGER = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures", "MULTIMODAL_DEPS_LEDGER.txt",
+)
+
+GATED_TESTS = [
+    "tests/test_multimodal.py::test_pil_decode_reads_real_png_dimensions",
+    "tests/test_multimodal.py::test_pil_branch_matches_vendored_fixture",
+    "tests/test_multimodal.py::test_pil_frame_sample_extracts_gif_frames",
+    "tests/test_multimodal.py::test_pyav_decodes_real_mp4_metadata_and_frames",
+]
+
+
+def _have(mod: str) -> str:
+    try:
+        m = __import__(mod)
+        return getattr(m, "__version__", "?")
+    except ImportError:
+        return ""
+
+
+def pyav_roundtrip() -> str:
+    """Encode a tiny clip WITH PyAV, decode it through the engine's
+    frame_sample — self-contained real-codec verification needing no
+    vendored compressed fixture."""
+    try:
+        import io
+
+        import av
+        import numpy as np
+    except ImportError:
+        return "pyav-roundtrip: SKIPPED (PyAV not installed)"
+    buf = io.BytesIO()
+    out = av.open(buf, "w", format="mp4")
+    stream = out.add_stream("h264", rate=4)
+    stream.width, stream.height = 32, 24
+    stream.pix_fmt = "yuv420p"
+    for i in range(6):
+        img = np.full((24, 32, 3), i * 40, dtype=np.uint8)
+        frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+        for pkt in stream.encode(frame):
+            out.mux(pkt)
+    for pkt in stream.encode():
+        out.mux(pkt)
+    out.close()
+    payload = buf.getvalue()
+
+    from tez_spark.operators.multimodal import _pyav_frames
+
+    n_frames, w, h, frames = None, None, None, None
+    n_frames, w, h, frames = _pyav_frames(av, payload)
+    assert (w, h) == (32, 24), (w, h)
+    assert n_frames >= 6, n_frames
+    return f"pyav-roundtrip: PASS ({n_frames} frames, {w}x{h}, {len(payload)}B mp4)"
+
+
+def main() -> None:
+    deps = {m: _have(m) for m in ("PIL", "av")}
+    if not any(deps.values()):
+        print("Neither PIL nor PyAV is installed — nothing to verify here.")
+        print("Run this in an environment with the real codec deps.")
+        sys.exit(1)
+
+    selected = [t for t in GATED_TESTS]
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", *selected],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    tail = (r.stdout.strip().splitlines() or [""])[-1]
+    rt = pyav_roundtrip()
+
+    line = (
+        f"{datetime.datetime.now(datetime.timezone.utc).isoformat(timespec='seconds')} "
+        f"python={platform.python_version()} PIL={deps['PIL'] or '-'} "
+        f"av={deps['av'] or '-'} pytest_exit={r.returncode} [{tail}] {rt}"
+    )
+    print(line)
+    with open(LEDGER, "a") as f:
+        f.write(line + "\n")
+    print(f"appended to {LEDGER} — commit it as the in-repo evidence")
+    sys.exit(0 if r.returncode == 0 else 2)
+
+
+if __name__ == "__main__":
+    main()
