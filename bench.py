@@ -261,22 +261,12 @@ def main() -> None:
     # absorbed it in r5). The build cost itself is documented in PERF.md.
     prewarm_build_sec = None
     try:
-        from tez_spark.operators.dedup import (
-            corpus_artifacts,
-            lsh_candidate_table,
-            shingle_table,
-            winnow_table,
-        )
+        from tez_spark.operators.dedup import prewarm_corpus_artifacts
 
-        t0 = time.monotonic()
-        shingle_table(spark, sf_dir).count()
-        lsh_candidate_table(spark, sf_dir).count()
-        winnow_table(spark, sf_dir).count()
-        corpus_artifacts(spark, sf_dir)[1].count()
         # the one-time artifact-build cost the timing loop no longer pays,
         # recorded so the headline total can be reconstructed WITH it
         # (ADVICE r5: don't leave the protocol's prewarm cost PERF.md-only)
-        prewarm_build_sec = round(time.monotonic() - t0, 3)
+        prewarm_build_sec = prewarm_corpus_artifacts(spark, sf_dir)
     except Exception:
         pass
 
@@ -421,8 +411,15 @@ def main() -> None:
             # systematically inflated on this host — and the diagnostics
             # line that records runs_policy is exactly what the driver's
             # 2000-char tail truncates first, so the shipped artifact
-            # must be classifiable alone
-            "runs": runs,
+            # must be classifiable alone. ACHIEVED floor, not the
+            # configured policy (r12 review: a burst that blows the
+            # budget breaks the pass loop after one pass, and stamping
+            # the policy's 2 would classify that min-of-1 artifact as
+            # min-of-2): the minimum sample count over queries that ran.
+            "runs": min(
+                (n_samples.get(n, 0) for n in queries if n not in failed),
+                default=0,
+            ),
         }
         if partial:
             line["partial"] = True

@@ -643,3 +643,29 @@ def test_pil_branch_matches_vendored_fixture(spark):
     for y in range(h):
         for x in range(w):
             assert im.getpixel((x, y)) == px[y][x]
+
+
+def test_verify_deps_tool_roundtrip_branch():
+    """tools/verify_multimodal_deps.pyav_roundtrip: always-on coverage of
+    the no-deps branch, and — wherever PyAV IS installed — the real
+    encode/decode round-trip (r12 review: the original unpack of
+    _pyav_frames' 5-tuple was wrong and could never have run in this
+    dep-less container; this test makes the tool's code path part of the
+    suite so the next arity drift fails loudly wherever deps exist)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "verify_multimodal_deps",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "verify_multimodal_deps.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    msg = mod.pyav_roundtrip()
+    try:
+        import av  # noqa: F401
+
+        assert msg.startswith("pyav-roundtrip: PASS"), msg
+    except ImportError:
+        assert "SKIPPED" in msg, msg

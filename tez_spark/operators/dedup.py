@@ -1551,3 +1551,21 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_embedding_clusters": q_dedup_embedding_clusters,
 }
+
+
+def prewarm_corpus_artifacts(spark: SparkSession, sf_dir: str) -> float:
+    """Materialize the session-shared corpus artifacts (shingle / LSH
+    band / winnow / incremental signature-store tables) and return the
+    build seconds — THE warm-session prewarm protocol bench.py declares
+    (Tez prewarm parity). Shared by bench.py and tools/job_histogram.py
+    (r12 review: two hand-copied prewarm blocks meant a new shared
+    artifact could silently diverge the histogram's floor attribution
+    from the bench protocol it mirrors)."""
+    import time as _time
+
+    t0 = _time.monotonic()
+    shingle_table(spark, sf_dir).count()
+    lsh_candidate_table(spark, sf_dir).count()
+    winnow_table(spark, sf_dir).count()
+    corpus_artifacts(spark, sf_dir)[1].count()
+    return round(_time.monotonic() - t0, 3)

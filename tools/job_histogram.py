@@ -60,21 +60,13 @@ def main() -> None:
         keep = {k.strip() for k in only.split(",")}
         queries = {k: v for k, v in queries.items() if k in keep}
 
-    # same prewarm as bench.py: shared corpus artifacts out of the loop
+    # same prewarm as bench.py — the SHARED helper, so the histogram's
+    # floor attribution can never diverge from the bench protocol
     try:
-        from tez_spark.operators.dedup import (
-            corpus_artifacts,
-            lsh_candidate_table,
-            shingle_table,
-            winnow_table,
-        )
+        from tez_spark.operators.dedup import prewarm_corpus_artifacts
 
-        t0 = time.monotonic()
-        shingle_table(spark, sf_dir).count()
-        lsh_candidate_table(spark, sf_dir).count()
-        winnow_table(spark, sf_dir).count()
-        corpus_artifacts(spark, sf_dir)[1].count()
-        print(f"artifact prewarm {time.monotonic() - t0:.1f}s", file=sys.stderr)
+        print(f"artifact prewarm {prewarm_corpus_artifacts(spark, sf_dir)}s",
+              file=sys.stderr)
     except Exception as e:
         print(f"artifact prewarm failed: {e}", file=sys.stderr)
 
@@ -87,10 +79,20 @@ def main() -> None:
             print(f"{name}: ERROR {e}", file=sys.stderr)
             continue
         best = None
-        for _ in range(runs):
-            t0 = time.monotonic()
-            _, counters = capture(spark, lambda: _digest(queries[name](spark, sf_dir)))
-            wall = time.monotonic() - t0
+        for _ in range(max(1, runs)):
+            # guarded like the warm run: one transient failure on query
+            # 60/119 must record an error row, not abort the sweep and
+            # discard every prior measurement (r12 review)
+            try:
+                t0 = time.monotonic()
+                _, counters = capture(
+                    spark, lambda: _digest(queries[name](spark, sf_dir))
+                )
+                wall = time.monotonic() - t0
+            except Exception as e:
+                best = best or {"error": str(e)[:200]}
+                print(f"{name}: ERROR {e}", file=sys.stderr)
+                continue
             row = {
                 "wall_sec": round(wall, 3),
                 "n_jobs": counters.get("NUM_JOBS", 0),
@@ -98,7 +100,7 @@ def main() -> None:
                 "shuffle_bytes": counters.get("SHUFFLE_BYTES_WRITTEN", 0),
                 "executor_ms": counters.get("EXECUTOR_RUN_TIME_MS", 0),
             }
-            if best is None or row["wall_sec"] < best["wall_sec"]:
+            if best is None or "error" in best or row["wall_sec"] < best["wall_sec"]:
                 best = row
         results[name] = best
         print(f"{name}: {best}", file=sys.stderr, flush=True)

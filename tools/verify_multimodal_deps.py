@@ -74,11 +74,12 @@ def pyav_roundtrip() -> str:
 
     from tez_spark.operators.multimodal import _pyav_frames
 
-    n_frames, w, h, frames = None, None, None, None
-    n_frames, w, h, frames = _pyav_frames(av, payload)
+    w, h, fps, frames, n_frames = _pyav_frames(av, payload)
     assert (w, h) == (32, 24), (w, h)
     assert n_frames >= 6, n_frames
-    return f"pyav-roundtrip: PASS ({n_frames} frames, {w}x{h}, {len(payload)}B mp4)"
+    assert frames is not None and len(frames) == n_frames
+    return (f"pyav-roundtrip: PASS ({n_frames} frames, {w}x{h}, "
+            f"{fps:.1f} fps, {len(payload)}B mp4)")
 
 
 def main() -> None:
@@ -88,9 +89,8 @@ def main() -> None:
         print("Run this in an environment with the real codec deps.")
         sys.exit(1)
 
-    selected = [t for t in GATED_TESTS]
     r = subprocess.run(
-        [sys.executable, "-m", "pytest", "-q", *selected],
+        [sys.executable, "-m", "pytest", "-q", *GATED_TESTS],
         capture_output=True, text=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
