@@ -339,3 +339,76 @@ def test_gram_windows_total_on_short_docs(spark):
     ).select(tokens("text").alias("_toks"))
     got = [r.g for r in df.select(gram_windows(3).alias("g")).collect()]
     assert got == [["a b c", "b c d"], [], [], []]
+
+
+def test_exactsubstr_spans_merges_intervals(spark, tmp_path):
+    """Constructed corpus pins the span algebra: cross-doc duplicated
+    windows merge into one maximal span; same-doc repeats count as
+    duplication; EXACTLY adjacent windows (next start == current end)
+    stay separate spans — they share no token. Mirrors the pure-Python
+    reference computed inline, independent of both engines."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tez_spark.functions.text_queries import (
+        DUP_SPAN_L as L,
+        q_exactsubstr_spans,
+    )
+
+    assert L == 6  # the constructed positions below assume it
+    filler = lambda tag, n: [f"{tag}{i}" for i in range(n)]
+    shared = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dogs"]
+    phrase = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = {
+        # doc 0 and 1 share an 8-token run -> 3 windows each, one merged
+        # span of 8 tokens per doc
+        0: filler("a", 2) + shared + filler("b", 3),
+        1: filler("c", 5) + shared + filler("d", 1),
+        # doc 2 repeats a 6-token phrase with a 1-token gap (window
+        # starts 0 and 7): two separate spans
+        2: phrase + ["gap"] + phrase,
+        # doc 3 repeats it back-to-back (starts 0 and 6, exactly
+        # adjacent): still two spans, no token shared
+        3: phrase + phrase,
+        # doc 4 has no duplicated window
+        4: filler("e", 10),
+    }
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "source": pa.array(["t"] * len(docs)),
+            "text": pa.array([" ".join(docs[k]) for k in sorted(docs)]),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    # independent reference: brute-force window counts + interval union
+    from collections import Counter
+
+    cnt = Counter()
+    wins = {}
+    for d, toks in docs.items():
+        wins[d] = []
+        for p in range(len(toks) - L + 1):
+            g = " ".join(toks[p : p + L])
+            wins[d].append((p, g))
+            cnt[g] += 1
+    want = []
+    for d in sorted(docs):
+        spans = []
+        for p, g in wins[d]:
+            if cnt[g] < 2:
+                continue
+            if spans and p < spans[-1][1]:
+                spans[-1] = (spans[-1][0], p + L, spans[-1][2] + 1)
+            else:
+                spans.append((p, p + L, 1))
+        want += [(d, s, e, n) for s, e, n in spans]
+
+    got = [tuple(r) for r in q_exactsubstr_spans(spark, str(tmp_path)).collect()]
+    assert got == want, (got, want)
+    # the constructed expectations, spelled out
+    assert (0, 2, 10, 3) in got and (1, 5, 13, 3) in got
+    assert [(s, e) for d, s, e, n in got if d == 2] == [(0, 6), (7, 13)]
+    assert [(s, e) for d, s, e, n in got if d == 3] == [(0, 6), (6, 12)]
+    assert not [r for r in got if r[0] == 4]

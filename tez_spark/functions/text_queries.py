@@ -710,6 +710,95 @@ ORACLE["text_dup_spans"] = f"""
 """
 
 
+def q_exactsubstr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span EXTRACTION (r12) — the operational step after
+    q_text_dup_spans' profile: per document, the MERGED maximal token
+    spans covered by duplicated length-L windows, i.e. exactly the
+    byte ranges the Lee et al. (ACL 2022) pipeline cuts out of training
+    data. Output one row per merged span: (doc_id, span_start,
+    span_end, n_windows) with 0-based token positions, end exclusive.
+
+    Plan: the same gram explode + corpus gram-frequency exchange as
+    text_dup_spans (Catalyst reuses the shape; grams travel as 16-hex
+    md5 prefixes), positions kept via posexplode; duplicated window
+    positions then merge into maximal intervals with two per-doc window
+    functions — running max of span ends marks interval starts
+    (classic interval union, no self-join, no driver work), a running
+    sum of the start flags keys the span groupBy. Everything stays
+    keyed by doc after the one vocabulary-bounded gram exchange, so the
+    shape is the q03 wordcount class at any corpus size. Exactly
+    adjacent windows (next start == current end) stay separate spans —
+    they share no token; the DuckDB oracle mirrors the window algebra
+    verbatim."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    L = DUP_SPAN_L
+    base = docs.select(
+        "doc_id", X.tokens("text").alias("_toks")
+    ).filter(F.size("_toks") >= L)
+    grams = base.select(
+        "doc_id",
+        F.posexplode(X.gram_windows(L)).alias("pos", "gram"),
+    ).select("doc_id", "pos", X.gram_hash("gram").alias("g"))
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_c"))
+    dup = grams.join(counts, "g").filter(F.col("_c") >= 2).select(
+        "doc_id", F.col("pos").cast("long").alias("pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    run_end = F.max(F.col("pos") + L).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "_new", (F.col("pos") >= F.coalesce(run_end, F.lit(-1))).cast("long")
+    ).withColumn("_grp", F.sum("_new").over(w))
+    spans = flagged.groupBy("doc_id", "_grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(L)).cast("long").alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
+    # span rows are corpus-scaled: keep the parallel range sort
+    return spans.select(
+        "doc_id", "span_start", "span_end", "n_windows"
+    ).orderBy("doc_id", "span_start")
+
+
+ORACLE["exactsubstr_spans"] = f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               substring(md5(array_to_string(
+                   list_slice(toks, i + 1, i + {DUP_SPAN_L}), ' ')), 1, 16) AS g
+        FROM base, unnest(range(len(toks) - {DUP_SPAN_L - 1})) AS u(i)
+        WHERE len(toks) >= {DUP_SPAN_L}
+    ), counts AS (
+        SELECT g, COUNT(*) AS c FROM grams GROUP BY g
+    ), dup AS (
+        SELECT doc_id, pos FROM grams JOIN counts USING (g) WHERE c >= 2
+    ), flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos >= coalesce(max(pos + {DUP_SPAN_L}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1) THEN 1 ELSE 0 END AS newgrp
+        FROM dup
+    ), grp AS (
+        SELECT doc_id, pos,
+               SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY pos) AS g2
+        FROM flagged
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {DUP_SPAN_L} AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM grp GROUP BY doc_id, g2
+    ORDER BY doc_id, span_start
+"""
+
+
 QUERIES = {
     "text_metrics": text_metrics,
     "text_fingerprint": text_fingerprint,
@@ -721,4 +810,5 @@ QUERIES = {
     "pmi_collocations": q_pmi_collocations,
     "pii_redact": q_pii_redact,
     "text_dup_spans": q_text_dup_spans,
+    "exactsubstr_spans": q_exactsubstr_spans,
 }

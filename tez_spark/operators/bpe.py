@@ -148,13 +148,28 @@ def bpe_segment(
     def run(batches):
         import pandas as pd
 
+        # per-worker memo over DISTINCT words: segmentation is a pure
+        # function of the word, and corpora are Zipf-distributed, so
+        # caching turns the per-occurrence greedy loop into a
+        # vocabulary-bounded one (r12: 2.33 s -> measured below at
+        # sf0.1; at 100TB this is the standard trainer trick — segment
+        # the vocabulary, not the corpus)
+        memo: dict = {}
+
+        def seg_len(w: str) -> int:
+            n = memo.get(w)
+            if n is None:
+                n = len(segment_word(w, ranks))
+                memo[w] = n
+            return n
+
         for pdf in batches:
             ids, n_words, n_sub = [], [], []
             for i, text in zip(pdf[id_col], pdf[text_col]):
                 ws = [w for w in (text or "").split(" ") if w]
                 ids.append(i)
                 n_words.append(len(ws))
-                n_sub.append(sum(len(segment_word(w, ranks)) for w in ws))
+                n_sub.append(sum(seg_len(w) for w in ws))
             yield pd.DataFrame(
                 {id_col: ids, "n_words": n_words, "n_subwords": n_sub}
             )
@@ -198,6 +213,22 @@ def _bpe_oracle_sql(n_merges: int = 40) -> str:
     corpus scale (~280 rows on the fixtures), so the ~2 s observed at
     sf0.001/0.01/0.1 alike is DuckDB planning the 80-CTE chain, not
     data."""
+    parts = _bpe_learning_ctes(n_merges)
+    union = " UNION ALL ".join(
+        f'SELECT {i-1} AS "rank", l AS "left", r AS "right", cnt AS pair_freq'
+        f" FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f'\nSELECT * FROM ({union}) ORDER BY "rank"'
+    )
+
+
+def _bpe_learning_ctes(n_merges: int) -> list:
+    """The unrolled learning chain as CTE fragments s0, (b1, s1) ..
+    (b{n}, s{n}) — the shared prefix of _bpe_oracle_sql (merge table
+    from the b{i}) and _bpe_segment_sql (segmentations from s{n})."""
     parts = ["""s0 AS MATERIALIZED (
   SELECT w, freq, pos,
          CASE WHEN pos <= length(w) THEN substr(w, pos, 1) ELSE '</w>' END AS sym
@@ -243,16 +274,60 @@ s{i} AS MATERIALIZED (
     )
   ) WHERE NOT coalesce(prev_keep, FALSE)
 )""")
-    union = " UNION ALL ".join(
-        f'SELECT {i-1} AS "rank", l AS "left", r AS "right", cnt AS pair_freq'
-        f" FROM b{i}"
-        for i in range(1, n_merges + 1)
-    )
+    return parts
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale (r12, completing the
+    train→apply pair): learn the 40-merge table, then segment every
+    document — (doc_id, n_words, n_subwords) per doc via the
+    broadcast-merge-table Arrow mapInPandas (zero shuffle; the map
+    phase of any real tokenization job at 100TB).
+
+    Oracle: the SAME unrolled learning chain, whose FINAL symbol state
+    s{n} is each vocabulary word's training-time segmentation; greedy
+    lowest-rank-first inference (segment_word) reproduces exactly that
+    state for in-vocabulary words — the canonical BPE train/infer
+    equivalence (Sennrich et al. 2016) — so DuckDB recomputes per-doc
+    subword counts by joining each document's words against the learned
+    symbol table. Per-doc output keeps the parallel range sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs)
+    return bpe_segment(docs, merges).orderBy("doc_id")
+
+
+def _bpe_segment_sql(n_merges: int = 40) -> str:
+    """DuckDB oracle for q_bpe_segment: the learning-chain prefix
+    (shared generator — any drift between the two oracles is a bug),
+    then per-word symbol counts from the final state s{n}, joined back
+    to each document's token stream. LEFT JOIN from documents keeps
+    zero-token docs as (0, 0) rows, matching the engine's total
+    mapInPandas accounting."""
+    parts = _bpe_learning_ctes(n_merges)
     return (
-        "WITH " + ",\n".join(parts)
-        + f'\nSELECT * FROM ({union}) ORDER BY "rank"'
+        "WITH " + ",\n".join(parts) + f""",
+seg AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS n_sub FROM s{n_merges} GROUP BY w
+),
+doc_words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w != ''
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_sub)::BIGINT AS n_subwords
+  FROM doc_words JOIN seg USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_words, 0)::BIGINT AS n_words,
+       coalesce(p.n_subwords, 0)::BIGINT AS n_subwords
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id"""
     )
 
 
-QUERIES = {"bpe_train": q_bpe_train}
-ORACLE = {"bpe_train": _bpe_oracle_sql()}
+QUERIES = {"bpe_train": q_bpe_train, "bpe_segment": q_bpe_segment}
+ORACLE = {
+    "bpe_train": _bpe_oracle_sql(),
+    "bpe_segment": _bpe_segment_sql(),
+}

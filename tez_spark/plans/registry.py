@@ -38,14 +38,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # rows-only this round via the unrolled-CTE learning oracle (VERDICT
 # r11 item 5) — its only prior driver row (r7) was the weaker
 # rows-only check, so the promotion gets its first oracled row now;
-# (3) 32 of the 50 oracled queries whose last driver row is round 10
+# (3) bpe_segment and exactsubstr_spans, NEW oracled queries this
+# round (never rowed — the window guard requires them here);
+# (4) 30 of the 50 oracled queries whose last driver row is round 10
 # (alphabetically first — deliberately including dedup_embedding_lsh,
 # whose band geometry is under review this round per VERDICT r11 item
 # 6, so any plan change gets a fresh driver row).  Displaced to round
 # 13, union-covered by their r10 rows — these must head the r13
-# window: tpch06, tpch07, tpch08, tpch09, tpch10, tpch11, tpch12,
-# tpch13, tpch14, tpch15, tpch16, tpch17, tpch18, tpch19, tpch20,
-# tpch21, tpch22, weighted_sample.
+# window: tpch04, tpch05, tpch06, tpch07, tpch08, tpch09, tpch10,
+# tpch11, tpch12, tpch13, tpch14, tpch15, tpch16, tpch17, tpch18,
+# tpch19, tpch20, tpch21, tpch22, weighted_sample.
 _WINDOW_ROUND = 12
 _PRIORITY: tuple[str, ...] = (
     # 1. oracled queries whose last driver row is round 9 — age out of
@@ -53,9 +55,10 @@ _PRIORITY: tuple[str, ...] = (
     "q07", "q08", "q09", "q10", "q11", "q12", "q13", "q14", "q15",
     "q16", "q17", "q18", "rollup", "scalar_funcs", "sessionize",
     "unpivot", "window_funcs",
-    # 2. newly oracled this round — first oracled driver row
-    # (bpe_train promoted via the unrolled-CTE learning oracle)
-    "bpe_train",
+    # 2. newly oracled this round — first oracled driver rows
+    # (bpe_train promoted via the unrolled-CTE learning oracle;
+    # bpe_segment and exactsubstr_spans NEW)
+    "bpe_train", "bpe_segment", "exactsubstr_spans",
     # 3. oracled queries whose last driver row is round 10
     "ann_ivf", "ann_topk", "audio_features", "cross_join_chunked",
     "decontaminate", "dedup_embedding", "dedup_embedding_lsh",
@@ -66,7 +69,6 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_frames", "multimodal_video", "percentiles",
     "percentiles_approx", "pii_redact", "pmi_collocations", "set_ops",
     "string_agg", "text_dup_spans", "tpch01", "tpch02", "tpch03",
-    "tpch04", "tpch05",
 )
 
 
