@@ -96,3 +96,46 @@ def test_bpe_vocab_bound_fails_loud(spark):
     docs = load_table(spark, SF_DIR, "documents")
     with pytest.raises(ValueError, match="histogram bound"):
         bpe_train(docs, max_vocab_words=2)
+
+
+def test_bpe_segment_oracle_on_adversarial_corpus(spark, tmp_path):
+    """Cross-engine edge sweep for the r12 segmentation oracle: the
+    fixture corpus has no degenerate documents, so this constructs them
+    — empty text, whitespace-only, single token, a unique-vocabulary
+    doc, repeated single-char words, and a literal '</w>' token — and
+    runs the ENGINE and the DuckDB oracle side by side on the tmp
+    parquet. Pins the LEFT-JOIN (0, 0) accounting for token-less docs
+    and the train/infer equivalence outside the fixture distribution."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tez_spark.operators.bpe import _bpe_segment_sql, q_bpe_segment
+
+    texts = [
+        "",                        # zero tokens -> (0, 0)
+        "   ",                     # whitespace-only -> (0, 0)
+        "solo",                    # single unique token
+        "aa aa aa bb bb aab",      # merge-rich tiny vocab
+        "x y z q r s t u v w",     # all unique, merges can't fire on it
+        "</w> </w> literal",       # the end-marker as a LITERAL word
+        "aaaa aaaa aa",            # overlap parity inside one word
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "source": pa.array(["t"] * len(texts)),
+            "text": pa.array(texts),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = [tuple(r) for r in q_bpe_segment(spark, str(tmp_path)).collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(_bpe_segment_sql()).fetchall()
+    assert got == want, (got, want)
+    assert got[0][1:] == (0, 0) and got[1][1:] == (0, 0)

@@ -17,10 +17,15 @@ from tests.conftest import SF_DIR, canon_rows
 # ...and the r7 additions: the broadcast-chained editdistance profile
 # (pair-bounded broadcasts must not depend on partitioning) and the
 # two-pass column profile (keyless agg + stacked distinct + outer join)
+# ...and the r12 additions: bpe_segment (driver-side merge learning
+# must be partition-independent END TO END, histogram collect order
+# included) and exactsubstr_spans (per-doc window-function interval
+# union over a repartitionable gram exchange)
 SAMPLE = (
     "q05", "q06", "q08", "q12", "q14", "dedup_minhash_lsh",
     "dedup_incremental", "cross_join_chunked", "source_cap",
     "dedup_editdistance", "column_profile", "weighted_sample",
+    "bpe_segment", "exactsubstr_spans",
 )
 
 

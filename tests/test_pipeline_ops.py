@@ -412,3 +412,51 @@ def test_exactsubstr_spans_merges_intervals(spark, tmp_path):
     assert [(s, e) for d, s, e, n in got if d == 2] == [(0, 6), (7, 13)]
     assert [(s, e) for d, s, e, n in got if d == 3] == [(0, 6), (6, 12)]
     assert not [r for r in got if r[0] == 4]
+
+
+def test_exactsubstr_oracle_window_algebra_property():
+    """Seeded-random property sweep of the DuckDB exactsubstr oracle
+    (no Spark: the engine side is pinned by the constructed-case test
+    and the fixture hash compare; this exercises the ORACLE's window
+    algebra — running-max interval union + run keying — against a
+    brute-force pure-Python reference on corpora dense with overlapping
+    and adjacent duplicated windows, the regimes fixtures undersample)."""
+    import random
+    from collections import Counter
+
+    import duckdb
+    import pandas as pd  # noqa: F401  (duckdb DataFrame registration)
+
+    from tez_spark.functions.text_queries import DUP_SPAN_L as L, ORACLE
+
+    rng = random.Random(12)
+    for trial in range(8):
+        vocab = [f"w{i}" for i in range(rng.randint(2, 6))]  # tiny: dense dups
+        docs = {
+            d: [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+            for d in range(rng.randint(2, 8))
+        }
+        # reference: brute force windows + left-to-right interval union
+        cnt = Counter()
+        for toks in docs.values():
+            for p in range(len(toks) - L + 1):
+                cnt[" ".join(toks[p : p + L])] += 1
+        want = []
+        for d in sorted(docs):
+            toks, spans = docs[d], []
+            for p in range(len(toks) - L + 1):
+                if cnt[" ".join(toks[p : p + L])] < 2:
+                    continue
+                if spans and p < spans[-1][1]:
+                    spans[-1] = (spans[-1][0], p + L, spans[-1][2] + 1)
+                else:
+                    spans.append((p, p + L, 1))
+            want += [(d, s, e, n) for s, e, n in spans]
+
+        con = duckdb.connect()
+        pdf = pd.DataFrame(
+            {"doc_id": sorted(docs), "text": [" ".join(docs[d]) for d in sorted(docs)]}
+        )
+        con.register("documents", pdf)
+        got = con.execute(ORACLE["exactsubstr_spans"]).fetchall()
+        assert got == want, (trial, got, want)
