@@ -61,13 +61,18 @@ def format_headline(line: dict, timings: dict, names, budget: int = 1980) -> str
        the honest sub-tick quantization). Integer-second entries stay
        in "queries". Every query still appears by name exactly once
        across the two maps — nothing dropped, nothing prints a false 0;
-    3e. if even the decisecond split overflows (r11: at 119 names the
-       ds line measures within ~10 chars of budget on fat value
-       mixes), sub-second entries DROP from the maps into an explicit
-       "queries_sub_sec" count (the VERDICT r10 proposal) — per-query
-       sub-second signal then lives only in the diagnostics line, but
-       no query ever reads as a false 0 and integer-second entries
-       keep their names;
+    3e. PARTIAL decisecond drop (r12: at 121 names the full ds split
+       measures ~25 chars over budget, and the old all-or-nothing
+       fallback threw away ALL 75 sub-second per-query entries to save
+       those 25 chars): shed ds entries SMALLEST-VALUE-FIRST
+       (alphabetical tiebreak — deterministic) into an explicit
+       "queries_sub_sec" count until the line fits. The least
+       informative rows (those closest to the 0.05 s tick, where one
+       ds of quantization is the largest relative error anyway) lose
+       their names first; the expensive sub-second rows keep
+       round-over-round signal;
+    3f. if even an empty ds map overflows, every sub-second entry is in
+       the count (the r11 behavior) — reachable only beyond ~130 names;
     4. integer seconds for everything and failed queries as -1 — at 109
        real names a partial emit full of "-1.0" was measured at 2105
        chars, over the tail, so the r6 tiers alone were not a guarantee;
@@ -113,7 +118,7 @@ def format_headline(line: dict, timings: dict, names, budget: int = 1980) -> str
                 return int(r) if r == int(r) else r
             return round(t, 2)
 
-        if tier in (3.8, 3.9):
+        if tier in (3.8, 3.85, 3.9):
             qs: dict = {}
             ds: dict = {}
             sub = 0
@@ -130,18 +135,34 @@ def format_headline(line: dict, timings: dict, names, budget: int = 1980) -> str
                         ds[n] = int(t * 10 + 0.5)
                 else:
                     qs[n] = i
-            line["queries"] = qs
-            if ds:
-                line["queries_ds"] = ds
-            if sub:
-                line["queries_sub_sec"] = sub
-            return json.dumps(line, separators=(",", ":"))
+
+            def emit_split() -> str:
+                line["queries"] = qs
+                line.pop("queries_ds", None)
+                line.pop("queries_sub_sec", None)
+                if ds:
+                    line["queries_ds"] = ds
+                if sub:
+                    line["queries_sub_sec"] = sub
+                return json.dumps(line, separators=(",", ":"))
+
+            out = emit_split()
+            if tier == 3.85:
+                # shed the least-informative ds entries (smallest value,
+                # alphabetical tiebreak) into the count until it fits
+                shed = sorted(ds.items(), key=lambda kv: (kv[1], kv[0]))
+                while len(out) > budget and shed:
+                    name, _ = shed.pop(0)
+                    del ds[name]
+                    sub += 1
+                    out = emit_split()
+            return out
         line["queries"] = {n: v(n) for n in ordered}
         return json.dumps(line, separators=(",", ":"))
 
     for tier, keep_steal in (
         (1, True), (2, True), (3, True), (3, False), (3.5, False),
-        (3.8, False), (3.9, False), (4, False),
+        (3.8, False), (3.85, False), (3.9, False), (4, False),
     ):
         out = render(tier, keep_steal)
         if len(out) <= budget:

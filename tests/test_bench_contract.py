@@ -263,3 +263,46 @@ def test_headline_carries_sample_count_through_every_tier():
     parsed = json.loads(out)
     assert len(out) < 2000
     assert parsed["runs"] == 2
+
+
+def test_headline_partial_ds_drop_keeps_largest_subsecond_entries():
+    """Tier 3e (r12): at the current 121-name registry the full
+    decisecond split is ~25 chars over budget; the ladder must shed the
+    SMALLEST-value ds entries (alphabetical tiebreak) into
+    queries_sub_sec — not all of them — so expensive sub-second rows
+    keep their round-over-round per-query signal."""
+    import random
+
+    names = _real_names()
+    rng = random.Random(7)
+    timings = {}
+    for i, n in enumerate(sorted(names)):
+        r = i / len(names)
+        if r < 0.62:
+            timings[n] = round(rng.uniform(0.05, 0.49), 3)
+        elif r < 0.88:
+            timings[n] = round(rng.uniform(0.5, 0.94), 3)
+        else:
+            timings[n] = round(rng.uniform(1.0, 10.0), 3)
+    out = bench.format_headline(_line(runs=3), timings, names)
+    assert len(out) <= 1980
+    parsed = json.loads(out)
+    qs, ds = parsed["queries"], parsed.get("queries_ds", {})
+    dropped = parsed.get("queries_sub_sec", 0)
+    assert len(qs) + len(ds) + dropped == len(names)
+    if dropped:
+        # the partial tier fired: names survive, and the shed policy is
+        # smallest-(value, name)-first — every kept entry sorts at or
+        # above every dropped one
+        assert ds, "all-or-nothing drop regressed: ds emptied"
+        sub = {n: int(timings[n] * 10 + 0.5) for n in names
+               if int(round(timings[n])) == 0 and timings[n] > 0}
+        dropped_names = set(sub) - set(ds)
+        assert len(dropped_names) == dropped
+        kept_min = min((v, n) for n, v in ds.items())
+        dropped_max = max((sub[n], n) for n in dropped_names)
+        assert dropped_max <= kept_min, (dropped_max, kept_min)
+    # dropped entries are only ever sub-second; integer rows keep names
+    for n in names:
+        if int(round(timings[n])) != 0:
+            assert n in qs
