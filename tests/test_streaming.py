@@ -568,3 +568,71 @@ def test_streaming_ann_crash_replay_probes_prior_content_only(spark, tmp_path):
         "replayed batch reported neighbors from its own append dir"
     )
     assert replayed == first, "crash replay diverged from the original report"
+
+
+def test_maintain_decontaminate_matches_batch_query(spark, tmp_path):
+    """maintain_decontaminate: streaming the TRAIN split through in
+    several micro-batches against the growing distinct-gram store must
+    report, summed per holdout doc, exactly the batch
+    decontaminate_ngram query's n_shared_grams — each distinct shared
+    gram contributing once, via the first batch that carried it — and a
+    checkpoint restart must re-report nothing."""
+    import glob
+    import shutil
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from tez_spark.plans.registry import all_queries
+    from tez_spark.sources.catalog import load_table
+    from tez_spark.streaming.ingest import maintain_decontaminate
+
+    docs = load_table(spark, SF_DIR, "documents")
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    train_docs = docs.filter(F.substring(h, 1, 2) < "e6").select("doc_id", "text")
+
+    stream_dir = str(tmp_path / "arrivals")
+    os.makedirs(stream_dir)
+    for i in range(3):
+        train_docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            os.path.join(stream_dir, f"arrival_{i}")
+        )
+    for i, f in enumerate(
+        sorted(glob.glob(os.path.join(stream_dir, "arrival_*", "*.parquet")))
+    ):
+        shutil.move(f, os.path.join(stream_dir, f"batch_{i}.parquet"))
+    for d in glob.glob(os.path.join(stream_dir, "arrival_*")):
+        shutil.rmtree(d)
+
+    totals: dict[int, int] = defaultdict(int)
+    batches = set()
+
+    def report(inc, batch_id):
+        batches.add(batch_id)
+        for r in inc.collect():
+            totals[r.doc_id] += r.n_new_shared_grams
+
+    maintain_decontaminate(
+        spark, SF_DIR, str(tmp_path / "store"), stream_dir, report
+    )
+    assert len(batches) >= 3, "stream did not split into micro-batches"
+
+    want_rows = all_queries()["decontaminate_ngram"](spark, SF_DIR).collect()
+    want = {r.doc_id: r.n_shared_grams for r in want_rows if r.n_shared_grams > 0}
+    assert want, "fixture has no contamination - the equivalence is vacuous"
+    assert dict(totals) == want
+    # zero-contamination holdout docs never appear as increments
+    zero_ids = {r.doc_id for r in want_rows if r.n_shared_grams == 0}
+    assert not (set(totals) & zero_ids)
+
+    # restart semantics: committed batches are neither re-read nor
+    # re-reported, and the gram store is not double-appended
+    replay: list = []
+    maintain_decontaminate(
+        spark,
+        SF_DIR,
+        str(tmp_path / "store"),
+        stream_dir,
+        lambda inc, bid: replay.extend(inc.collect()),
+    )
+    assert replay == [], "restart re-processed committed batches"

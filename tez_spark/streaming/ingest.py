@@ -257,3 +257,103 @@ def maintain_ann(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def maintain_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    stream_dir: str,
+    report,
+) -> None:
+    """Streaming eval-set protection (r12) — the continuous form of
+    q_decontaminate_ngram, and the decontamination twin of
+    maintain_dedup: TRAIN documents arrive as a stream, and each
+    micro-batch's verbatim 13-gram hashes are checked against the FIXED
+    holdout gram table, reporting per-holdout-doc contamination
+    INCREMENTS for grams never seen in any earlier batch. Summed over a
+    finished stream, the increments equal the batch query's
+    n_shared_grams exactly (equivalence-tested), because each distinct
+    shared gram is reported exactly once — by the first batch that
+    carries it (a left-anti join against the growing distinct-gram
+    store dedupes across batches).
+
+    Scale design: the store holds only DISTINCT 16-hex gram hashes —
+    bounded by train-gram vocabulary, never corpus size — so arriving
+    data is decontaminated without ever rescanning train history; all
+    joins are gram-hash-keyed (no document product), and the per-batch
+    new-gram side is the small one by construction. Store layout
+    mirrors maintain_dedup: one subdirectory per committed batch,
+    overwrite-mode, so a crash-replayed batch is idempotent; reports
+    are AT-LEAST-ONCE across crash replays (report runs before the
+    batch's grams commit).
+
+    `report(inc_df, batch_id)` receives (doc_id, n_new_shared_grams)
+    rows — holdout docs contaminated by grams first seen in this batch.
+    """
+    from tez_spark.functions import text as X
+    from tez_spark.plans.curation import DECONTAM_NGRAM_L as L
+    from tez_spark.sources.catalog import load_table
+
+    gram_store = os.path.join(store_dir, "grams")
+    hold_path = os.path.join(store_dir, "holdout_grams")
+
+    def doc_grams(df: DataFrame) -> DataFrame:
+        base = df.select(
+            "doc_id", X.tokens("text").alias("_toks")
+        ).filter(F.size("_toks") >= L)
+        return base.select(
+            "doc_id", F.explode(X.gram_windows(L)).alias("gram")
+        ).select("doc_id", X.gram_hash("gram").alias("g"))
+
+    if not os.path.exists(hold_path):
+        docs = load_table(spark, sf_dir, "documents")
+        h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+        hold = docs.filter(F.substring(h, 1, 2) >= "e6")
+        # gram INSTANCES (doc_id, g): the per-doc increment counts every
+        # window instance that matches, exactly like the batch query
+        doc_grams(hold).write.mode("overwrite").parquet(hold_path)
+        # empty seed so the store glob always reads (schema-only)
+        spark.createDataFrame([], "g string").write.mode("overwrite").parquet(
+            os.path.join(gram_store, "seed")
+        )
+
+    schema = "doc_id long, text string"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from tez_spark.operators.core import release_caches, tracked_persist
+
+        release_caches()
+        store_g = spark.read.parquet(os.path.join(gram_store, "*"))
+        new_g = tracked_persist(
+            doc_grams(batch_df).select("g").distinct()
+            .join(store_g, "g", "left_anti")
+        )
+        hold_g = spark.read.parquet(hold_path)
+        inc = (
+            hold_g.join(new_g, "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_new_shared_grams"))
+        )
+        report(inc, batch_id)
+        # commit AFTER reporting (maintain_dedup's ordering): later
+        # batches treat these grams as seen; overwrite of the batch's
+        # own subdir keeps a crash-replayed batch idempotent
+        new_g.write.mode("overwrite").parquet(
+            os.path.join(gram_store, f"batch_{batch_id}")
+        )
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(stream_dir)
+    q = (
+        stream.writeStream.option(
+            "checkpointLocation", os.path.join(store_dir, "checkpoint")
+        )
+        .foreachBatch(process)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
