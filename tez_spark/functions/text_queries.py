@@ -718,18 +718,28 @@ def q_exactsubstr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     data. Output one row per merged span: (doc_id, span_start,
     span_end, n_windows) with 0-based token positions, end exclusive.
 
-    Plan: the same gram explode + corpus gram-frequency exchange as
-    text_dup_spans (Catalyst reuses the shape; grams travel as 16-hex
-    md5 prefixes), positions kept via posexplode; duplicated window
-    positions then merge into maximal intervals with two per-doc window
-    functions — running max of span ends marks interval starts
-    (classic interval union, no self-join, no driver work), a running
-    sum of the start flags keys the span groupBy. Everything stays
-    keyed by doc after the one vocabulary-bounded gram exchange, so the
-    shape is the q03 wordcount class at any corpus size. Exactly
-    adjacent windows (next start == current end) stay separate spans —
-    they share no token; the DuckDB oracle mirrors the window algebra
-    verbatim."""
+    Plan: one gram explode with positions (posexplode over the shared
+    gram_windows kernel; grams travel as 16-hex md5 prefixes), then the
+    corpus-wide duplication test as a COUNT WINDOW over the gram
+    partition — a single hash exchange on g through which the doc/pos
+    payload rides, instead of a gram-frequency agg plus a second
+    instance join (the A/B'd alternative shapes at sf0.1: agg+join
+    2.44 s — it rebuilds and re-hashes the gram table for each
+    consumer — and agg+broadcast-semi 2.15 s, vs this form's 1.13 s,
+    value-identical, one fewer job). Duplicated positions then merge
+    into maximal intervals with two per-doc window functions — running
+    max of span ends marks interval starts (classic interval union, no
+    self-join, no driver work), a running sum of the start flags keys
+    the span groupBy. Skew note for 100TB: the per-g window partition
+    holds every instance of a gram, and unlike a join it cannot be
+    AQE-skew-split — under pathological boilerplate skew (one gram in
+    millions of docs) switch to the agg + left-semi twin above, whose
+    probe side AQE can split; at fixture scales the hot-gram population
+    is bounded by construction. Exactly adjacent windows (next start ==
+    current end) stay separate spans — they share no token; the DuckDB
+    oracle mirrors the interval algebra verbatim (its own count is a
+    gram-keyed agg+join, an independent formulation of the same
+    truth)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -741,8 +751,9 @@ def q_exactsubstr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(X.gram_windows(L)).alias("pos", "gram"),
     ).select("doc_id", "pos", X.gram_hash("gram").alias("g"))
-    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_c"))
-    dup = grams.join(counts, "g").filter(F.col("_c") >= 2).select(
+    dup = grams.withColumn(
+        "_c", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    ).filter(F.col("_c") >= 2).select(
         "doc_id", F.col("pos").cast("long").alias("pos")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
