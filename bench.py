@@ -189,6 +189,22 @@ def format_headline(line: dict, timings: dict, names, budget: int = 1980) -> str
     return out
 
 
+def achieved_runs(n_samples: dict, queries, failed: set) -> int:
+    """ACHIEVED sample floor for the headline "runs" stamp: the minimum
+    sample count over queries that actually RAN. Never-attempted queries
+    on a SIGTERM-mid-sweep partial have 0 samples and must not drag the
+    stamp to runs=0 when every measured entry was sampled 2-3x — the
+    `partial` flag already marks incompleteness (ADVICE r12, low)."""
+    return min(
+        (
+            n_samples[n]
+            for n in queries
+            if n not in failed and n_samples.get(n, 0) > 0
+        ),
+        default=0,
+    )
+
+
 def _digest_action(df) -> None:
     """Force full execution of the plan. The noop sink executes everything
     including final sorts (count() would let Catalyst eliminate them), and
@@ -436,11 +452,9 @@ def main() -> None:
             # configured policy (r12 review: a burst that blows the
             # budget breaks the pass loop after one pass, and stamping
             # the policy's 2 would classify that min-of-1 artifact as
-            # min-of-2): the minimum sample count over queries that ran.
-            "runs": min(
-                (n_samples.get(n, 0) for n in queries if n not in failed),
-                default=0,
-            ),
+            # min-of-2): the minimum sample count over queries that RAN
+            # (see achieved_runs — ADVICE r12, low — FIXED).
+            "runs": achieved_runs(n_samples, queries, failed),
         }
         if partial:
             line["partial"] = True

@@ -306,3 +306,18 @@ def test_headline_partial_ds_drop_keeps_largest_subsecond_entries():
     for n in names:
         if int(round(timings[n])) != 0:
             assert n in qs
+
+
+def test_achieved_runs_ignores_never_attempted_queries():
+    """ADVICE r12 (low): on a SIGTERM-mid-sweep partial, queries never
+    attempted carry n_samples 0 and must not stamp runs=0 when every
+    query that actually ran was sampled 2-3x."""
+    queries = ["a", "b", "c"]
+    # partial emit: a and b ran (3 and 2 samples), c never attempted
+    assert bench.achieved_runs({"a": 3, "b": 2, "c": 0}, queries, set()) == 2
+    # failed queries are excluded regardless of samples
+    assert bench.achieved_runs({"a": 3, "b": 1}, queries, {"b"}) == 3
+    # nothing ran at all -> 0 (the partial flag marks incompleteness)
+    assert bench.achieved_runs({}, queries, set()) == 0
+    # complete run: the true min survives
+    assert bench.achieved_runs({"a": 2, "b": 2, "c": 2}, queries, set()) == 2

@@ -636,3 +636,64 @@ def test_maintain_decontaminate_matches_batch_query(spark, tmp_path):
         lambda inc, bid: replay.extend(inc.collect()),
     )
     assert replay == [], "restart re-processed committed batches"
+
+
+def test_maintain_decontaminate_crash_replay_recomputes_identical_grams(
+    spark, tmp_path
+):
+    """Crash between a batch's gram parquet commit and its checkpoint
+    commit (ADVICE r12, medium): the replayed batch finds its OWN
+    batch_{bid} subdir in the gram store and must left-anti against
+    PRIOR content only — recomputing the identical new_g and report —
+    instead of seeing its own grams as already "seen", reporting
+    nothing, and overwrite-ERASING the committed grams (which later
+    batches would then double-count). Mirrors
+    test_streaming_ann_crash_replay_probes_prior_content_only."""
+    import glob
+    import shutil
+
+    from tez_spark.sources.catalog import load_table
+    from tez_spark.streaming.ingest import maintain_decontaminate
+
+    docs = load_table(spark, SF_DIR, "documents")
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    train_docs = docs.filter(F.substring(h, 1, 2) < "e6").select("doc_id", "text")
+
+    stream_dir = str(tmp_path / "arrivals")
+    os.makedirs(stream_dir)
+    train_docs.coalesce(1).write.parquet(os.path.join(stream_dir, "b0"))
+    f = glob.glob(os.path.join(stream_dir, "b0", "*.parquet"))[0]
+    shutil.move(f, os.path.join(stream_dir, "batch_0.parquet"))
+    shutil.rmtree(os.path.join(stream_dir, "b0"))
+
+    # clean first run: seeds holdout_grams + gram_store and commits batch_0
+    store1 = tmp_path / "store1"
+    first: dict = {}
+    maintain_decontaminate(
+        spark, SF_DIR, str(store1), stream_dir,
+        lambda inc, b: first.update({b: {tuple(r) for r in inc.collect()}}),
+    )
+    assert 0 in first and first[0], "clean run reported no contamination"
+    assert os.path.isdir(store1 / "grams" / "batch_0")
+
+    # simulated crash replay: holdout + gram store INCLUDING the
+    # batch's own committed batch_0 subdir, but a FRESH checkpoint —
+    # batch 0 re-fires against a store that already holds its grams
+    store2 = tmp_path / "store2"
+    os.makedirs(store2)
+    shutil.copytree(store1 / "holdout_grams", store2 / "holdout_grams")
+    shutil.copytree(store1 / "grams", store2 / "grams")
+    replayed: dict = {}
+    maintain_decontaminate(
+        spark, SF_DIR, str(store2), stream_dir,
+        lambda inc, b: replayed.update({b: {tuple(r) for r in inc.collect()}}),
+    )
+    assert replayed == first, (
+        "crash replay diverged from the original report — the batch saw "
+        "its own committed grams as prior store content"
+    )
+    # the overwrite must have REWRITTEN (not erased) the batch's grams:
+    # a fresh store read sees the same distinct-gram count as store1
+    n1 = spark.read.parquet(str(store1 / "grams" / "batch_0")).count()
+    n2 = spark.read.parquet(str(store2 / "grams" / "batch_0")).count()
+    assert n2 == n1 > 0, "replay erased or mutated the committed gram set"

@@ -284,9 +284,17 @@ def maintain_decontaminate(
     joins are gram-hash-keyed (no document product), and the per-batch
     new-gram side is the small one by construction. Store layout
     mirrors maintain_dedup: one subdirectory per committed batch,
-    overwrite-mode, so a crash-replayed batch is idempotent; reports
-    are AT-LEAST-ONCE across crash replays (report runs before the
-    batch's grams commit).
+    overwrite-mode. Unlike maintain_dedup — whose per-batch writes are
+    pure functions of the batch — new_g depends on store STATE, so a
+    crash-replayed batch must read the store EXCLUDING its own subdir
+    (maintain_ann's store_vectors pattern): a replay after the gram
+    parquet commit but before the checkpoint commit would otherwise
+    see its own grams already "seen", compute an empty new_g, and
+    overwrite-ERASE the committed grams — later batches would then
+    re-report them, double-counting increments (ADVICE r12, medium —
+    FIXED). With the exclusion, a replay recomputes and rewrites the
+    identical new_g; reports are AT-LEAST-ONCE across crash replays
+    (report runs before the batch's grams commit).
 
     `report(inc_df, batch_id)` receives (doc_id, n_new_shared_grams)
     rows — holdout docs contaminated by grams first seen in this batch.
@@ -320,11 +328,27 @@ def maintain_decontaminate(
 
     schema = "doc_id long, text string"
 
+    def store_grams(exclude_batch_id: int) -> DataFrame:
+        # Exclude the in-flight batch's OWN subdir: a crash between its
+        # gram commit and the checkpoint commit leaves batch_{id} on
+        # disk, and the replayed batch must left-anti against PRIOR
+        # content only, or new_g collapses to empty and the overwrite
+        # erases the committed grams (see docstring).
+        subs = sorted(
+            d
+            for d in os.listdir(gram_store)
+            if d != f"batch_{exclude_batch_id}"
+            and os.path.isdir(os.path.join(gram_store, d))
+        )
+        return spark.read.parquet(
+            *[os.path.join(gram_store, d) for d in subs]
+        )
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from tez_spark.operators.core import release_caches, tracked_persist
 
         release_caches()
-        store_g = spark.read.parquet(os.path.join(gram_store, "*"))
+        store_g = store_grams(exclude_batch_id=batch_id)
         new_g = tracked_persist(
             doc_grams(batch_df).select("g").distinct()
             .join(store_g, "g", "left_anti")
