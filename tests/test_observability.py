@@ -1049,3 +1049,62 @@ def test_vertex_paths_deep_chain_no_recursion_error(tmp_path):
     # the deepest prefix accumulated the most wall
     assert paths[0]["score_ms"] >= paths[-1]["score_ms"]
     assert paths[0]["critical_path"].startswith(f"s{n-1}-->")
+
+
+def test_one_on_one_inference_prior_drops_plain_shuffle_chains(tmp_path):
+    """r13 closure of the OneOnOneEdgeAnalyzer auto-inference decision:
+    inferred mode applies a zero-locality-miss prior — an identity-width
+    parent->child pair whose attempts MOSTLY changed hosts is a plain
+    constant-partition shuffle chain (reducers are placed host-blind)
+    and must be dropped, not reported as a wall of false misses; a
+    mostly-colocated pair keeps reporting its genuine misses, labeled
+    inferred=True. Declared edges remain the exact contract: the same
+    high-miss pair reports IN FULL with inferred=False when declared."""
+    import json
+
+    from tez_spark.observability import (
+        load_history,
+        one_on_one_edge_report_from_history,
+    )
+
+    # stage 0 -> 1: identical index sets {0,1,2,3}, 3 of 4 moved hosts
+    # (a reduce->reduce chain at constant partitions); stage 1 -> 2:
+    # identical sets, 1 of 4 moved (a real 1:1 edge with one miss)
+    log = [
+        _stage_completed(0, "red1", 1000, 2000),
+        _task_end(0, 0, 0, 0, 1000, 1500, host="h1", ex="1"),
+        _task_end(0, 1, 1, 0, 1000, 1500, host="h2", ex="2"),
+        _task_end(0, 2, 2, 0, 1000, 1500, host="h3", ex="3"),
+        _task_end(0, 3, 3, 0, 1000, 1500, host="h4", ex="4"),
+        _stage_completed(1, "red2", 2000, 3000, parents=[0]),
+        _task_end(1, 4, 0, 0, 2000, 2500, host="h4", ex="4"),
+        _task_end(1, 5, 1, 0, 2000, 2500, host="h3", ex="3"),
+        _task_end(1, 6, 2, 0, 2000, 2500, host="h2", ex="2"),
+        _task_end(1, 7, 3, 0, 2000, 2500, host="h4", ex="4"),
+        _stage_completed(2, "oneone", 3000, 4000, parents=[1]),
+        _task_end(2, 8, 0, 0, 3000, 3500, host="h4", ex="4"),
+        _task_end(2, 9, 1, 0, 3000, 3500, host="h3", ex="3"),
+        _task_end(2, 10, 2, 0, 3000, 3500, host="h2", ex="2"),
+        _task_end(2, 11, 3, 0, 3000, 3500, host="h1", ex="1"),  # the miss
+    ]
+    p = tmp_path / "app-log"
+    p.write_text("\n".join(json.dumps(e) for e in log))
+    h = load_history(str(p))
+
+    inferred = one_on_one_edge_report_from_history(h)
+    # 0 -> 1 (3/4 misses > 0.5) dropped; 1 -> 2 (1/4) kept and labeled
+    assert {(r["src_stage_id"], r["dest_stage_id"]) for r in inferred} == {(1, 2)}
+    assert len(inferred) == 1 and inferred[0]["index"] == 3
+    assert inferred[0]["inferred"] is True
+    assert (inferred[0]["src_host"], inferred[0]["dest_host"]) == ("h4", "h1")
+
+    declared = one_on_one_edge_report_from_history(h, edges=[(0, 1)])
+    assert len(declared) == 3, "declared edges must report in full"
+    assert all(r["inferred"] is False for r in declared)
+
+    # prior is tunable: threshold 1.0 admits the shuffle chain too
+    loose = one_on_one_edge_report_from_history(
+        h, infer_max_miss_fraction=1.0
+    )
+    assert {(r["src_stage_id"], r["dest_stage_id"]) for r in loose} == {
+        (0, 1), (1, 2)}

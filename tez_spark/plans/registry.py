@@ -31,44 +31,43 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # driver dropping this round's own CORRECTNESS file no longer flips the
 # guard red at judging time.
 #
-# Round-12 window (VERDICT r11 item 1 executed): (1) the 17 oracled
-# queries whose last driver row is round 9 — their r9 rows leave the
-# three-round union at r12, so they MUST be here (exactly the
-# displacement the r11 comment scheduled); (2) bpe_train, PROMOTED from
-# rows-only this round via the unrolled-CTE learning oracle (VERDICT
-# r11 item 5) — its only prior driver row (r7) was the weaker
-# rows-only check, so the promotion gets its first oracled row now;
-# (3) bpe_segment and exactsubstr_spans, NEW oracled queries this
-# round (never rowed — the window guard requires them here);
-# (4) 30 of the 50 oracled queries whose last driver row is round 10
-# (alphabetically first — deliberately including dedup_embedding_lsh,
-# whose band geometry is under review this round per VERDICT r11 item
-# 6, so any plan change gets a fresh driver row).  Displaced to round
-# 13, union-covered by their r10 rows — these must head the r13
-# window: tpch04, tpch05, tpch06, tpch07, tpch08, tpch09, tpch10,
-# tpch11, tpch12, tpch13, tpch14, tpch15, tpch16, tpch17, tpch18,
-# tpch19, tpch20, tpch21, tpch22, weighted_sample.
-_WINDOW_ROUND = 12
+# Round-13 window (VERDICT r12 item 1 executed): (1) the 20 oracled
+# queries whose last driver row is round 10 — their r10 rows leave the
+# three-round union at r13, so they MUST be here (exactly the
+# displacement the r12 comment scheduled: tpch04–tpch22 +
+# weighted_sample); (2) exactsubstr_spans, whose duplication-count
+# plan FLIPPED this round from the window-over-gram-key form to the
+# skew-safe agg + left-semi twin (VERDICT r12 What's-wrong #1) — plan
+# changes get a fresh driver row (the r12 dedup_embedding_lsh
+# precedent); (3) 29 of the 50 oracled queries whose last driver row
+# is round 11 (alphabetically first).  Displaced to round 14,
+# union-covered by their r11 rows — these must head the r14 window:
+# q03, q04, q05, q06, regex_tokens, seq_pack, source_cap, source_mix,
+# source_quality, star_join, stratified_sample, text_fingerprint,
+# text_langid, text_logprob, text_metrics, text_repetition,
+# text_winnow, tfidf_top_terms, time_gapfill, train_split,
+# window_sliding.
+_WINDOW_ROUND = 13
 _PRIORITY: tuple[str, ...] = (
-    # 1. oracled queries whose last driver row is round 9 — age out of
-    #    the three-round union at r12
-    "q07", "q08", "q09", "q10", "q11", "q12", "q13", "q14", "q15",
-    "q16", "q17", "q18", "rollup", "scalar_funcs", "sessionize",
-    "unpivot", "window_funcs",
-    # 2. newly oracled this round — first oracled driver rows
-    # (bpe_train promoted via the unrolled-CTE learning oracle;
-    # bpe_segment and exactsubstr_spans NEW)
-    "bpe_train", "bpe_segment", "exactsubstr_spans",
-    # 3. oracled queries whose last driver row is round 10
-    "ann_ivf", "ann_topk", "audio_features", "cross_join_chunked",
-    "decontaminate", "dedup_embedding", "dedup_embedding_lsh",
-    "dedup_ngram_jaccard", "editdistance_discovery",
-    "embedding_centroids", "embedding_incremental", "embedding_quantize",
-    "event_anomalies", "event_funnel", "event_retention",
-    "interval_join", "length_curriculum", "multimodal_decode",
-    "multimodal_frames", "multimodal_video", "percentiles",
-    "percentiles_approx", "pii_redact", "pmi_collocations", "set_ops",
-    "string_agg", "text_dup_spans", "tpch01", "tpch02", "tpch03",
+    # 1. oracled queries whose last driver row is round 10 — age out
+    #    of the three-round union at r13
+    "tpch04", "tpch05", "tpch06", "tpch07", "tpch08", "tpch09",
+    "tpch10", "tpch11", "tpch12", "tpch13", "tpch14", "tpch15",
+    "tpch16", "tpch17", "tpch18", "tpch19", "tpch20", "tpch21",
+    "tpch22", "weighted_sample",
+    # 2. plan changed this round (window-over-gram-key -> agg+semi):
+    #    fresh driver row on the new shape
+    "exactsubstr_spans",
+    # 3. oracled queries whose last driver row is round 11
+    "ann_incremental", "ann_lsh", "approx_distinct", "argmax_funcs",
+    "asof_join", "cms_heavyhitters", "column_profile",
+    "cross_join_bucketed", "cube", "curation_pipeline",
+    "curation_pipeline_lsh", "date_funcs", "decontaminate_ngram",
+    "dedup_clusters", "dedup_editdistance", "dedup_embedding_clusters",
+    "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_winnow", "doc_chunk", "exists_subquery",
+    "grouping_sets", "json_extract", "multimodal_audio", "pivot",
+    "q01", "q02",
 )
 
 

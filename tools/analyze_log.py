@@ -5,6 +5,14 @@ plugin set over a DAG history file; here the history is Spark's JSON
 event log and the plugins are the *_from_history analyzers).
 
 Usage: python tools/analyze_log.py <event-log-file-or-dir> [top_n]
+       [--infer-one-on-one]
+
+--infer-one-on-one: run the OneOnOneEdgeAnalyzer parity in labeled
+best-effort inference mode (identity-width candidates + the
+zero-locality-miss prior; every row carries inferred=true) instead of
+printing the declared-edges requirement. Spark event logs record no
+edge semantics, so declared edges remain the exact contract — see
+one_on_one_edge_report_from_history's docstring (r13 closure).
 
 Pure Python — no SparkSession: a closed or remote application's log is
 analyzable anywhere. Prints one JSON object with a section per analyzer;
@@ -41,7 +49,7 @@ from tez_spark.observability import (  # noqa: E402
 )
 
 
-def analyze(path: str, top: int = 20) -> dict:
+def analyze(path: str, top: int = 20, infer_one_on_one: bool = False) -> dict:
     h = load_history(path)
     return {
         "stages_parsed": len(h["stages"]),
@@ -62,23 +70,35 @@ def analyze(path: str, top: int = 20) -> dict:
         "hung_tasks": hung_task_report_from_history(h),
         "input_read_errors": input_read_error_report_from_history(h),
         # r11 — the final three reference plugins (17/17).
-        # one_on_one needs DECLARED edge pairs: the identity-width
-        # inference cannot distinguish true 1:1 edges from ordinary
-        # constant-partition shuffle boundaries, so an unattended CLI
-        # run would flood healthy jobs with false "misses" — call
-        # one_on_one_edge_report_from_history(h, edges=[(src, dst)...])
-        # with the DAG's declared pairs for the real audit.
-        "one_on_one_edges": {
-            "note": "requires declared edge pairs; see "
-            "one_on_one_edge_report_from_history(history, edges)"
-        },
+        # one_on_one's exact audit needs DECLARED edge pairs (Spark
+        # event logs carry no edge semantics); --infer-one-on-one opts
+        # into the labeled best-effort heuristic (identity-width +
+        # zero-locality-miss prior, rows carry inferred=true) for
+        # arbitrary logs — r13 closure, see the function docstring.
+        "one_on_one_edges": (
+            one_on_one_edge_report_from_history(h)
+            if infer_one_on_one
+            else {
+                "note": "exact audit requires declared edge pairs — "
+                "one_on_one_edge_report_from_history(history, edges); "
+                "pass --infer-one-on-one for the labeled heuristic"
+            }
+        ),
         "container_reuse": container_reuse_report_from_history(h),
         "vertex_critical_paths": vertex_critical_paths_from_history(h, top=top),
     }
 
 
 if __name__ == "__main__":
-    if len(sys.argv) < 2:
+    args = [a for a in sys.argv[1:] if a != "--infer-one-on-one"]
+    infer = "--infer-one-on-one" in sys.argv[1:]
+    if not args:
         sys.exit(__doc__)
-    top = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    print(json.dumps(analyze(sys.argv[1], top), indent=1, default=str))
+    top = int(args[1]) if len(args) > 1 else 20
+    print(
+        json.dumps(
+            analyze(args[0], top, infer_one_on_one=infer),
+            indent=1,
+            default=str,
+        )
+    )
