@@ -21,11 +21,13 @@ from tests.conftest import SF_DIR, canon_rows
 # must be partition-independent END TO END, histogram collect order
 # included) and exactsubstr_spans (per-doc window-function interval
 # union over a repartitionable gram exchange)
+# ...and the r13 addition: exactsubstr_chars (persisted char-window
+# gram table + agg/semi — cache partitioning must not leak into spans)
 SAMPLE = (
     "q05", "q06", "q08", "q12", "q14", "dedup_minhash_lsh",
     "dedup_incremental", "cross_join_chunked", "source_cap",
     "dedup_editdistance", "column_profile", "weighted_sample",
-    "bpe_segment", "exactsubstr_spans",
+    "bpe_segment", "exactsubstr_spans", "exactsubstr_chars",
 )
 
 

@@ -489,3 +489,91 @@ def test_exactsubstr_oracle_window_algebra_property():
         con.register("documents", pdf)
         got = con.execute(ORACLE["exactsubstr_spans"]).fetchall()
         assert got == want, (trial, got, want)
+
+
+def test_exactsubstr_chars_matches_bruteforce(spark, tmp_path):
+    """Character-level ExactSubstr (Lee et al. ACL 2022 §4.1, 50-char
+    threshold): constructed corpus vs an inline brute-force suffix-ish
+    reference (every stride-1 50-char window counted corpus-wide,
+    duplicated positions interval-merged). Covers cross-doc shared
+    runs, back-to-back same-doc repeats (adjacent spans stay separate),
+    sub-token repeats invisible to the token-window form, and docs
+    with no duplication."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tez_spark.functions.text_queries import (
+        CHAR_SPAN_L as L,
+        q_exactsubstr_chars,
+    )
+
+    assert L == 50
+    # unique fillers: 5-char items bracketed by the tag letter, so a
+    # filler's boundary char NEVER matches another filler's (a '.' at
+    # both prefix boundaries would extend the shared span by one)
+    uniq = lambda tag, n: "".join(
+        f"{tag}{i:03d}{tag}" for i in range(n // 5 + 1)
+    )[:n]
+    shared = "the quick brown fox jumps over the lazy dog again and more!"  # 59
+    assert len(shared) == 59
+    phrase = "abcdefghij" * 5  # exactly 50 chars
+    docs = {
+        0: uniq("a", 20) + shared + uniq("b", 30),
+        1: uniq("c", 45) + shared + uniq("d", 10),
+        # periodic text: EVERY window repeats 10 chars later -> one
+        # merged span covering the whole doc
+        2: phrase + phrase,
+        # sub-token repeat across docs 2/3 (no whitespace): the token
+        # form can't see it, the char form must
+        3: uniq("e", 15) + phrase + uniq("f", 15),
+        4: uniq("g", 120),  # no duplication
+        5: "short doc",     # under one window
+    }
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "source": pa.array(["t"] * len(docs)),
+            "text": pa.array([docs[k] for k in sorted(docs)]),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    from collections import Counter
+
+    cnt = Counter()
+    wins = {}
+    for d, s in docs.items():
+        wins[d] = [
+            (p, s[p : p + L]) for p in range(len(s) - L + 1)
+        ]
+        for _, g in wins[d]:
+            cnt[g] += 1
+    want = []
+    for d in sorted(docs):
+        spans = []
+        for p, g in wins[d]:
+            if cnt[g] < 2:
+                continue
+            if spans and p < spans[-1][1]:
+                spans[-1] = (spans[-1][0], p + L, spans[-1][2] + 1)
+            else:
+                spans.append((p, p + L, 1))
+        want += [(d, s0, e0, n0) for s0, e0, n0 in spans]
+
+    got = [tuple(r) for r in q_exactsubstr_chars(spark, str(tmp_path)).collect()]
+    assert got == want, (got, want)
+    # the constructed expectations, spelled out
+    span_of = lambda d: [(s, e) for dd, s, e, n in got if dd == d]
+    assert span_of(0) == [(20, 79)] and span_of(1) == [(45, 104)]
+    assert span_of(2) == [(0, 100)]  # periodic: one corpus-maximal span
+    assert span_of(3) == [(15, 65)]
+    assert span_of(4) == [] and span_of(5) == []
+    # and the skew-safe plan shape, same guard as the token form
+    plan = (
+        q_exactsubstr_chars(spark, str(tmp_path))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "doc_id" in line.split("windowspecdefinition", 1)[1][:40], line
+    assert "LeftSemi" in plan

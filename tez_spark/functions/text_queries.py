@@ -772,6 +772,20 @@ def q_exactsubstr_spans(
         dup = grams.join(dup_g, "g", "left_semi").select(
             "doc_id", F.col("pos").cast("long").alias("pos")
         )
+    return _merge_dup_spans(dup, L)
+
+
+def _merge_dup_spans(dup: DataFrame, L: int) -> DataFrame:
+    """Interval union of duplicated window positions into maximal spans
+    — the shared span algebra of exactsubstr_spans (token windows) and
+    exactsubstr_chars (character windows). Input (doc_id, pos long);
+    output one row per merged span (doc_id, span_start, span_end,
+    n_windows), end exclusive. Two PER-DOC window functions (bounded
+    partitions — never the corpus-wide gram key): a running max of span
+    ends marks interval starts, a running sum of the start flags keys
+    the span groupBy. No self-join, no driver work."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("doc_id").orderBy("pos")
     run_end = F.max(F.col("pos") + L).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -826,6 +840,103 @@ ORACLE["exactsubstr_spans"] = f"""
 """
 
 
+CHAR_SPAN_L = 50  # Lee et al. (ACL 2022) §4.1: 50-char dedup threshold
+
+
+def q_exactsubstr_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-level ExactSubstr spans (r13) — Lee et al.'s actual
+    threshold semantics (ACL 2022 §4.1 picks 50 CHARACTERS as the
+    minimum matching substring; the reference pipeline's suffix-array
+    dedup operates on the byte stream, not tokens): per document, the
+    merged maximal CHAR ranges covered by length-50 character windows
+    that appear verbatim at least twice in the corpus. Every duplicated
+    substring of length >= 50 contains at least one duplicated 50-char
+    window, and the union of its windows IS the substring — so the
+    merged spans equal the suffix-array answer for >=50-char repeats,
+    computed with data-parallel primitives instead of a single-machine
+    suffix array. Output (doc_id, span_start, span_end, n_windows),
+    0-based char positions, end exclusive; complements
+    exactsubstr_spans' token-window form (whitespace tokenization
+    can't see sub-token or cross-whitespace-normalization repeats).
+
+    Plan — the same skew-safe shape as the token form post-r13-flip:
+    stride-1 char windows via a codegen transform over
+    sequence(0, len-50) (one row per char position — corpus-linear,
+    ~char_count rows), a partial-agg'd gram-frequency aggregation
+    (vocabulary-bounded exchange) filtered to duplicated grams, a
+    left-semi join back to instances (AQE-skew-splittable probe), then
+    the shared per-doc interval-union merge (_merge_dup_spans). Two
+    deliberate choices, A/B'd at sf0.1 (7.2 s -> 1.23 s combined):
+    grams hash with NATIVE xxhash64, not the md5-hex prefix — g never
+    reaches the output, so cross-engine hash equality is not needed
+    (the DuckDB oracle keeps its own md5 formulation of the same
+    truth) and md5-of-1.4M-windows was ~2.8 s of the 7.2; and the gram
+    table is tracked_persist'ed so the agg and the probe side share
+    ONE explode+hash pass instead of recomputing it (the dedup shingle
+    precedent: spill-safe distributed cache, released by the
+    registry's cache scope). Same 64-bit collision margin as
+    gram_hash: a false dup needs ~2^32 distinct windows."""
+    from tez_spark.operators.core import tracked_persist
+
+    L = CHAR_SPAN_L
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.length("text") >= L).select("doc_id", "text")
+    grams = tracked_persist(
+        base.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, length(text) - {L}),"
+                    f" i -> substring(text, i + 1, {L}))"
+                )
+            ).alias("pos", "win"),
+        ).select("doc_id", "pos", F.xxhash64("win").alias("g"))
+    )
+    dup_g = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("g")
+    )
+    dup = grams.join(dup_g, "g", "left_semi").select(
+        "doc_id", F.col("pos").cast("long").alias("pos")
+    )
+    return _merge_dup_spans(dup, L)
+
+
+ORACLE["exactsubstr_chars"] = f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents WHERE length(text) >= {CHAR_SPAN_L}
+    ), grams AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               substring(md5(substring(
+                   text, CAST(i + 1 AS INT), {CHAR_SPAN_L})), 1, 16) AS g
+        FROM base, unnest(range(length(text) - {CHAR_SPAN_L - 1})) AS u(i)
+    ), counts AS (
+        SELECT g, COUNT(*) AS c FROM grams GROUP BY g
+    ), dup AS (
+        SELECT doc_id, pos FROM grams JOIN counts USING (g) WHERE c >= 2
+    ), flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos >= coalesce(max(pos + {CHAR_SPAN_L}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1) THEN 1 ELSE 0 END AS newgrp
+        FROM dup
+    ), grp AS (
+        SELECT doc_id, pos,
+               SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY pos) AS g2
+        FROM flagged
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {CHAR_SPAN_L} AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM grp GROUP BY doc_id, g2
+    ORDER BY doc_id, span_start
+"""
+
+
 QUERIES = {
     "text_metrics": text_metrics,
     "text_fingerprint": text_fingerprint,
@@ -838,4 +949,5 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "text_dup_spans": q_text_dup_spans,
     "exactsubstr_spans": q_exactsubstr_spans,
+    "exactsubstr_chars": q_exactsubstr_chars,
 }

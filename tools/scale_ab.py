@@ -13,6 +13,7 @@ the cap is the point: the fitted exponent says WHY the twin cannot
 ship at 100TB.
 
 Usage: python tools/scale_ab.py [--scales 1,3,10] [--out /tmp/scale_ab.json]
+       [--only name1,name2]   (run a subset of the case list)
 Run on an IDLE box (uptime first — see PERF.md host-noise protocol);
 results land in PERF.md round 11.
 """
@@ -108,6 +109,7 @@ def gen_fixture(scale: int) -> str:
 def main() -> None:
     scales = [1, 3, 10]
     out_path = "/tmp/scale_ab.json"
+    only: set[str] | None = None
     args = sys.argv[1:]
     i = 0
     while i < len(args):
@@ -121,6 +123,10 @@ def main() -> None:
             i += 1 if "=" in a else 2
         elif a.startswith("--out"):
             out_path = a.split("=", 1)[1] if "=" in a else args[i + 1]
+            i += 1 if "=" in a else 2
+        elif a.startswith("--only"):
+            val = a.split("=", 1)[1] if "=" in a else args[i + 1]
+            only = {s.strip() for s in val.split(",")}
             i += 1 if "=" in a else 2
         else:
             i += 1
@@ -143,6 +149,16 @@ def main() -> None:
         ("editdistance_discovery", None),
         ("dedup_embedding_lsh", None),
         ("ann_ivf", None),
+        # r12 additions (VERDICT r12 item 4): bpe_segment is a
+        # zero-shuffle broadcast-merge-table mapInPandas (expect ~N^1.0
+        # map-only); exactsubstr_spans is measured on the POST-FLIP
+        # agg+semi plan (gram exchange expected ~N^1.0)
+        ("bpe_segment", None),
+        ("exactsubstr_spans", None),
+        # r13: character-level ExactSubstr (Lee et al. 50-char) —
+        # expect ~N^1.0: corpus-linear stride-1 char windows through
+        # one persisted explode + partial-agg'd count + semi join
+        ("exactsubstr_chars", None),
         # quadratic twins
         ("dedup_ngram_jaccard", 3),
         ("dedup_embedding", None),  # exact all-pairs cosine
@@ -165,6 +181,11 @@ def main() -> None:
                                    threshold=0.45, dim=64)
 
     cases.append(("dedup_embedding_lsh_path", _lsh_path_only, None))
+    if only is not None:
+        unknown = only - {n for n, _, _ in cases}
+        if unknown:
+            sys.exit(f"--only names not in the case list: {sorted(unknown)}")
+        cases = [c for c in cases if c[0] in only]
 
     results: dict[str, dict] = {}
     for scale in scales:
