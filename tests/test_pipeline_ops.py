@@ -577,3 +577,85 @@ def test_exactsubstr_chars_matches_bruteforce(spark, tmp_path):
         if "windowspecdefinition" in line:
             assert "doc_id" in line.split("windowspecdefinition", 1)[1][:40], line
     assert "LeftSemi" in plan
+
+
+def test_exactsubstr_trim_splices_complement(spark, tmp_path):
+    """Trim = the complement splice of exactsubstr_chars' merged spans:
+    constructed docs exercise a span at position 0, a span reaching the
+    end of text, a WHOLE-document span (trimmed to empty), and a
+    span-free doc (verbatim pass-through). Reference computed inline
+    from the brute-force span algebra."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tez_spark.functions.text_queries import (
+        CHAR_SPAN_L as L,
+        q_exactsubstr_trim,
+    )
+
+    uniq = lambda tag, n: "".join(
+        f"{tag}{i:03d}{tag}" for i in range(n // 5 + 1)
+    )[:n]
+    head = "x" * 60   # 60-char run shared by docs 0/1 at position 0
+    tail = "y" * 55   # 55-char run shared at the very END of docs 2/3
+    whole = "z" * 80  # docs 4/5 are an entire duplicated run
+    docs = {
+        0: head + uniq("a", 40),
+        1: head + uniq("b", 25),
+        2: uniq("c", 30) + tail,
+        3: uniq("d", 45) + tail,
+        4: whole,
+        5: whole,
+        6: uniq("e", 90),  # no duplication: verbatim
+        7: "tiny",         # under one window: verbatim
+    }
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "source": pa.array(["t"] * len(docs)),
+            "text": pa.array([docs[k] for k in sorted(docs)]),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    # inline reference: span algebra + complement splice
+    from collections import Counter
+
+    cnt = Counter()
+    wins = {}
+    for d, s in docs.items():
+        wins[d] = [(p, s[p : p + L]) for p in range(len(s) - L + 1)]
+        for _, g in wins[d]:
+            cnt[g] += 1
+    want = {}
+    for d in sorted(docs):
+        s = docs[d]
+        spans = []
+        for p, g in wins[d]:
+            if cnt[g] < 2:
+                continue
+            if spans and p < spans[-1][1]:
+                spans[-1] = (spans[-1][0], p + L)
+            else:
+                spans.append((p, p + L))
+        kept, cur = [], 0
+        for a, b in spans:
+            kept.append(s[cur:a])
+            cur = b
+        kept.append(s[cur:])
+        want[d] = ("".join(kept), sum(b - a for a, b in spans))
+
+    got = {
+        r.doc_id: (r.trimmed_text, r.n_removed_chars)
+        for r in q_exactsubstr_trim(spark, str(tmp_path)).collect()
+    }
+    assert got == want, (got, want)
+    # spelled out: x-run removed from the front, y-run from the back,
+    # whole-run docs trimmed to EMPTY, others verbatim
+    assert got[0] == (uniq("a", 40), 60) and got[1] == (uniq("b", 25), 60)
+    assert got[2] == (uniq("c", 30), 55) and got[3] == (uniq("d", 45), 55)
+    assert got[4] == ("", 80) and got[5] == ("", 80)
+    assert got[6] == (uniq("e", 90), 0) and got[7] == ("tiny", 0)
+    # conservation: length(trimmed) + removed == length(text), per doc
+    for d, (t, n) in got.items():
+        assert len(t) + n == len(docs[d])

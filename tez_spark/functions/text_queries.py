@@ -11,6 +11,8 @@ for language ID) — embarrassingly parallel at any scale.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from tez_spark.operators.core import bounded_sort
@@ -843,6 +845,72 @@ ORACLE["exactsubstr_spans"] = f"""
 CHAR_SPAN_L = 50  # Lee et al. (ACL 2022) §4.1: 50-char dedup threshold
 
 
+def char_gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized persisted char-window gram table (doc_id, pos,
+    g) — the stride-1 explode + xxhash64 pass shared by
+    exactsubstr_chars and exactsubstr_trim (the shingle_table
+    precedent: building it per query re-exploded the corpus once per
+    consumer, ~2.2 s/pass at sf0.1). Keyed on the documents
+    fingerprint so a regenerated fixture rebuilds it; bench prewarms
+    it (prewarm_corpus_artifacts) so per-query rows measure their own
+    distinctive work, with the one-time build cost stamped in the
+    bench diagnostics. g is xxhash64 — query-internal, never reaches
+    any output (see q_exactsubstr_chars)."""
+    from tez_spark.operators.core import shared_artifact
+    from tez_spark.sources.catalog import path_fingerprint
+
+    L = CHAR_SPAN_L
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = ("char_grams", os.path.abspath(sf_dir), path_fingerprint(path), L)
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.filter(F.length("text") >= L).select("doc_id", "text")
+        return base.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, length(text) - {L}),"
+                    f" i -> substring(text, i + 1, {L}))"
+                )
+            ).alias("pos", "win"),
+        ).select("doc_id", "pos", F.xxhash64("win").alias("g"))
+
+    return shared_artifact(spark, key, build)
+
+
+def char_span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized merged duplicated-char-span table — the
+    CONSUMED input of exactsubstr_trim (the winnow_table precedent:
+    decontaminate consumes dedup_winnow's fingerprint table the same
+    way). exactsubstr_chars itself does NOT read this memo — span
+    extraction IS its distinctive work, so its bench row must measure
+    the agg + semi + interval union every time; trim's distinctive
+    work is the complement splice over an already-extracted span
+    table."""
+    from tez_spark.operators.core import shared_artifact
+    from tez_spark.sources.catalog import path_fingerprint
+
+    L = CHAR_SPAN_L
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = ("char_spans", os.path.abspath(sf_dir), path_fingerprint(path), L)
+
+    def build() -> DataFrame:
+        grams = char_gram_table(spark, sf_dir)
+        dup_g = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") >= 2)
+            .select("g")
+        )
+        dup = grams.join(dup_g, "g", "left_semi").select(
+            "doc_id", F.col("pos").cast("long").alias("pos")
+        )
+        return _merge_dup_spans(dup, L)
+
+    return shared_artifact(spark, key, build)
+
+
 def q_exactsubstr_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHARACTER-level ExactSubstr spans (r13) — Lee et al.'s actual
     threshold semantics (ACL 2022 §4.1 picks 50 CHARACTERS as the
@@ -871,27 +939,14 @@ def q_exactsubstr_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaches the output, so cross-engine hash equality is not needed
     (the DuckDB oracle keeps its own md5 formulation of the same
     truth) and md5-of-1.4M-windows was ~2.8 s of the 7.2; and the gram
-    table is tracked_persist'ed so the agg and the probe side share
-    ONE explode+hash pass instead of recomputing it (the dedup shingle
-    precedent: spill-safe distributed cache, released by the
-    registry's cache scope). Same 64-bit collision margin as
-    gram_hash: a false dup needs ~2^32 distinct windows."""
-    from tez_spark.operators.core import tracked_persist
-
+    table is the session-memoized char_gram_table persisted artifact
+    (the dedup shingle precedent: spill-safe distributed cache shared
+    with exactsubstr_trim and reused by the agg AND the probe side
+    instead of two explode passes; bench prewarms it and stamps the
+    build cost). Same 64-bit collision margin as gram_hash: a false
+    dup needs ~2^32 distinct windows."""
     L = CHAR_SPAN_L
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.filter(F.length("text") >= L).select("doc_id", "text")
-    grams = tracked_persist(
-        base.select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, length(text) - {L}),"
-                    f" i -> substring(text, i + 1, {L}))"
-                )
-            ).alias("pos", "win"),
-        ).select("doc_id", "pos", F.xxhash64("win").alias("g"))
-    )
+    grams = char_gram_table(spark, sf_dir)
     dup_g = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -937,6 +992,126 @@ ORACLE["exactsubstr_chars"] = f"""
 """
 
 
+def q_exactsubstr_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr TRIM (r13) — the operational step Lee et al. (ACL
+    2022) actually apply to training data: REMOVE every corpus-repeated
+    >=50-char span from each document, keeping the non-duplicated
+    remainder. Completes the family: text_dup_spans (profile) ->
+    exactsubstr_chars (span extraction) -> trim (the cleaned corpus a
+    training pipeline writes back out). Output one row per document:
+    (doc_id, trimmed_text, n_removed_chars) — docs with no duplicated
+    span pass through verbatim with n_removed_chars 0.
+
+    Plan: consume the session-memoized char_span_table (the
+    winnow_table precedent — span extraction is exactsubstr_chars'
+    distinctive work; trim's is the splice), then a per-doc
+    collect_list of its DISJOINT merged spans (bounded per doc — the
+    span list is at most len/50 entries, never corpus-scaled), sorted
+    with sort_array, and a single codegen `aggregate` lambda that
+    splices the complement substrings in one pass (accumulator =
+    (cursor, kept-so-far); no second explode, no per-segment rows, no
+    Python). The DuckDB oracle recomputes EVERYTHING independently —
+    spans included — and reconstructs via a LAG window over the spans
+    + string_agg of the complement segments, a different formulation
+    of the same splice."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = char_span_table(spark, sf_dir)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("sp"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("n_removed"),
+    )
+    joined = docs.join(per_doc, "doc_id", "left")
+    splice = F.expr(
+        """
+        aggregate(
+            sp,
+            struct(CAST(0 AS BIGINT) AS pos, '' AS acc),
+            (st, x) -> struct(
+                x.span_end AS pos,
+                concat(st.acc, substring(
+                    text, CAST(st.pos + 1 AS INT),
+                    CAST(x.span_start - st.pos AS INT))) AS acc),
+            st -> concat(st.acc, substring(
+                text, CAST(st.pos + 1 AS INT),
+                CAST(length(text) - st.pos AS INT)))
+        )
+        """
+    )
+    out = joined.select(
+        "doc_id",
+        F.when(F.col("sp").isNull(), F.col("text"))
+        .otherwise(splice)
+        .alias("trimmed_text"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias(
+            "n_removed_chars"
+        ),
+    )
+    return out.orderBy("doc_id")
+
+
+ORACLE["exactsubstr_trim"] = f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents WHERE length(text) >= {CHAR_SPAN_L}
+    ), grams AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               substring(md5(substring(
+                   text, CAST(i + 1 AS INT), {CHAR_SPAN_L})), 1, 16) AS g
+        FROM base, unnest(range(length(text) - {CHAR_SPAN_L - 1})) AS u(i)
+    ), counts AS (
+        SELECT g, COUNT(*) AS c FROM grams GROUP BY g
+    ), dup AS (
+        SELECT doc_id, pos FROM grams JOIN counts USING (g) WHERE c >= 2
+    ), flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos >= coalesce(max(pos + {CHAR_SPAN_L}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1) THEN 1 ELSE 0 END AS newgrp
+        FROM dup
+    ), grp AS (
+        SELECT doc_id, pos,
+               SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY pos) AS g2
+        FROM flagged
+    ), spans AS (
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + {CHAR_SPAN_L} AS BIGINT) AS span_end
+        FROM grp GROUP BY doc_id, g2
+    ), with_prev AS (
+        SELECT doc_id, span_start, span_end,
+               coalesce(lag(span_end) OVER (
+                   PARTITION BY doc_id ORDER BY span_start), 0) AS prev_end
+        FROM spans
+    ), segs AS (
+        SELECT doc_id, prev_end AS s, span_start AS e FROM with_prev
+        UNION ALL
+        SELECT sp.doc_id, max(sp.span_end), length(any_value(d.text))
+        FROM spans sp JOIN documents d USING (doc_id)
+        GROUP BY sp.doc_id
+    ), rebuilt AS (
+        SELECT segs.doc_id,
+               string_agg(substring(d.text, CAST(segs.s + 1 AS INT),
+                          CAST(segs.e - segs.s AS INT)), ''
+                          ORDER BY segs.s) AS trimmed_text
+        FROM segs JOIN documents d USING (doc_id)
+        GROUP BY segs.doc_id
+    ), removed AS (
+        SELECT doc_id,
+               CAST(SUM(span_end - span_start) AS BIGINT) AS n_removed_chars
+        FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(r.trimmed_text, d.text) AS trimmed_text,
+           coalesce(rm.n_removed_chars, 0) AS n_removed_chars
+    FROM documents d
+    LEFT JOIN rebuilt r USING (doc_id)
+    LEFT JOIN removed rm USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "text_metrics": text_metrics,
     "text_fingerprint": text_fingerprint,
@@ -950,4 +1125,5 @@ QUERIES = {
     "text_dup_spans": q_text_dup_spans,
     "exactsubstr_spans": q_exactsubstr_spans,
     "exactsubstr_chars": q_exactsubstr_chars,
+    "exactsubstr_trim": q_exactsubstr_trim,
 }
