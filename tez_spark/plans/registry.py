@@ -39,16 +39,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # plan FLIPPED this round from the window-over-gram-key form to the
 # skew-safe agg + left-semi twin (VERDICT r12 What's-wrong #1) — plan
 # changes get a fresh driver row (the r12 dedup_embedding_lsh
-# precedent); (3) exactsubstr_chars, NEW oracled query this round
-# (Lee et al.'s 50-CHAR threshold semantics — never rowed, the window
-# guard requires it here); (4) 28 of the 50 oracled queries whose
-# last driver row is round 11 (alphabetically first).  Displaced to
-# round 14, union-covered by their r11 rows — these must head the r14
-# window: q02, q03, q04, q05, q06, regex_tokens, seq_pack, source_cap,
-# source_mix, source_quality, star_join, stratified_sample,
-# text_fingerprint, text_langid, text_logprob, text_metrics,
-# text_repetition, text_winnow, tfidf_top_terms, time_gapfill,
-# train_split, window_sliding.
+# precedent); (3) exactsubstr_chars and exactsubstr_trim, NEW oracled
+# queries this round (Lee et al.'s 50-CHAR threshold semantics + the
+# operational span-removal step — never rowed, the window guard
+# requires them here); (4) 27 of the 50 oracled queries whose last
+# driver row is round 11 (alphabetically first).  Displaced to round
+# 14, union-covered by their r11 rows — these must head the r14
+# window: q01, q02, q03, q04, q05, q06, regex_tokens, seq_pack,
+# source_cap, source_mix, source_quality, star_join,
+# stratified_sample, text_fingerprint, text_langid, text_logprob,
+# text_metrics, text_repetition, text_winnow, tfidf_top_terms,
+# time_gapfill, train_split, window_sliding.
 _WINDOW_ROUND = 13
 _PRIORITY: tuple[str, ...] = (
     # 1. oracled queries whose last driver row is round 10 — age out
@@ -60,8 +61,8 @@ _PRIORITY: tuple[str, ...] = (
     # 2. plan changed this round (window-over-gram-key -> agg+semi):
     #    fresh driver row on the new shape
     "exactsubstr_spans",
-    # 3. NEW oracled query this round — first driver row
-    "exactsubstr_chars",
+    # 3. NEW oracled queries this round — first driver rows
+    "exactsubstr_chars", "exactsubstr_trim",
     # 4. oracled queries whose last driver row is round 11
     "ann_incremental", "ann_lsh", "approx_distinct", "argmax_funcs",
     "asof_join", "cms_heavyhitters", "column_profile",
@@ -71,7 +72,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_winnow", "doc_chunk", "exists_subquery",
     "grouping_sets", "json_extract", "multimodal_audio", "pivot",
-    "q01",
 )
 
 
