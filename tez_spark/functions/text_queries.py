@@ -638,6 +638,37 @@ ORACLE["text_logprob"] = _TEXT_LOGPROB_SQL
 DUP_SPAN_L = 6  # tokens per exact-substring gram
 
 
+def token_gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized persisted token-gram table (doc_id, pos, g) —
+    the tokens -> gram_windows(6) -> gram_hash pass shared by
+    text_dup_spans and exactsubstr_spans (r13, the char_gram_table /
+    shingle_table pattern: each query previously exploded the corpus
+    TWICE — once for the frequency agg, once for the instance side —
+    so the fleet paid the identical explode four times per bench
+    pass). g stays the md5-hex prefix (the gram_hash convention both
+    DuckDB oracles mirror); pos rides along and text_dup_spans simply
+    ignores it. Keyed on the documents fingerprint; prewarmed by
+    prewarm_corpus_artifacts with the build cost stamped."""
+    from tez_spark.operators.core import shared_artifact
+    from tez_spark.sources.catalog import path_fingerprint
+
+    L = DUP_SPAN_L
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = ("token_grams", os.path.abspath(sf_dir), path_fingerprint(path), L)
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.select(
+            "doc_id", X.tokens("text").alias("_toks")
+        ).filter(F.size("_toks") >= L)
+        return base.select(
+            "doc_id",
+            F.posexplode(X.gram_windows(L)).alias("pos", "gram"),
+        ).select("doc_id", "pos", X.gram_hash("gram").alias("g"))
+
+    return shared_artifact(spark, key, build)
+
+
 def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication profile (Lee et al., "Deduplicating
     Training Data Makes Language Models Better", ACL 2022 — the
@@ -649,25 +680,18 @@ def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity) and text_winnow (sampled fingerprints) with the
     verbatim-repetition dimension neither captures.
 
-    Plan: one gram explode (codegen transform/slice — the wordcount
-    shape), one corpus-wide gram-frequency aggregation (mergeable,
-    partial-agg'd map-side; the vocabulary-sized exchange IS the scale
-    cost, same class as q03), then occurrences join counts on the gram
-    key — both sides derive from the same exchange, so Catalyst reuses
-    it — and a per-doc aggregation. Grams travel as 16-hex-char md5
-    prefixes (identical expression in the DuckDB oracle): 8x smaller
-    than raw 6-token strings through both exchanges; a 64-bit prefix
-    collision would need ~2^32 distinct spans per false dup — at that
-    scale switch to the full digest, not raw strings."""
-    docs = load_table(spark, sf_dir, "documents")
-    L = DUP_SPAN_L
-    base = docs.select(
-        "doc_id", X.tokens("text").alias("_toks")
-    ).filter(F.size("_toks") >= L)
-    grams = base.select(
-        "doc_id",
-        F.explode(X.gram_windows(L)).alias("gram"),
-    ).select("doc_id", X.gram_hash("gram").alias("g"))
+    Plan: the session-memoized token_gram_table (one gram explode for
+    BOTH this query and exactsubstr_spans — r13; previously each built
+    the explode twice), one corpus-wide gram-frequency aggregation
+    (mergeable, partial-agg'd map-side; the vocabulary-sized exchange
+    IS the scale cost, same class as q03), then occurrences join
+    counts on the gram key, and a per-doc aggregation. Grams travel as
+    16-hex-char md5 prefixes (identical expression in the DuckDB
+    oracle): 8x smaller than raw 6-token strings through both
+    exchanges; a 64-bit prefix collision would need ~2^32 distinct
+    spans per false dup — at that scale switch to the full digest, not
+    raw strings."""
+    grams = token_gram_table(spark, sf_dir).select("doc_id", "g")
     counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_c"))
     per_doc = (
         grams.join(counts, "g")
@@ -723,8 +747,9 @@ def q_exactsubstr_spans(
     span_end, n_windows) with 0-based token positions, end exclusive.
 
     Plan (default, the skew-safe form — VERDICT r12 What's-wrong #1):
-    one gram explode with positions (posexplode over the shared
-    gram_windows kernel; grams travel as 16-hex md5 prefixes), a
+    the session-memoized token_gram_table (posexplode over the shared
+    gram_windows kernel, shared with text_dup_spans — r13; grams
+    travel as 16-hex md5 prefixes), a
     gram-frequency aggregation — partial-agg'd MAP-SIDE, so the
     exchange is vocabulary-bounded: a boilerplate gram in millions of
     documents contributes ONE row per map task, not one per instance —
@@ -749,15 +774,8 @@ def q_exactsubstr_spans(
     formulation of the same truth)."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
     L = DUP_SPAN_L
-    base = docs.select(
-        "doc_id", X.tokens("text").alias("_toks")
-    ).filter(F.size("_toks") >= L)
-    grams = base.select(
-        "doc_id",
-        F.posexplode(X.gram_windows(L)).alias("pos", "gram"),
-    ).select("doc_id", "pos", X.gram_hash("gram").alias("g"))
+    grams = token_gram_table(spark, sf_dir)
     if variant == "window":
         dup = grams.withColumn(
             "_c", F.count(F.lit(1)).over(Window.partitionBy("g"))

@@ -1568,10 +1568,16 @@ def prewarm_corpus_artifacts(spark: SparkSession, sf_dir: str) -> float:
     lsh_candidate_table(spark, sf_dir).count()
     winnow_table(spark, sf_dir).count()
     corpus_artifacts(spark, sf_dir)[1].count()
-    # r13: the ExactSubstr char-window artifacts (gram table shared by
-    # exactsubstr_chars + _trim; span table consumed by _trim)
-    from tez_spark.functions.text_queries import char_gram_table, char_span_table
+    # r13: the ExactSubstr artifacts (char-gram table shared by
+    # exactsubstr_chars + _trim; span table consumed by _trim; token-
+    # gram table shared by text_dup_spans + exactsubstr_spans)
+    from tez_spark.functions.text_queries import (
+        char_gram_table,
+        char_span_table,
+        token_gram_table,
+    )
 
     char_gram_table(spark, sf_dir).count()
     char_span_table(spark, sf_dir).count()
+    token_gram_table(spark, sf_dir).count()
     return round(_time.monotonic() - t0, 3)
