@@ -159,6 +159,9 @@ def main() -> None:
         # expect ~N^1.0: corpus-linear stride-1 char windows through
         # one persisted explode + partial-agg'd count + semi join
         ("exactsubstr_chars", None),
+        # trim consumes the memoized char_span_table; its distinctive
+        # work is the per-doc complement splice — expect ~N^1.0
+        ("exactsubstr_trim", None),
         # quadratic twins
         ("dedup_ngram_jaccard", 3),
         ("dedup_embedding", None),  # exact all-pairs cosine
