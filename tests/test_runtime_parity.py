@@ -277,6 +277,35 @@ def test_tpch_plan_shapes(spark):
     assert "BroadcastExchange" in p5 or "BroadcastHashJoin" in p5
 
 
+def test_tpch15_default_plan_has_no_global_window(spark):
+    """r13 plan guard (the exactsubstr_spans precedent applied to the
+    TPC-H suite): the registry DEFAULT tpch15 must take the global
+    revenue max as a partial-agg'd parallel scalar aggregate over the
+    persisted supplier-scale view + a 1-row broadcast join — NEVER as
+    max() OVER an EMPTY window, which buffers every supplier row in one
+    un-splittable WindowExec partition (~1e9 rows on one core at TPC-H
+    SF100k). The persist also pins determinism: max and probe read the
+    same materialized doubles, so the float-equality join cannot be
+    broken by summation-order ulp drift between separately executed
+    reduce stages. The window form stays value-equal behind
+    variant="window"."""
+    from tests.conftest import SF_DIR
+    from tez_spark.operators.core import release_caches
+    from tez_spark.plans.tpch import q_tpch15
+
+    default = q_tpch15(spark, SF_DIR)
+    plan = default._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" not in plan, "global max fell back to a window"
+    assert "BroadcastExchange" in plan, "scalar max lost its broadcast join-back"
+    got = sorted(tuple(r) for r in default.collect())
+    win = sorted(
+        tuple(r)
+        for r in q_tpch15(spark, SF_DIR, variant="window").collect()
+    )
+    release_caches()
+    assert got == win and len(got) >= 1, "variants diverged"
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """FairShuffleVertexManager skew-splitting parity
     (FairShuffleVertexManager.java:113-130 splits an oversized source

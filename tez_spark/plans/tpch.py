@@ -544,21 +544,34 @@ def q_tpch14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_tpch15(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_tpch15(spark: SparkSession, sf_dir: str, variant: str = "persist") -> DataFrame:
     """Top supplier by quarterly revenue (the view + scalar-max form,
     output rounded to 4dp — each engine's max-selection is
     self-consistent, and rounding removes summation-order ulp noise).
 
-    Shape history (PERF.md): r2 ran the scalar-max as a second aggregate
-    over the same view — Catalyst doesn't CSE across the join, so the
-    filtered lineitem scan + aggregation ran TWICE (wrong at 100TB). r3
-    persisted the view — one lineitem pass, but the materialization
-    barrier serialized the pipeline and measured 2.1x slower at sf0.1.
-    Current: max-over-empty-window on the aggregate — one lineitem pass,
-    no barrier, and the only extra exchange moves the |suppliers|-sized
-    aggregate (tiny relative to lineitem at any SF) to a single partition
-    for the global max. A/B at sf0.1 idle: window 1.10s median vs persist
-    2.31s vs double-agg 1.17s."""
+    Shape history (PERF.md r2/r3/r13): r2 ran the scalar-max as a second
+    aggregate over the same view — two lineitem scans (wrong at 100TB).
+    r3 tried persist — then 2.1x slower at sf0.1 — and shipped
+    max-over-EMPTY-window on the supplier aggregate instead: one
+    lineitem pass, but the global max moves EVERY supplier row to a
+    single un-splittable WindowExec partition with no partial
+    aggregation — at TPC-H SF100k that is ~1e9 buffered rows on one
+    core, the same plan class as the exactsubstr window the r12 review
+    flagged. r13 default (this form): persist the supplier-scale
+    aggregate (tiny relative to lineitem at ANY SF — tracked_persist,
+    released by the registry's cache scope), take the global max as a
+    partial-agg'd PARALLEL scalar aggregate over the cache, and
+    broadcast the 1-row max back. Every stage splittable; the r3
+    barrier penalty is gone under today's session confs (A/B sf0.1
+    idle: persist 0.579 s vs window 0.582 s vs self-join 0.570 s).
+    The persist also pins determinism: both max and probe read the SAME
+    materialized doubles, so the equality join cannot be broken by
+    summation-order ulp drift between separately-executed reduce stages
+    — the hazard that rules out the (otherwise one-scan, via AQE
+    ReusedExchange) un-persisted self-join form. The window form stays
+    behind variant="window"."""
+    from tez_spark.operators.core import tracked_persist
+
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     revenue = (
@@ -573,12 +586,18 @@ def q_tpch15(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    out = (
-        revenue.withColumn(
+    if variant == "window":
+        matched = revenue.withColumn(
             "mx", F.max("total_revenue").over(Window.partitionBy())
+        ).filter(F.col("total_revenue") == F.col("mx"))
+    else:
+        revenue = tracked_persist(revenue)
+        mx = revenue.agg(F.max("total_revenue").alias("mx"))
+        matched = revenue.join(
+            F.broadcast(mx), F.col("total_revenue") == F.col("mx")
         )
-        .filter(F.col("total_revenue") == F.col("mx"))
-        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+    out = (
+        matched.join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
