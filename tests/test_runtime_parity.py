@@ -277,6 +277,53 @@ def test_tpch_plan_shapes(spark):
     assert "BroadcastExchange" in p5 or "BroadcastHashJoin" in p5
 
 
+def test_stats_broadcast_hints_from_footer_rowcount(spark, tmp_path):
+    """r13 broadcast-hint policy: SF-scaling dims (part/supplier and
+    their filtered subsets) must not carry a blind static F.broadcast —
+    at the 100TB SF that hint is an executor OOM. stats_broadcast
+    decides from the base table's parquet FOOTER row count (real
+    statistics, no Spark job): under the cap the side is hinted (so
+    small-SF plans broadcast from the start, no wasted probe-side
+    shuffle write from a late AQE conversion), over the cap it is left
+    to Catalyst/AQE, which plans the correct shuffle join."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tez_spark.operators.core import stats_broadcast
+
+    pq.write_table(
+        pa.table({"k": list(range(100)), "v": [f"x{i}" for i in range(100)]}),
+        str(tmp_path / "dim.parquet"),
+    )
+    dim = spark.read.parquet(str(tmp_path / "dim.parquet"))
+
+    hinted = stats_broadcast(dim, str(tmp_path), "dim", cap_rows=1000)
+    plan = hinted._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in plan, "under-cap side lost its broadcast hint"
+
+    unhinted = stats_broadcast(dim, str(tmp_path), "dim", cap_rows=10)
+    plan = unhinted._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan, "over-cap side must stay unhinted"
+
+
+def test_tpch_scaling_dims_carry_no_static_broadcast():
+    """Source-level guard for the r13 policy: in plans/tpch.py a literal
+    F.broadcast( may wrap only scale-bounded sides — nation/region and
+    1-row scalar aggregates — never part/supplier/customer or a
+    DataFrame derived from them (those go through stats_broadcast)."""
+    import re
+
+    src = open("tez_spark/plans/tpch.py").read()
+    allowed = (
+        "nation", "region", "n1", "n2", "total", "mx", "avg_bal",
+    )
+    for m in re.finditer(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)", src):
+        assert m.group(1) in allowed, (
+            f"static F.broadcast on SF-scaling side {m.group(1)!r} — "
+            "use stats_broadcast"
+        )
+
+
 def test_tpch15_default_plan_has_no_global_window(spark):
     """r13 plan guard (the exactsubstr_spans precedent applied to the
     TPC-H suite): the registry DEFAULT tpch15 must take the global

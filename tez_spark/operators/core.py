@@ -245,6 +245,30 @@ def broadcast_side(df: DataFrame) -> DataFrame:
     return F.broadcast(df)
 
 
+def stats_broadcast(
+    df: DataFrame, sf_dir: str, table: str, cap_rows: int = 250_000
+) -> DataFrame:
+    """Broadcast-hint a dimension side from REAL table statistics — the
+    parquet footer row count (table_row_count: no Spark job) of the
+    BASE table the side derives from — instead of either a blind static
+    F.broadcast (an executor OOM once the table outgrows memory: TPC-H
+    part is ~2e10 rows at the 100TB SF) or Catalyst's filtered-size
+    guess (its default filter selectivities under-hint, planning SMJ at
+    small SF, and AQE's late broadcast conversion still pays the
+    probe-side shuffle WRITE before converting — measured +0.1-0.5 s
+    per TPC-H query at sf0.1). The base-table count upper-bounds any
+    filtered subset of it, so the hint is safe whenever the stat is
+    under cap_rows; over the cap the join is left to Catalyst/AQE,
+    which plans the (correct) shuffle join from the start. cap_rows
+    250k ≈ tens of MB for the widest fixture dims — broadcastable on
+    any reasonable executor."""
+    from tez_spark.sources.catalog import table_row_count
+
+    if table_row_count(sf_dir, table) <= cap_rows:
+        return F.broadcast(df)
+    return df
+
+
 def union_all(*dfs: DataFrame) -> DataFrame:
     """VertexGroup + GroupInputEdge + ConcatenatedMergedKeyValuesInput =
     UNION ALL (tez-api/.../dag/api/VertexGroup.java;

@@ -40,13 +40,26 @@ fact-to-dim joins broadcast the dims (Catalyst/AQE does this from
 statistics; explicit hints only where a dim chain would defeat the
 estimator). Aggregation on shuffled keys is partial-aggregated map-side
 automatically.
+
+Broadcast-hint policy (r13): a STATIC F.broadcast is reserved for sides
+bounded at EVERY scale factor — nation/region (fixed 25/5 rows), 1-row
+scalar aggregates, and salt/bucket ranges. part / supplier / customer
+and their filtered subsets SCALE with SF (part alone is ~2e10 rows at
+the 100TB SF), so a static hint there is an executor OOM at scale — but
+leaving those joins entirely to Catalyst under-hints at small SF (its
+default filter selectivities plan SMJ, and AQE's late broadcast
+conversion still pays the probe-side shuffle write). They use
+stats_broadcast instead: the hint is decided from the base table's
+parquet-footer row count — real statistics, what a catalog's ANALYZE
+would serve — so small-SF plans broadcast from the start and
+at-scale plans shuffle-join from the start.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from tez_spark.operators.core import bounded_sort, global_sort
+from tez_spark.operators.core import bounded_sort, global_sort, stats_broadcast
 
 from tez_spark.sources.catalog import load_table
 
@@ -251,17 +264,22 @@ def q_tpch09(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query's SHAPE: a 5-table fact-to-dims star with an expression
     aggregate over two date/part dimensions). The supplier-part relation
     itself needs no surrogate — lineitem carries (l_partkey, l_suppkey).
-    Plan: lineitem joins orders on the only big key; part/supplier/nation
-    broadcast; one agg shuffle on (nation, year)."""
+    Plan: lineitem joins orders on the only big key; nation broadcast
+    (fixed 25 rows); part/supplier hinted via stats_broadcast — the
+    parquet-footer row count decides, so they broadcast at small SF and
+    shuffle-join at the SFs where they outgrow memory; one agg shuffle
+    on (nation, year)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     j = (
-        li.join(F.broadcast(part.filter(F.col("p_name").like("%widget%"))),
+        li.join(stats_broadcast(part.filter(F.col("p_name").like("%widget%")),
+                                sf_dir, "part"),
                 li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(stats_broadcast(supp, sf_dir, "supplier"),
+              li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders.select("o_orderkey", "o_orderdate"),
               li.l_orderkey == F.col("o_orderkey"))
@@ -289,8 +307,10 @@ def q_tpch16(spark: SparkSession, sf_dir: str) -> DataFrame:
     the "complaint supplier" exclusion becomes s_acctbal < 1000 (no
     comment column). Structure preserved: attribute filters + NOT-IN
     anti join + count-distinct suppliers per (brand, type, size).
-    Plan: the anti join broadcasts the tiny excluded-supplier set; part
-    broadcasts into the pair table; one distinct-agg shuffle."""
+    Plan: the excluded-supplier anti join and the part join hint via
+    stats_broadcast (both sides scale with SF — footer stats broadcast
+    them at small SF, shuffle-join at scale); one distinct-agg
+    shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
@@ -302,8 +322,10 @@ def q_tpch16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     excluded = supp.filter(F.col("s_acctbal") < 1000).select("s_suppkey")
     out = (
-        pairs.join(F.broadcast(pf), pairs.l_partkey == pf.p_partkey)
-        .join(F.broadcast(excluded), pairs.l_suppkey == excluded.s_suppkey,
+        pairs.join(stats_broadcast(pf, sf_dir, "part"),
+                   pairs.l_partkey == pf.p_partkey)
+        .join(stats_broadcast(excluded, sf_dir, "supplier"),
+              pairs.l_suppkey == excluded.s_suppkey,
               "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -328,8 +350,10 @@ def q_tpch02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum-cost supplier (Q2): for each part of one size/type, the
     region's suppliers offering the per-part minimum ps_supplycost.
     The correlated MIN subquery decorrelates to a window-min over the
-    part key — one shuffle on p_partkey; part filter and the
-    supplier⋈nation⋈region chain both broadcast (dims are tiny)."""
+    part key — one shuffle on p_partkey; nation/region broadcast
+    (fixed-size); the filtered part set and the European supplier chain
+    hint via stats_broadcast (both scale with SF — footer stats
+    broadcast them at small SF, shuffle-join at scale)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
@@ -348,8 +372,10 @@ def q_tpch02(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cand = (
-        pairs.join(F.broadcast(pf), pairs.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(eur), pairs.l_suppkey == F.col("s_suppkey"))
+        pairs.join(stats_broadcast(pf, sf_dir, "part"),
+                   pairs.l_partkey == F.col("p_partkey"))
+        .join(stats_broadcast(eur, sf_dir, "supplier"),
+              pairs.l_suppkey == F.col("s_suppkey"))
         .select(
             "p_partkey", "s_name", "s_acctbal", "n_name",
             _ps_cost().alias("ps_supplycost"),
@@ -388,7 +414,8 @@ def q_tpch11(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tez_spark.operators.core import tracked_persist
 
     per_part = tracked_persist(
-        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        li.join(stats_broadcast(nat_supp, sf_dir, "supplier"),
+                li.l_suppkey == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("ps_availqty"))
         .select("l_partkey", (_ps_cost() * F.col("ps_availqty")).alias("v"))
@@ -416,8 +443,9 @@ def q_tpch20(spark: SparkSession, sf_dir: str) -> DataFrame:
     1995 stock of a named part family exceeding half the 1996 demand
     they shipped for it. The EXISTS chain is two stacked semi joins;
     the correlated per-(part,supplier) quantity aggregate is one
-    conditional-sum pass over two years of lineitem (part filter
-    broadcast into the scan). Output ordered by supplier name."""
+    conditional-sum pass over two years of lineitem (the part-filter
+    semi join hints via stats_broadcast — the filtered part set grows
+    with SF). Output ordered by supplier name."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
@@ -426,7 +454,8 @@ def q_tpch20(spark: SparkSession, sf_dir: str) -> DataFrame:
     yr = F.year("l_shipdate")
     qty = (
         li.filter(yr.isin(1995, 1996))
-        .join(F.broadcast(small_parts), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(stats_broadcast(small_parts, sf_dir, "part"),
+              li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             F.sum(F.when(yr == 1995, F.col("l_quantity")).otherwise(0.0)).alias("availqty"),
@@ -531,7 +560,8 @@ def q_tpch14(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(
             (F.col("l_shipdate") >= _ts("1996-09-01"))
             & (F.col("l_shipdate") < _ts("1996-10-01"))
-        ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        ).join(stats_broadcast(part, sf_dir, "part"),
+               li.l_partkey == part.p_partkey)
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return j.agg(
@@ -621,14 +651,16 @@ def q_tpch17(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg aggregation's input shrinks by the brand selectivity (1 of 25
     brands ≈ 25×). Catalyst does not push a join predicate through an
     aggregate on its own; at 100TB this is the difference between
-    aggregating 4% of lineitem and all of it. The part set is broadcast
-    (sub-threshold), so the semi join adds no exchange."""
+    aggregating 4% of lineitem and all of it. The brand part set (part/25
+    — SF-scaled) hints via stats_broadcast: broadcast at small SF so the
+    semi join adds no exchange, shuffle-join at scale."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     brand_parts = part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
     avg_q = (
         li.join(
-            F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey, "left_semi"
+            stats_broadcast(brand_parts, sf_dir, "part"),
+            li.l_partkey == brand_parts.p_partkey, "left_semi"
         )
         .groupBy(F.col("l_partkey").alias("ap_key"))
         .agg((F.avg("l_quantity") * 0.2).alias("qty_cut"))
@@ -669,11 +701,13 @@ def q_tpch18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tpch19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discounted revenue: disjunctive brand x quantity-band predicate
-    evaluated after one broadcast join (Catalyst cannot push a
-    cross-table OR into either scan; the join itself is on p_partkey)."""
+    evaluated after one part join (Catalyst cannot push a cross-table
+    OR into either scan; the join is on p_partkey — stats_broadcast,
+    since part scales with SF)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(stats_broadcast(part, sf_dir, "part"),
+                li.l_partkey == part.p_partkey)
     q = F.col("l_quantity")
     cond = (
         ((F.col("p_brand") == "Brand#13") & (q >= 1) & (q <= 11))
@@ -736,7 +770,8 @@ def q_tpch21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = (
-        qual.join(F.broadcast(supp), qual.l_suppkey == supp.s_suppkey)
+        qual.join(stats_broadcast(supp, sf_dir, "supplier"),
+                  qual.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("n_late_rows").alias("numwait"))
     )
