@@ -659,3 +659,59 @@ def test_exactsubstr_trim_splices_complement(spark, tmp_path):
     # conservation: length(trimmed) + removed == length(text), per doc
     for d, (t, n) in got.items():
         assert len(t) + n == len(docs[d])
+
+
+def test_decontaminate_chars_flags_planted_cross_split_overlap(spark, tmp_path):
+    """Planted-contamination semantics for the r13 char-level
+    decontamination: a 60-char string shared VERBATIM between a train
+    doc and a holdout doc must contaminate the holdout doc (every
+    50-char window of the shared run is shared); a holdout doc with no
+    cross-split overlap must report zero shared windows even though it
+    repeats text WITHIN the holdout split (holdout-holdout overlap is
+    not contamination); a sub-50-char holdout doc is absent. The
+    md5(doc_id) split puts ids 3/44/49 in HOLDOUT and 0/1/2 in TRAIN
+    (recomputed inline, not assumed)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tez_spark.plans.curation import q_decontaminate_chars
+
+    def is_hold(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[:2] >= "e6"
+
+    assert [is_hold(i) for i in (0, 1, 2, 3, 44, 49)] == [
+        False, False, False, True, True, True,
+    ]
+
+    shared = "the quick brown fox jumps over the lazy dog again and again!"
+    assert len(shared) == 60
+    hold_only = "zqxwvut " * 12  # 96 chars, unique to the holdout split
+    docs = {
+        0: "TRAIN prefix >>> " + shared + " <<< train suffix padding",
+        1: "other train text with nothing shared, long enough to count",
+        3: "HOLD prefix ::: " + shared + " ::: hold suffix padding!!",
+        44: hold_only + " tail",
+        49: hold_only + " tail",  # verbatim repeat of 44 — same split
+        2: "short train doc but still above the fifty character line",
+    }
+    pq.write_table(
+        pa.table({
+            "doc_id": list(docs), "text": list(docs.values()),
+            "lang": ["en"] * len(docs), "source": ["s"] * len(docs),
+            "n_chars": [len(t) for t in docs.values()],
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_shared_windows"], r["contaminated"])
+        for r in q_decontaminate_chars(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {3, 44, 49}, got  # holdout docs with >=1 window only
+    n3, s3, c3 = got[3]
+    assert c3 and s3 >= len(shared) - 50 + 1, got  # every window of the run
+    assert s3 < n3  # the ::: framing windows are not in train
+    for d in (44, 49):
+        n, s, c = got[d]
+        assert not c and s == 0 and n == len(docs[d]) - 49, got

@@ -657,8 +657,15 @@ def token_gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("token_grams", os.path.abspath(sf_dir), path_fingerprint(path), L)
 
     def build() -> DataFrame:
+        from tez_spark.operators.core import fan_out
+
         docs = load_table(spark, sf_dir, "documents")
-        base = docs.select(
+        # fan_out BEFORE the explode+md5 (the shingle_table precedent):
+        # the fixture arrives as one split, and a 1-partition persisted
+        # artifact serializes every consumer's map stage — at 100TB the
+        # scan's natural splits make this a no-op (r13: the artifact
+        # measured 1 partition; consumers' partial aggs ran single-task)
+        base = fan_out(docs.select("doc_id", "text")).select(
             "doc_id", X.tokens("text").alias("_toks")
         ).filter(F.size("_toks") >= L)
         return base.select(
@@ -882,8 +889,14 @@ def char_gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("char_grams", os.path.abspath(sf_dir), path_fingerprint(path), L)
 
     def build() -> DataFrame:
+        from tez_spark.operators.core import fan_out
+
         docs = load_table(spark, sf_dir, "documents")
-        base = docs.filter(F.length("text") >= L).select("doc_id", "text")
+        # fan_out BEFORE the stride-1 explode (see token_gram_table):
+        # 1-partition artifact = single-task map stages in every consumer
+        base = fan_out(
+            docs.filter(F.length("text") >= L).select("doc_id", "text")
+        )
         return base.select(
             "doc_id",
             F.posexplode(

@@ -828,6 +828,110 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bounded_sort(out, "doc_id")
 
 
+def q_decontaminate_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-level verbatim decontamination (r13) — completes the
+    granularity ladder: q_decontaminate (fuzzy winnow+Jaccard) →
+    q_decontaminate_ngram (13-TOKEN verbatim, the GPT-3 App-C rule) →
+    this (50-CHAR verbatim, the Lee et al. ACL 2022 ExactSubstr
+    granularity a suffix-array dedup operates at). Token windows cannot
+    see sub-token or whitespace-normalization-resistant overlaps — a
+    benchmark answer pasted into training text with different spacing
+    or punctuation-glued tokens evades a 13-token match but not a
+    50-char one. Per HOLDOUT document (same deterministic md5(doc_id)
+    split as the other decontaminate queries): how many of its 50-char
+    windows appear verbatim ANYWHERE in the train split, and the
+    drop/keep flag. Docs shorter than 50 chars carry no window and are
+    absent, as in the ngram report.
+
+    Plan — the exactsubstr_chars shape (agg → SMALL filtered gram set →
+    semi probe), not decontaminate_ngram's distinct-the-train-side:
+    the session-memoized char_gram_table (ONE stride-1 char explode
+    over the whole corpus, shared with exactsubstr_chars/_trim and
+    prewarmed by bench — grams are query-internal xxhash64, never
+    reaching output; the oracle keeps its own md5 formulation of the
+    same truth), the split flag derived map-side from doc_id, then ONE
+    partial-agg'd per-gram aggregation of the two split-presence flags.
+    Filtering to grams present in BOTH splits yields the set of
+    actually-CONTAMINATED grams — small the way exactsubstr's dup-gram
+    set is small (bounded by the holdout's shared content, not by the
+    train vocabulary), so the left-semi probe of holdout instances
+    broadcasts a small relation or SMJs with an AQE-skew-splittable
+    probe. The first cut distinct-ed the full TRAIN gram vocabulary
+    instead (~1.15M grams at sf0.1): AQE saw ~9 MB and broadcast it,
+    and the driver-side million-entry hash-relation build measured
+    3.1 s vs this shape's ~0.4 s — and at 100TB a train-vocabulary
+    broadcast is unboundable while the both-splits set stays
+    eval-content-sized. One LEFT join of holdout instances against the
+    small flagged set, one per-doc aggregation computing both counts in
+    a single pass. The report is HOLDOUT-scaled, so it keeps the
+    parallel range sort (orderBy), not bounded_sort's single-partition
+    funnel. Same 64-bit collision margin as the gram family."""
+    from tez_spark.functions.text_queries import char_gram_table
+
+    grams = char_gram_table(spark, sf_dir).select("doc_id", "g")
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    grams = grams.withColumn("is_hold", F.substring(h, 1, 2) >= "e6")
+    shared_g = (
+        grams.groupBy("g")
+        .agg(
+            F.max(F.col("is_hold").cast("int")).alias("_h"),
+            F.max((~F.col("is_hold")).cast("int")).alias("_t"),
+        )
+        .filter((F.col("_h") == 1) & (F.col("_t") == 1))
+        .select("g")
+    )
+    marked = grams.filter(F.col("is_hold")).join(
+        shared_g.withColumn("_m", F.lit(1)), "g", "left"
+    )
+    out = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("_m"), F.lit(0))).alias(
+                "n_shared_windows"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_shared_windows",
+            (F.col("n_shared_windows") > 0).alias("contaminated"),
+        )
+    )
+    # holdout-doc-scaled report: parallel range sort, never repartition(1)
+    return out.orderBy("doc_id")
+
+
+def _decontaminate_chars_sql() -> str:
+    from tez_spark.functions.text_queries import CHAR_SPAN_L
+
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6' AS is_hold,
+               text
+        FROM documents WHERE length(text) >= {CHAR_SPAN_L}
+    ), grams AS (
+        SELECT doc_id, is_hold,
+               substring(md5(substring(
+                   text, CAST(i + 1 AS INT), {CHAR_SPAN_L})), 1, 16) AS g
+        FROM base, unnest(range(length(text) - {CHAR_SPAN_L - 1})) AS u(i)
+    ), tg AS (
+        SELECT DISTINCT g FROM grams WHERE NOT is_hold
+    )
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_windows,
+           SUM(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) > 0
+               AS contaminated
+    FROM grams gr LEFT JOIN tg ON gr.g = tg.g
+    WHERE gr.is_hold
+    GROUP BY gr.doc_id
+    ORDER BY gr.doc_id
+"""
+
+
 _DECONTAMINATE_NGRAM_SQL = f"""
     WITH base AS (
         SELECT doc_id,
@@ -868,6 +972,7 @@ QUERIES = {
     "doc_chunk": q_doc_chunk,
     "decontaminate": q_decontaminate,
     "decontaminate_ngram": q_decontaminate_ngram,
+    "decontaminate_chars": q_decontaminate_chars,
     "length_curriculum": q_length_curriculum,
     "source_cap": q_source_cap,
 }
@@ -885,5 +990,6 @@ ORACLE = {
     "doc_chunk": _DOC_CHUNK_SQL,
     "decontaminate": _DECONTAMINATE_SQL,
     "decontaminate_ngram": _DECONTAMINATE_NGRAM_SQL,
+    "decontaminate_chars": _decontaminate_chars_sql(),
     "length_curriculum": _LENGTH_CURRICULUM_SQL,
 }

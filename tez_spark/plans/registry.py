@@ -39,10 +39,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # plan FLIPPED this round from the window-over-gram-key form to the
 # skew-safe agg + left-semi twin (VERDICT r12 What's-wrong #1) — plan
 # changes get a fresh driver row (the r12 dedup_embedding_lsh
-# precedent); (3) exactsubstr_chars and exactsubstr_trim, NEW oracled
-# queries this round (Lee et al.'s 50-CHAR threshold semantics + the
-# operational span-removal step — never rowed, the window guard
-# requires them here); (4) 27 of the 50 oracled queries whose last
+# precedent); (3) exactsubstr_chars, exactsubstr_trim and
+# decontaminate_chars, NEW oracled queries this round (Lee et al.'s
+# 50-CHAR threshold semantics, the operational span-removal step, and
+# char-level cross-split decontamination — never rowed, the window
+# guard requires them here); (4) 27 of the 50 oracled queries whose last
 # driver row is round 11 (alphabetically first).  Displaced to round
 # 14, union-covered by their r11 rows — these must head the r14
 # window: q01, q02, q03, q04, q05, q06, regex_tokens, seq_pack,
@@ -62,7 +63,7 @@ _PRIORITY: tuple[str, ...] = (
     #    fresh driver row on the new shape
     "exactsubstr_spans",
     # 3. NEW oracled queries this round — first driver rows
-    "exactsubstr_chars", "exactsubstr_trim",
+    "exactsubstr_chars", "exactsubstr_trim", "decontaminate_chars",
     # 4. oracled queries whose last driver row is round 11
     "ann_incremental", "ann_lsh", "approx_distinct", "argmax_funcs",
     "asof_join", "cms_heavyhitters", "column_profile",

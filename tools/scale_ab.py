@@ -162,6 +162,9 @@ def main() -> None:
         # trim consumes the memoized char_span_table; its distinctive
         # work is the per-doc complement splice — expect ~N^1.0
         ("exactsubstr_trim", None),
+        # char-level cross-split decontamination: distinct + gram-keyed
+        # left join over the shared char-gram artifact — expect ~N^1.0
+        ("decontaminate_chars", None),
         # quadratic twins
         ("dedup_ngram_jaccard", 3),
         ("dedup_embedding", None),  # exact all-pairs cosine
