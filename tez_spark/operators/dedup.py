@@ -812,7 +812,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     with its component id (= min doc id in the cluster)."""
     sh = shingle_table(spark, sf_dir)
     pairs = _pair_jaccard(sh).filter(F.col("j") >= 0.8)
-    return bounded_sort(connected_components(pairs), "component", "doc_id")
+    # clustered-docs output is corpus-fraction-scaled (duplicated docs):
+    # parallel range sort, not bounded_sort's single-partition funnel (r13)
+    return connected_components(pairs).orderBy("component", "doc_id")
 
 
 def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -833,10 +835,12 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, threshold=0.45, n_rows=table_row_count(sf_dir, "embeddings")
         ).select(F.col("va").alias("da"), F.col("vb").alias("db"))
     )
-    return bounded_sort(
-        connected_components(pairs).withColumnRenamed("doc_id", "vec_id"),
-        "component",
-        "vec_id",
+    # corpus-fraction-scaled output: parallel range sort (see
+    # q_dedup_clusters)
+    return (
+        connected_components(pairs)
+        .withColumnRenamed("doc_id", "vec_id")
+        .orderBy("component", "vec_id")
     )
 
 

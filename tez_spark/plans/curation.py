@@ -825,7 +825,10 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_shared_grams") > 0).alias("contaminated"),
         )
     )
-    return bounded_sort(out, "doc_id")
+    # per-HOLDOUT-doc report — holdout scales with the corpus, so keep
+    # the parallel range sort, not bounded_sort's single-partition
+    # funnel (r13, the decontaminate_chars convention)
+    return out.orderBy("doc_id")
 
 
 def q_decontaminate_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
