@@ -317,7 +317,19 @@ def test_tpch_scaling_dims_carry_no_static_broadcast():
     allowed = (
         "nation", "region", "n1", "n2", "total", "mx", "avg_bal",
     )
-    for m in re.finditer(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)", src):
+    # ADVICE r13: every F.broadcast( call site must be accounted for —
+    # a non-identifier argument (parenthesized expression, inline join,
+    # leading comment/newline) must FAIL, not silently evade the scan.
+    total_sites = len(re.findall(r"F\.broadcast\(", src))
+    ident_sites = list(
+        re.finditer(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*[),.]", src)
+    )
+    assert len(ident_sites) == total_sites, (
+        f"{total_sites - len(ident_sites)} F.broadcast call(s) whose "
+        "argument is not a bare identifier — the guard cannot classify "
+        "them; bind the side to a name (or route it via stats_broadcast)"
+    )
+    for m in ident_sites:
         assert m.group(1) in allowed, (
             f"static F.broadcast on SF-scaling side {m.group(1)!r} — "
             "use stats_broadcast"

@@ -594,12 +594,15 @@ def q_tpch15(spark: SparkSession, sf_dir: str, variant: str = "persist") -> Data
     broadcast the 1-row max back. Every stage splittable; the r3
     barrier penalty is gone under today's session confs (A/B sf0.1
     idle: persist 0.579 s vs window 0.582 s vs self-join 0.570 s).
-    The persist also pins determinism: both max and probe read the SAME
-    materialized doubles, so the equality join cannot be broken by
-    summation-order ulp drift between separately-executed reduce stages
-    — the hazard that rules out the (otherwise one-scan, via AQE
-    ReusedExchange) un-persisted self-join form. The window form stays
-    behind variant="window"."""
+    The persist pins determinism while cached partitions live, but an
+    executor loss recomputes lineage — probe-side doubles can then carry
+    a different summation order than the rows mx was computed over, and
+    an exact double-equality join would drop the top supplier (ADVICE
+    r13). The join key is therefore round(·,4) on BOTH sides — the
+    output's own 4dp contract, and round is monotone so
+    round(max(x),4) == max(round(x,4)): ulp drift (~1e-9 relative) can
+    never cross a 1e-4 rounding boundary it didn't already sit on. The
+    window form stays behind variant="window"."""
     from tez_spark.operators.core import tracked_persist
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -622,9 +625,9 @@ def q_tpch15(spark: SparkSession, sf_dir: str, variant: str = "persist") -> Data
         ).filter(F.col("total_revenue") == F.col("mx"))
     else:
         revenue = tracked_persist(revenue)
-        mx = revenue.agg(F.max("total_revenue").alias("mx"))
+        mx = revenue.agg(F.round(F.max("total_revenue"), 4).alias("mx"))
         matched = revenue.join(
-            F.broadcast(mx), F.col("total_revenue") == F.col("mx")
+            F.broadcast(mx), F.round(F.col("total_revenue"), 4) == F.col("mx")
         )
     out = (
         matched.join(supp, F.col("supplier_no") == supp.s_suppkey)
@@ -831,7 +834,8 @@ ORACLE: dict[str, str] = {
         SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
         FROM supplier, revenue
         WHERE s_suppkey = supplier_no
-          AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+          AND round(total_revenue, 4)
+              = (SELECT round(MAX(total_revenue), 4) FROM revenue)
         ORDER BY s_suppkey
     """,
     "tpch03": """
