@@ -31,48 +31,47 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # driver dropping this round's own CORRECTNESS file no longer flips the
 # guard red at judging time.
 #
-# Round-13 window (VERDICT r12 item 1 executed): (1) the 20 oracled
-# queries whose last driver row is round 10 — their r10 rows leave the
-# three-round union at r13, so they MUST be here (exactly the
-# displacement the r12 comment scheduled: tpch04–tpch22 +
-# weighted_sample); (2) exactsubstr_spans, whose duplication-count
-# plan FLIPPED this round from the window-over-gram-key form to the
-# skew-safe agg + left-semi twin (VERDICT r12 What's-wrong #1) — plan
-# changes get a fresh driver row (the r12 dedup_embedding_lsh
-# precedent); (3) exactsubstr_chars, exactsubstr_trim and
-# decontaminate_chars, NEW oracled queries this round (Lee et al.'s
-# 50-CHAR threshold semantics, the operational span-removal step, and
-# char-level cross-split decontamination — never rowed, the window
-# guard requires them here); (4) 27 of the 50 oracled queries whose last
-# driver row is round 11 (alphabetically first).  Displaced to round
-# 14, union-covered by their r11 rows — these must head the r14
-# window: q01, q02, q03, q04, q05, q06, regex_tokens, seq_pack,
+# Round-14 window (VERDICT r13 item 1 executed): (1) tpch15, whose
+# persist-variant plan CHANGED this round (the global-max join-back now
+# matches on round(·,4) keys on both sides — ADVICE r13's ulp-drift
+# hazard) — plan changes get a fresh driver row (the r13
+# exactsubstr_spans precedent); (2) the 24 oracled queries whose last
+# driver row is round 11 — their r11 rows leave the three-round union
+# at r14, so they MUST be here (exactly the displacement the r13
+# comment scheduled: pivot, q01–q06, regex_tokens, seq_pack,
 # source_cap, source_mix, source_quality, star_join,
 # stratified_sample, text_fingerprint, text_langid, text_logprob,
 # text_metrics, text_repetition, text_winnow, tfidf_top_terms,
-# time_gapfill, train_split, window_sliding.
-_WINDOW_ROUND = 13
+# time_gapfill, train_split, window_sliding); (3) 25 of the 49 oracled
+# queries whose last driver row is round 12 (alphabetically first).
+# Displaced to round 15, union-covered by their r12 rows — these must
+# head the r15 window: pmi_collocations, q07–q18, rollup, scalar_funcs,
+# sessionize, set_ops, string_agg, text_dup_spans, tpch01, tpch02,
+# tpch03, unpivot, window_funcs.
+_WINDOW_ROUND = 14
 _PRIORITY: tuple[str, ...] = (
-    # 1. oracled queries whose last driver row is round 10 — age out
-    #    of the three-round union at r13
-    "tpch04", "tpch05", "tpch06", "tpch07", "tpch08", "tpch09",
-    "tpch10", "tpch11", "tpch12", "tpch13", "tpch14", "tpch15",
-    "tpch16", "tpch17", "tpch18", "tpch19", "tpch20", "tpch21",
-    "tpch22", "weighted_sample",
-    # 2. plan changed this round (window-over-gram-key -> agg+semi):
+    # 1. plan changed this round (rounded-key global-max join-back):
     #    fresh driver row on the new shape
-    "exactsubstr_spans",
-    # 3. NEW oracled queries this round — first driver rows
-    "exactsubstr_chars", "exactsubstr_trim", "decontaminate_chars",
-    # 4. oracled queries whose last driver row is round 11
-    "ann_incremental", "ann_lsh", "approx_distinct", "argmax_funcs",
-    "asof_join", "cms_heavyhitters", "column_profile",
-    "cross_join_bucketed", "cube", "curation_pipeline",
-    "curation_pipeline_lsh", "date_funcs", "decontaminate_ngram",
-    "dedup_clusters", "dedup_editdistance", "dedup_embedding_clusters",
-    "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_winnow", "doc_chunk", "exists_subquery",
-    "grouping_sets", "json_extract", "multimodal_audio", "pivot",
+    "tpch15",
+    # 2. oracled queries whose last driver row is round 11 — age out
+    #    of the three-round union at r14
+    "pivot", "q01", "q02", "q03", "q04", "q05", "q06",
+    "regex_tokens", "seq_pack", "source_cap", "source_mix",
+    "source_quality", "star_join", "stratified_sample",
+    "text_fingerprint", "text_langid", "text_logprob", "text_metrics",
+    "text_repetition", "text_winnow", "tfidf_top_terms",
+    "time_gapfill", "train_split", "window_sliding",
+    # 3. oracled queries whose last driver row is round 12
+    #    (alphabetically first 25)
+    "ann_ivf", "ann_topk", "audio_features", "bpe_segment",
+    "bpe_train", "cross_join_chunked", "decontaminate",
+    "dedup_embedding", "dedup_embedding_lsh", "dedup_ngram_jaccard",
+    "editdistance_discovery", "embedding_centroids",
+    "embedding_incremental", "embedding_quantize", "event_anomalies",
+    "event_funnel", "event_retention", "interval_join",
+    "length_curriculum", "multimodal_decode", "multimodal_frames",
+    "multimodal_video", "percentiles", "percentiles_approx",
+    "pii_redact",
 )
 
 
