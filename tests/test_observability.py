@@ -1108,3 +1108,85 @@ def test_one_on_one_inference_prior_drops_plain_shuffle_chains(tmp_path):
     )
     assert {(r["src_stage_id"], r["dest_stage_id"]) for r in loose} == {
         (0, 1), (1, 2)}
+
+
+def test_counter_diff_and_swimlane_synthetic(tmp_path):
+    """The r14 tez-tools closers (VERDICT r13 item 4) pinned on
+    synthetic logs.
+
+    counter-diff (counter_diff.py:20-29): run A = 2-stage DAG with
+    1300+1000 ms of executor time; run B = same DAG where the reduce
+    stage doubles and one attempt fails. Rows carry (a, b, delta,
+    rel_change) per counter, absent counters read 0, ranking is
+    |relative change| desc with brand-new counters first.
+
+    swimlanes (swimlane.py attempts(): vertex/container/start/finish,
+    lanes = containers): one row per attempt, lane = host/executor,
+    start/finish as offsets from the app's first launch, failed
+    attempts included, sorted lane-then-start."""
+    import json
+
+    from tez_spark.observability import (
+        counter_diff_from_history,
+        load_history,
+        swimlane_from_history,
+    )
+
+    log_a = [
+        _stage_completed(0, "scan", 1000, 2000),
+        _task_end(0, 0, 0, 0, 1000, 1400),
+        _task_end(0, 1, 1, 0, 1000, 1900),
+        _stage_completed(1, "reduce", 2000, 3100, parents=[0]),
+        _task_end(1, 2, 0, 0, 2000, 3000, host="h2", ex="2"),
+    ]
+    log_b = [
+        _stage_completed(0, "scan", 1000, 2000),
+        _task_end(0, 0, 0, 0, 1000, 1400),
+        _task_end(0, 1, 1, 0, 1000, 1900),
+        _stage_completed(1, "reduce", 2000, 5200, parents=[0]),
+        _task_end(1, 2, 0, 0, 2000, 4000, host="h2", ex="2"),
+        _task_end(1, 3, 1, 0, 2000, 5000, status="FAILED", host="h2",
+                  ex="2"),
+        _task_end(1, 4, 1, 1, 5000, 5100, host="h2", ex="2"),
+    ]
+    pa, pb = tmp_path / "run_a", tmp_path / "run_b"
+    pa.write_text("\n".join(json.dumps(e) for e in log_a))
+    pb.write_text("\n".join(json.dumps(e) for e in log_b))
+
+    diff = counter_diff_from_history(str(pa), str(pb))
+    by_name = {r["counter"]: r for r in diff}
+    # success-only stage aggregates: A = 400+900+1000, B = 400+900+
+    # 2000+100 (the FAILED 3000ms attempt is attempt-level history,
+    # not stage time — same semantics as every other analyzer)
+    assert (by_name["EXECUTOR_RUN_TIME_MS"]["a"],
+            by_name["EXECUTOR_RUN_TIME_MS"]["b"]) == (2300, 3400)
+    assert by_name["EXECUTOR_RUN_TIME_MS"]["delta"] == 1100
+    assert by_name["NUM_STAGES"]["delta"] == 0
+    assert by_name["NUM_STAGES"]["rel_change"] == 0.0
+    assert (by_name["TIME_TAKEN_MS"]["a"],
+            by_name["TIME_TAKEN_MS"]["b"]) == (2100, 4200)
+    assert (by_name["NUM_COMPLETED_TASKS"]["a"],
+            by_name["NUM_COMPLETED_TASKS"]["b"]) == (3, 4)
+    # brand-new counter (a=0, delta>0) must lead the ranking
+    assert diff[0]["counter"] == "NUM_FAILED_TASK_ATTEMPTS"
+    assert (diff[0]["a"], diff[0]["b"], diff[0]["rel_change"]) == (
+        0, 1, None)
+    # remaining rows: |rel_change| non-increasing
+    rels = [abs(r["rel_change"]) for r in diff if r["rel_change"] is not None]
+    assert rels == sorted(rels, reverse=True)
+    # identity diff: every delta 0
+    assert all(
+        r["delta"] == 0 for r in counter_diff_from_history(str(pa), str(pa))
+    )
+
+    lanes = swimlane_from_history(load_history(str(pb)))
+    assert [r["lane"] for r in lanes] == [
+        "h1/1", "h1/1", "h2/2", "h2/2", "h2/2"]
+    # offsets from first launch (t0=1000); lane h2/2 time-ordered
+    h2 = [r for r in lanes if r["lane"] == "h2/2"]
+    assert [(r["start_ms"], r["finish_ms"], r["status"]) for r in h2] == [
+        (1000, 3000, "SUCCESS"), (1000, 4000, "FAILED"),
+        (4000, 4100, "SUCCESS")]
+    assert {r["stage"] for r in h2} == {"reduce"}
+    assert all(r["duration_ms"] == r["finish_ms"] - r["start_ms"]
+               for r in lanes)

@@ -870,42 +870,95 @@ ORACLE["exactsubstr_spans"] = f"""
 CHAR_SPAN_L = 50  # Lee et al. (ACL 2022) §4.1: 50-char dedup threshold
 
 
+# Storage posture of the char-gram artifact family (VERDICT r13 item 2).
+# The instance table is one row per corpus CHARACTER position (~20–25
+# bytes/char): linear — the same complexity class as the reference
+# algorithm's ~8N suffix array — but a multi-PB distributed cache at the
+# 100TB target. Postures A/B'd at 1×/3×/10× (tools/gram_posture_ab.py,
+# decision recorded in PERF.md r14):
+#   "instances" — persist the full (doc_id, pos, g) explode (r13 shape);
+#   "dupset"    — persist ONLY the duplicated-gram set (count >= 2,
+#                 dup-content-bounded, single 8-byte column) and
+#                 recompute instance positions map-side in each consumer
+#                 (one extra codegen explode per query, zero persisted
+#                 instance rows).
+CHAR_GRAM_POSTURE = os.environ.get("TEZ_SPARK_CHAR_GRAM_POSTURE", "dupset")
+
+
+def char_gram_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UN-persisted stride-1 char-window explode plan (doc_id, pos,
+    g) — pure map-side codegen over the scan's natural splits, so every
+    consumer can recompute it in place of reading a persisted instance
+    table. g is xxhash64 — query-internal, never reaches any output
+    (see q_exactsubstr_chars)."""
+    from tez_spark.operators.core import fan_out
+
+    L = CHAR_SPAN_L
+    docs = load_table(spark, sf_dir, "documents")
+    # fan_out BEFORE the stride-1 explode (see token_gram_table):
+    # 1-partition plan = single-task map stages in every consumer
+    base = fan_out(
+        docs.filter(F.length("text") >= L).select("doc_id", "text")
+    )
+    return base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, length(text) - {L}),"
+                f" i -> substring(text, i + 1, {L}))"
+            )
+        ).alias("pos", "win"),
+    ).select("doc_id", "pos", F.xxhash64("win").alias("g"))
+
+
 def char_gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-memoized persisted char-window gram table (doc_id, pos,
-    g) — the stride-1 explode + xxhash64 pass shared by
-    exactsubstr_chars and exactsubstr_trim (the shingle_table
-    precedent: building it per query re-exploded the corpus once per
-    consumer, ~2.2 s/pass at sf0.1). Keyed on the documents
-    fingerprint so a regenerated fixture rebuilds it; bench prewarms
-    it (prewarm_corpus_artifacts) so per-query rows measure their own
-    distinctive work, with the one-time build cost stamped in the
-    bench diagnostics. g is xxhash64 — query-internal, never reaches
-    any output (see q_exactsubstr_chars)."""
+    """The char-gram instance stream consumers read. Posture "dupset"
+    (shipped, r14 A/B): the un-persisted map-side plan — zero persisted
+    instance rows; the session-memoized artifact is dup_char_gram_set
+    below. Posture "instances" (r13 shape, retained for the A/B and
+    small-scale use): the session-memoized persisted explode (the
+    shingle_table precedent), keyed on the documents fingerprint and
+    prewarmed by prewarm_corpus_artifacts."""
+    if CHAR_GRAM_POSTURE != "instances":
+        return char_gram_plan(spark, sf_dir)
     from tez_spark.operators.core import shared_artifact
     from tez_spark.sources.catalog import path_fingerprint
 
-    L = CHAR_SPAN_L
     path = os.path.join(sf_dir, "documents.parquet")
-    key = ("char_grams", os.path.abspath(sf_dir), path_fingerprint(path), L)
+    key = (
+        "char_grams", os.path.abspath(sf_dir), path_fingerprint(path),
+        CHAR_SPAN_L,
+    )
+    return shared_artifact(spark, key, lambda: char_gram_plan(spark, sf_dir))
+
+
+def dup_char_gram_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized duplicated-char-gram set (g: long, one row per
+    gram appearing >= 2 times in the corpus) — the persisted artifact of
+    the "dupset" posture. Dup-CONTENT-bounded: random/unique text
+    contributes nothing, so at 100TB this is duplicated-boilerplate-
+    sized while the instance table it replaces is corpus-character-
+    sized. Built with ONE partial-agg'd gram-frequency aggregation (the
+    vocabulary-bounded exchange that was previously re-run inside every
+    consumer); prewarmed by prewarm_corpus_artifacts with the build cost
+    stamped in the bench diagnostics."""
+    from tez_spark.operators.core import shared_artifact
+    from tez_spark.sources.catalog import path_fingerprint
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = (
+        "dup_char_grams", os.path.abspath(sf_dir), path_fingerprint(path),
+        CHAR_SPAN_L,
+    )
 
     def build() -> DataFrame:
-        from tez_spark.operators.core import fan_out
-
-        docs = load_table(spark, sf_dir, "documents")
-        # fan_out BEFORE the stride-1 explode (see token_gram_table):
-        # 1-partition artifact = single-task map stages in every consumer
-        base = fan_out(
-            docs.filter(F.length("text") >= L).select("doc_id", "text")
+        return (
+            char_gram_table(spark, sf_dir)
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") >= 2)
+            .select("g")
         )
-        return base.select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, length(text) - {L}),"
-                    f" i -> substring(text, i + 1, {L}))"
-                )
-            ).alias("pos", "win"),
-        ).select("doc_id", "pos", F.xxhash64("win").alias("g"))
 
     return shared_artifact(spark, key, build)
 
@@ -927,16 +980,9 @@ def char_span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("char_spans", os.path.abspath(sf_dir), path_fingerprint(path), L)
 
     def build() -> DataFrame:
-        grams = char_gram_table(spark, sf_dir)
-        dup_g = (
-            grams.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .filter(F.col("_c") >= 2)
-            .select("g")
-        )
-        dup = grams.join(dup_g, "g", "left_semi").select(
-            "doc_id", F.col("pos").cast("long").alias("pos")
-        )
+        dup = char_gram_table(spark, sf_dir).join(
+            dup_char_gram_set(spark, sf_dir), "g", "left_semi"
+        ).select("doc_id", F.col("pos").cast("long").alias("pos"))
         return _merge_dup_spans(dup, L)
 
     return shared_artifact(spark, key, build)
@@ -969,22 +1015,19 @@ def q_exactsubstr_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams hash with NATIVE xxhash64, not the md5-hex prefix — g never
     reaches the output, so cross-engine hash equality is not needed
     (the DuckDB oracle keeps its own md5 formulation of the same
-    truth) and md5-of-1.4M-windows was ~2.8 s of the 7.2; and the gram
-    table is the session-memoized char_gram_table persisted artifact
-    (the dedup shingle precedent: spill-safe distributed cache shared
-    with exactsubstr_trim and reused by the agg AND the probe side
-    instead of two explode passes; bench prewarms it and stamps the
-    build cost). Same 64-bit collision margin as gram_hash: a false
-    dup needs ~2^32 distinct windows."""
+    truth) and md5-of-1.4M-windows was ~2.8 s of the 7.2; and the
+    duplicated-gram set is the session-memoized dup_char_gram_set
+    artifact (r14 "dupset" posture, A/B'd in tools/gram_posture_ab.py:
+    persisting the dup-content-bounded set instead of the corpus-
+    character-sized instance table drops the 100TB cache from multi-PB
+    to boilerplate-sized; the instance stream is recomputed map-side —
+    one codegen explode — and the frequency agg runs once at artifact
+    build instead of once per consumer; bench prewarms the set and
+    stamps the build cost). Same 64-bit collision margin as gram_hash:
+    a false dup needs ~2^32 distinct windows."""
     L = CHAR_SPAN_L
     grams = char_gram_table(spark, sf_dir)
-    dup_g = (
-        grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") >= 2)
-        .select("g")
-    )
-    dup = grams.join(dup_g, "g", "left_semi").select(
+    dup = grams.join(dup_char_gram_set(spark, sf_dir), "g", "left_semi").select(
         "doc_id", F.col("pos").cast("long").alias("pos")
     )
     return _merge_dup_spans(dup, L)

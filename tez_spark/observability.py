@@ -1413,6 +1413,117 @@ def vertex_critical_paths_from_history(
     return sorted(out, key=lambda r: -r["score_ms"])[: max(top, 0)]
 
 
+def counter_diff_from_history(
+    history_a: dict[str, Any] | str,
+    history_b: dict[str, Any] | str,
+) -> list[dict[str, Any]]:
+    """counter-diff parity (tez-tools/counter-diff/counter_diff.py:20-29
+    — compares DAG counters between two persisted runs and emits a
+    table of value1/value2/delta per counter; the regression-triage
+    tool users reach for after every perf change). Here the two runs
+    are persisted Spark event logs (or pre-parsed load_history dicts);
+    the counters are the same metric set every other analyzer reads
+    (_HISTORY_METRIC_FIELDS summed across stages) plus the reference's
+    'otherinfo'-style run aggregates (stage/task counts, wall time).
+
+    Output: one row per counter name present in EITHER run —
+    {counter, a, b, delta, rel_change}, ranked by |relative change|
+    descending (counters absent from a run read 0, like the
+    reference's .get(counter, 0)). rel_change is delta/a, or None when
+    a == 0 (new counter — sorts first, the reference prints these with
+    a bare '+delta'). Pure Python over closed logs: no SparkSession."""
+    rows_ab: list[dict[str, int]] = []
+    for history in (history_a, history_b):
+        h = load_history(history) if isinstance(history, str) else history
+        totals: dict[str, int] = {}
+        for s in h["stages"]:
+            for _, name in _HISTORY_METRIC_FIELDS:
+                totals[name] = totals.get(name, 0) + int(s.get(name, 0))
+            totals["NUM_COMPLETED_TASKS"] = totals.get(
+                "NUM_COMPLETED_TASKS", 0
+            ) + int(s.get("NUM_COMPLETED_TASKS", 0))
+        # otherinfo-style aggregates (counter_diff.py's TIME_TAKEN /
+        # COMPLETED_TASKS block): run wall = span of timed stages
+        timed = [
+            s for s in h["stages"]
+            if s.get("submission_ms") is not None
+            and s.get("completion_ms") is not None
+        ]
+        totals["NUM_STAGES"] = len(h["stages"])
+        totals["TIME_TAKEN_MS"] = (
+            max(s["completion_ms"] for s in timed)
+            - min(s["submission_ms"] for s in timed)
+        ) if timed else 0
+        totals["NUM_FAILED_TASK_ATTEMPTS"] = sum(
+            1 for t in h.get("tasks", []) if t["status"] == "FAILED"
+        )
+        totals["NUM_KILLED_TASK_ATTEMPTS"] = sum(
+            1 for t in h.get("tasks", []) if t["status"] == "KILLED"
+        )
+        rows_ab.append(totals)
+    a_tot, b_tot = rows_ab
+    out: list[dict[str, Any]] = []
+    for counter in sorted(set(a_tot) | set(b_tot)):
+        a, b = a_tot.get(counter, 0), b_tot.get(counter, 0)
+        delta = b - a
+        out.append(
+            {
+                "counter": counter,
+                "a": a,
+                "b": b,
+                "delta": delta,
+                "rel_change": (delta / a) if a else None,
+            }
+        )
+    # rank by |relative change| desc; brand-new counters (a == 0,
+    # rel_change None) lead when they changed at all
+    return sorted(
+        out,
+        key=lambda r: (
+            -(abs(r["rel_change"]) if r["rel_change"] is not None
+              else (float("inf") if r["delta"] else -1.0)),
+            r["counter"],
+        ),
+    )
+
+
+def swimlane_from_history(
+    history: dict[str, Any] | str,
+) -> list[dict[str, Any]]:
+    """swimlanes parity (tez-tools/swimlanes/swimlane.py — per-CONTAINER
+    timeline of task attempts colored by vertex: its attempts() yields
+    (vertex, name, container, start, finish) and lanes are containers).
+    Emitted as ROWS, not SVG (the r13 verdict's instruction): one row
+    per task attempt — lane = executor (Spark's long-lived container
+    analog, the same mapping ContainerReuseAnalyzer uses), vertex =
+    stage, start/finish as ms offsets from the app's first launch so
+    rows are directly plottable. Failed/killed attempts ride along with
+    their status (the reference draws these too). Sorted by lane then
+    start — each lane's rows ARE its swimlane, gaps between consecutive
+    rows are container idle time. Pure Python over a closed log."""
+    h = load_history(history) if isinstance(history, str) else history
+    tasks = h.get("tasks", [])
+    if not tasks:
+        return []
+    t0 = min(t["launch_ms"] for t in tasks if t["launch_ms"])
+    names = _stage_names(h)
+    out = [
+        {
+            "lane": f"{t['host']}/{t['executor_id']}",
+            "stage_id": t["stage_id"],
+            "stage": names.get(t["stage_id"], ""),
+            "task_id": t["task_id"],
+            "attempt": t["attempt"],
+            "start_ms": t["launch_ms"] - t0,
+            "finish_ms": t["finish_ms"] - t0,
+            "duration_ms": t["duration_ms"],
+            "status": t["status"],
+        }
+        for t in tasks
+    ]
+    return sorted(out, key=lambda r: (r["lane"], r["start_ms"]))
+
+
 def q_observability_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counter capture demonstrated on the sort-merge-join query (q08):
     returns (counter, value) rows for the stages it ran.

@@ -1572,16 +1572,22 @@ def prewarm_corpus_artifacts(spark: SparkSession, sf_dir: str) -> float:
     lsh_candidate_table(spark, sf_dir).count()
     winnow_table(spark, sf_dir).count()
     corpus_artifacts(spark, sf_dir)[1].count()
-    # r13: the ExactSubstr artifacts (char-gram table shared by
-    # exactsubstr_chars + _trim; span table consumed by _trim; token-
-    # gram table shared by text_dup_spans + exactsubstr_spans)
+    # r13/r14: the ExactSubstr artifacts. Under the shipped "dupset"
+    # posture the char-side persisted artifact is the dup-gram SET
+    # (instance rows recompute map-side — counting the un-persisted
+    # char_gram_table plan here would explode the corpus for nothing);
+    # under the A/B's "instances" posture it is the full gram table.
     from tez_spark.functions.text_queries import (
+        CHAR_GRAM_POSTURE,
         char_gram_table,
         char_span_table,
+        dup_char_gram_set,
         token_gram_table,
     )
 
-    char_gram_table(spark, sf_dir).count()
+    if CHAR_GRAM_POSTURE == "instances":
+        char_gram_table(spark, sf_dir).count()
+    dup_char_gram_set(spark, sf_dir).count()
     char_span_table(spark, sf_dir).count()
     token_gram_table(spark, sf_dir).count()
     return round(_time.monotonic() - t0, 3)

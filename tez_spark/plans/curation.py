@@ -848,11 +848,14 @@ def q_decontaminate_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan — the exactsubstr_chars shape (agg → SMALL filtered gram set →
     semi probe), not decontaminate_ngram's distinct-the-train-side:
-    the session-memoized char_gram_table (ONE stride-1 char explode
-    over the whole corpus, shared with exactsubstr_chars/_trim and
-    prewarmed by bench — grams are query-internal xxhash64, never
-    reaching output; the oracle keeps its own md5 formulation of the
-    same truth), the split flag derived map-side from doc_id, then ONE
+    the char_gram_table instance stream (r14 "dupset" posture: a pure
+    map-side codegen explode recomputed per consumer — the agg side
+    reads the full corpus's windows, the probe side only HOLDOUT docs'
+    because the is_hold predicate derives from doc_id and pushes below
+    the explode; zero persisted instance rows, see
+    tools/gram_posture_ab.py — grams are query-internal xxhash64,
+    never reaching output; the oracle keeps its own md5 formulation of
+    the same truth), the split flag derived map-side from doc_id, then ONE
     partial-agg'd per-gram aggregation of the two split-presence flags.
     Filtering to grams present in BOTH splits yields the set of
     actually-CONTAMINATED grams — small the way exactsubstr's dup-gram

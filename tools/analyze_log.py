@@ -5,7 +5,11 @@ plugin set over a DAG history file; here the history is Spark's JSON
 event log and the plugins are the *_from_history analyzers).
 
 Usage: python tools/analyze_log.py <event-log-file-or-dir> [top_n]
-       [--infer-one-on-one]
+       [--infer-one-on-one] [--diff <other-log>]
+
+--diff: also emit a counter_diff section — per-counter deltas between
+THIS log (a) and the other log (b), ranked by |relative change| — the
+tez-tools counter-diff regression-triage flow (r14 closure).
 
 --infer-one-on-one: run the OneOnOneEdgeAnalyzer parity in labeled
 best-effort inference mode (identity-width candidates + the
@@ -28,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tez_spark.observability import (  # noqa: E402
     container_reuse_report_from_history,
+    counter_diff_from_history,
     critical_path_from_history,
     dag_overview_from_history,
     hung_task_report_from_history,
@@ -38,6 +43,7 @@ from tez_spark.observability import (  # noqa: E402
     shuffle_time_report_from_history,
     skew_report_from_history,
     slow_node_report_from_history,
+    swimlane_from_history,
     slow_task_report_from_history,
     slowest_vertex_report_from_history,
     spill_report_from_history,
@@ -49,7 +55,8 @@ from tez_spark.observability import (  # noqa: E402
 )
 
 
-def analyze(path: str, top: int = 20, infer_one_on_one: bool = False) -> dict:
+def analyze(path: str, top: int = 20, infer_one_on_one: bool = False,
+            diff: str | None = None) -> dict:
     h = load_history(path)
     return {
         "stages_parsed": len(h["stages"]),
@@ -86,18 +93,41 @@ def analyze(path: str, top: int = 20, infer_one_on_one: bool = False) -> dict:
         ),
         "container_reuse": container_reuse_report_from_history(h),
         "vertex_critical_paths": vertex_critical_paths_from_history(h, top=top),
+        # r14 — the last two tez-tools utilities (counter-diff,
+        # swimlanes): the swimlane rows are the per-executor task
+        # timeline (lanes = containers); counter_diff appears when
+        # --diff names a second log.
+        "swimlane": swimlane_from_history(h),
+        **(
+            {"counter_diff": counter_diff_from_history(h, diff)}
+            if diff
+            else {}
+        ),
     }
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--infer-one-on-one"]
-    infer = "--infer-one-on-one" in sys.argv[1:]
+    argv = sys.argv[1:]
+    infer = "--infer-one-on-one" in argv
+    diff = None
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--infer-one-on-one":
+            i += 1
+        elif a.startswith("--diff"):
+            diff = a.split("=", 1)[1] if "=" in a else argv[i + 1]
+            i += 1 if "=" in a else 2
+        else:
+            args.append(a)
+            i += 1
     if not args:
         sys.exit(__doc__)
     top = int(args[1]) if len(args) > 1 else 20
     print(
         json.dumps(
-            analyze(args[0], top, infer_one_on_one=infer),
+            analyze(args[0], top, infer_one_on_one=infer, diff=diff),
             indent=1,
             default=str,
         )
