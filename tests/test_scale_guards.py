@@ -72,3 +72,113 @@ def test_flagship_shuffle_budget(spark, name, budget):
     )
     assert counters.get("SPILLED_BYTES_DISK", 0) == 0
     assert counters.get("SPILLED_BYTES_MEMORY", 0) == 0
+
+
+def _gen_docs(scale: int) -> str:
+    """Tiny deterministic corpus at 1x/3x/10x for the SMJ-regime
+    exponent guard — the scale_ab fixture recipe (31-word vocabulary,
+    ~55-word docs, ~2% planted near-dups) at a test-suite-sized base."""
+    import numpy as np
+    import pandas as pd
+
+    out = f"/tmp/tez_spark_smj_guard/x{scale}"
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(140 + scale)
+    vocab = np.array(
+        "batch part spark line column order small sort fast value scan "
+        "hash slow group agg filter query big key window row table "
+        "stream merge data join shuffle stage task plan node".split()
+    )
+    n = 1200 * scale
+    texts = []
+    for i in range(n):
+        words = list(vocab[rng.integers(0, len(vocab), 55)])
+        if i > 50 and rng.random() < 0.02:
+            words = texts[int(rng.integers(0, i - 1))].split()[:52] + list(
+                vocab[rng.integers(0, len(vocab), 3)]
+            )
+        texts.append(" ".join(words))
+    pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype="int64"),
+            "text": texts,
+            "lang": "en",
+            "source": "guard",
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(os.path.join(out, "documents.parquet"), index=False)
+    open(marker, "w").close()
+    return out
+
+
+@pytest.mark.parametrize("name", ["exactsubstr_chars", "exactsubstr_spans"])
+def test_exactsubstr_smj_regime_shuffle_exponent(spark, name):
+    """VERDICT r13 item 3: the r13 scale_ab runs fitted N^1.35-1.42
+    shuffle exponents on the exactsubstr rows, attributed to the
+    sf0.001->sf0.1 BHJ->SMJ regime TRANSITION (AQE broadcast-converts
+    the small dup-gram set at fixture scales, so the small-scale end of
+    the fit pays no instance-side exchange). At 100TB the dup-gram set
+    is NOT broadcastable and the plan lives permanently in the SMJ
+    regime — so the 100TB claim must be the measured WITHIN-REGIME
+    exponent, not an extrapolation across the transition. This guard
+    pins the broadcast threshold to -1 (both static and AQE), asserts
+    the gram semi join actually runs as SMJ, and asserts the fitted
+    shuffle-bytes exponent across 1x/3x/10x stays ~linear (<= 1.05 +
+    fitting slack)."""
+    import math
+
+    from tez_spark.observability import capture
+    from tez_spark.operators.core import release_caches, release_shared
+    from tez_spark.plans.registry import all_queries
+
+    fn = all_queries()[name]
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # regime check: under the pinned threshold the gram join must
+        # be a sort-merge join, not a broadcast hash join
+        plan = (
+            fn(spark, _gen_docs(1))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan, (
+            f"{name} did not enter the SMJ regime under threshold=-1:\n"
+            + plan[:2000]
+        )
+        shuffled: dict[int, int] = {}
+        for scale in (1, 3, 10):
+            sf = _gen_docs(scale)
+            release_caches()
+            release_shared(spark)
+            _, counters = capture(
+                spark,
+                lambda sf=sf: fn(spark, sf)
+                .write.format("noop").mode("overwrite").save(),
+            )
+            shuffled[scale] = counters.get("SHUFFLE_BYTES_WRITTEN", 0)
+        assert shuffled[1] > 0, "no shuffle measured — capture broken?"
+        exp = math.log(shuffled[10] / shuffled[1]) / math.log(10)
+        # <= 1.05 per the verdict: within-regime the instance-side
+        # exchange is corpus-linear (measured r14: chars 0.993, spans
+        # 0.972 — PERF.md), so 1.05 already carries real slack
+        assert exp <= 1.05, (
+            f"{name} SMJ-regime shuffle exponent {exp:.2f} "
+            f"(bytes {shuffled}) — the at-scale join shape is "
+            "super-linear; the 100TB claim no longer holds"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        release_caches()
+        release_shared(spark)
