@@ -697,3 +697,185 @@ def test_maintain_decontaminate_crash_replay_recomputes_identical_grams(
     n1 = spark.read.parquet(str(store1 / "grams" / "batch_0")).count()
     n2 = spark.read.parquet(str(store2 / "grams" / "batch_0")).count()
     assert n2 == n1 > 0, "replay erased or mutated the committed gram set"
+
+
+def _merge_reported_spans(rows):
+    """Interval-union re-merge of (doc_id, start, end, n) span rows —
+    the test-side mirror of _merge_dup_spans' algebra (overlap merges,
+    exact adjacency stays separate), used to compose per-batch reports
+    with the seed corpus's own batch answer."""
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for d, s, e, n in rows:
+        by_doc[d].append((s, e, n))
+    out = set()
+    for d, ivals in by_doc.items():
+        ivals.sort()
+        cs, ce, cn = ivals[0]
+        for s, e, n in ivals[1:]:
+            if s >= ce:  # adjacency (s == ce) stays separate: no shared char
+                out.add((d, cs, ce, cn))
+                cs, ce, cn = s, e, n
+            else:
+                ce, cn = max(ce, e), cn + n
+        out.add((d, cs, ce, cn))
+    return out
+
+
+def test_maintain_exactsubstr_matches_batch_query(spark, tmp_path):
+    """maintain_exactsubstr (VERDICT r13 item 5): streaming arrivals
+    against the seed corpus's gram-frequency store must report, per
+    batch, the spans newly duplicated by that batch — exactly once —
+    such that reports + the corpus's own batch answer re-merge to
+    q_exactsubstr_chars over corpus+arrivals. Arrivals exercise all
+    three duplication modes: arrival-vs-corpus (copied corpus text —
+    retro-reports the corpus singleton witness), within-batch dups
+    (a doc and its copy arriving together), and unique text (reports
+    nothing). A checkpoint restart must re-report nothing."""
+    import glob
+    import shutil
+
+    from tez_spark.plans.registry import all_queries
+    from tez_spark.sources.catalog import load_table
+    from tez_spark.streaming.ingest import maintain_exactsubstr
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus_rows = docs.select("doc_id", "text").collect()
+    base = {r.doc_id: r.text for r in corpus_rows}
+    long_ids = sorted(d for d, t in base.items() if len(t) >= 120)
+    assert len(long_ids) >= 6, "fixture too short for arrival synthesis"
+
+    # arrivals: 2 docs copying corpus text (cross-store dup), a pair
+    # of identical new docs (within-batch dup), unique-text docs
+    uniq = "z%d " * 40
+    arrivals = [
+        (9_000_001, base[long_ids[0]]),                  # vs corpus
+        (9_000_002, base[long_ids[1]][10:110]),          # corpus substring
+        (9_000_003, "w x y " * 30 + "end marker one"),   # twin A
+        (9_000_004, "w x y " * 30 + "end marker one"),   # twin B (same batch)
+        (9_000_005, uniq % tuple(range(40))),            # unique
+        (9_000_006, uniq % tuple(range(40, 80))),        # unique
+    ]
+    stream_dir = str(tmp_path / "arrivals")
+    os.makedirs(stream_dir)
+    adf = spark.createDataFrame(arrivals, "doc_id long, text string")
+    # 3 micro-batches: [vs-corpus, substring], [twins], [uniques]
+    for i, pred in enumerate(
+        ["doc_id <= 9000002", "doc_id in (9000003, 9000004)",
+         "doc_id >= 9000005"]
+    ):
+        adf.filter(pred).coalesce(1).write.parquet(
+            os.path.join(stream_dir, f"a{i}")
+        )
+    for i, f in enumerate(
+        sorted(glob.glob(os.path.join(stream_dir, "a*", "*.parquet")))
+    ):
+        shutil.move(f, os.path.join(stream_dir, f"batch_{i}.parquet"))
+    for d in glob.glob(os.path.join(stream_dir, "a[0-9]")):
+        shutil.rmtree(d)
+
+    reported: dict[int, list] = {}
+    maintain_exactsubstr(
+        spark, SF_DIR, str(tmp_path / "store"), stream_dir,
+        lambda spans, bid: reported.update({bid: spans.collect()}),
+    )
+    assert len(reported) >= 3, "stream did not split into micro-batches"
+    # every reported (doc, pos-window) appears in exactly one batch:
+    # overlapping spans for one doc across batches are legal (window
+    # unions), identical full rows are not
+    all_rows = [tuple(r) for b in reported.values() for r in b]
+    assert len(all_rows) == len(set(all_rows)), "a span was re-reported"
+    # the unique-text batch reports nothing
+    last_bid = max(reported)
+    assert reported[last_bid] == [], "unique arrivals produced spans"
+
+    # equivalence: reports + corpus's own answer == batch over combined
+    corpus_spans = all_queries()["exactsubstr_chars"](spark, SF_DIR).collect()
+    combined_dir = str(tmp_path / "combined")
+    os.makedirs(combined_dir)
+    docs.select("doc_id", "text").unionByName(adf).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    ).coalesce(1).write.parquet(os.path.join(combined_dir, "documents.parquet"))
+    want = {
+        tuple(r)
+        for r in all_queries()["exactsubstr_chars"](
+            spark, combined_dir
+        ).collect()
+    }
+    got = _merge_reported_spans(
+        [tuple(r) for r in corpus_spans] + all_rows
+    )
+    assert got == want, (
+        f"stream+corpus merge diverged from the batch answer: "
+        f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+    )
+
+    # restart: committed batches are neither re-read nor re-reported
+    replay: list = []
+    maintain_exactsubstr(
+        spark, SF_DIR, str(tmp_path / "store"), stream_dir,
+        lambda spans, bid: replay.extend(spans.collect()),
+    )
+    assert replay == [], "restart re-processed committed batches"
+
+
+def test_maintain_exactsubstr_crash_replay_recomputes_identical_spans(
+    spark, tmp_path
+):
+    """Crash between a batch's gram-frequency delta commit and its
+    checkpoint commit: the replayed batch must read PRIOR store content
+    only (own-subdir exclusion — the r12 ADVICE lesson), recomputing
+    the identical spans and rewriting an identical delta, instead of
+    counting its own committed grams as prior occurrences and
+    mis-reporting every batch window as already-duplicated."""
+    import glob
+    import shutil
+
+    from tez_spark.sources.catalog import load_table
+    from tez_spark.streaming.ingest import maintain_exactsubstr
+
+    docs = load_table(spark, SF_DIR, "documents")
+    txt = docs.select("text").filter(F.length("text") >= 150).first().text
+    arrivals = [
+        (9_100_001, txt),                       # duplicates corpus
+        (9_100_002, "q r s t u v " * 25),       # unique
+    ]
+    stream_dir = str(tmp_path / "arrivals")
+    os.makedirs(stream_dir)
+    adf = spark.createDataFrame(arrivals, "doc_id long, text string")
+    adf.coalesce(1).write.parquet(os.path.join(stream_dir, "a0"))
+    f = glob.glob(os.path.join(stream_dir, "a0", "*.parquet"))[0]
+    shutil.move(f, os.path.join(stream_dir, "batch_0.parquet"))
+    shutil.rmtree(os.path.join(stream_dir, "a0"))
+
+    store1 = tmp_path / "store1"
+    first: dict = {}
+    maintain_exactsubstr(
+        spark, SF_DIR, str(store1), stream_dir,
+        lambda spans, b: first.update({b: {tuple(r) for r in spans.collect()}}),
+    )
+    assert 0 in first and first[0], "clean run reported no spans"
+    assert os.path.isdir(store1 / "gramfreq" / "batch_0")
+
+    # simulated crash replay: store INCLUDING the batch's own committed
+    # delta subdir, but a FRESH checkpoint — batch 0 re-fires
+    store2 = tmp_path / "store2"
+    os.makedirs(store2)
+    shutil.copytree(store1 / "gramfreq", store2 / "gramfreq")
+    replayed: dict = {}
+    maintain_exactsubstr(
+        spark, SF_DIR, str(store2), stream_dir,
+        lambda spans, b: replayed.update(
+            {b: {tuple(r) for r in spans.collect()}}
+        ),
+    )
+    assert replayed == first, (
+        "crash replay diverged — the batch saw its own committed delta "
+        "as prior store content"
+    )
+    n1 = spark.read.parquet(str(store1 / "gramfreq" / "batch_0")).count()
+    n2 = spark.read.parquet(str(store2 / "gramfreq" / "batch_0")).count()
+    assert n2 == n1 > 0, "replay erased or mutated the committed delta"

@@ -885,21 +885,12 @@ CHAR_SPAN_L = 50  # Lee et al. (ACL 2022) §4.1: 50-char dedup threshold
 CHAR_GRAM_POSTURE = os.environ.get("TEZ_SPARK_CHAR_GRAM_POSTURE", "dupset")
 
 
-def char_gram_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The UN-persisted stride-1 char-window explode plan (doc_id, pos,
-    g) — pure map-side codegen over the scan's natural splits, so every
-    consumer can recompute it in place of reading a persisted instance
-    table. g is xxhash64 — query-internal, never reaches any output
-    (see q_exactsubstr_chars)."""
-    from tez_spark.operators.core import fan_out
-
-    L = CHAR_SPAN_L
-    docs = load_table(spark, sf_dir, "documents")
-    # fan_out BEFORE the stride-1 explode (see token_gram_table):
-    # 1-partition plan = single-task map stages in every consumer
-    base = fan_out(
-        docs.filter(F.length("text") >= L).select("doc_id", "text")
-    )
+def char_windows(df: DataFrame, L: int = CHAR_SPAN_L) -> DataFrame:
+    """Stride-1 char-window gram stream (doc_id, pos, g) of an arbitrary
+    (doc_id, text) frame — the shared kernel of char_gram_plan and the
+    streaming maintain_exactsubstr ingest. Pure map-side codegen; g is
+    xxhash64 — query-internal, never reaches any output."""
+    base = df.filter(F.length("text") >= L).select("doc_id", "text")
     return base.select(
         "doc_id",
         F.posexplode(
@@ -909,6 +900,19 @@ def char_gram_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "win"),
     ).select("doc_id", "pos", F.xxhash64("win").alias("g"))
+
+
+def char_gram_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UN-persisted stride-1 char-window explode plan (doc_id, pos,
+    g) over the documents table — pure map-side codegen over the scan's
+    natural splits, so every consumer can recompute it in place of
+    reading a persisted instance table (the r14 "dupset" posture)."""
+    from tez_spark.operators.core import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    # fan_out BEFORE the stride-1 explode (see token_gram_table):
+    # 1-partition plan = single-task map stages in every consumer
+    return char_windows(fan_out(docs.select("doc_id", "text")))
 
 
 def char_gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
