@@ -94,6 +94,7 @@ def format_headline(line: dict, timings: dict, names, budget: int = 1980) -> str
     def render(tier: float, keep_steal: bool = True) -> str:
         line.pop("queries_ds", None)
         line.pop("queries_sub_sec", None)
+        line.pop("units", None)
         if steal is not None:
             if keep_steal:
                 line["steal_pct"] = steal
@@ -140,8 +141,13 @@ def format_headline(line: dict, timings: dict, names, budget: int = 1980) -> str
                 line["queries"] = qs
                 line.pop("queries_ds", None)
                 line.pop("queries_sub_sec", None)
+                line.pop("units", None)
                 if ds:
                     line["queries_ds"] = ds
+                    # self-documenting units (VERDICT r13 item 8): the
+                    # two maps carry DIFFERENT units and must never be
+                    # summed as one — say so in the line itself
+                    line["units"] = {"queries": "sec", "queries_ds": "decisec"}
                 if sub:
                     line["queries_sub_sec"] = sub
                 return json.dumps(line, separators=(",", ":"))
