@@ -625,6 +625,20 @@ spark.stop()
         assert r["median_ms"] <= r["p75_ms"] <= r["p95_ms"] <= r["p98_ms"]
         assert r["makespan_ms"] >= r["p98_ms"] - 1  # makespan bounds attempts
 
+    # r14 closers on the same real log: a self-diff is all-zero deltas;
+    # the swimlane covers every attempt, lane-then-start ordered
+    from tez_spark.observability import (
+        counter_diff_from_history,
+        swimlane_from_history,
+    )
+
+    self_diff = counter_diff_from_history(h, h)
+    assert self_diff and all(r["delta"] == 0 for r in self_diff)
+    lanes = swimlane_from_history(h)
+    assert len(lanes) == len(h["tasks"])
+    assert min(r["start_ms"] for r in lanes) == 0
+    assert lanes == sorted(lanes, key=lambda r: (r["lane"], r["start_ms"]))
+
 
 def test_attempt_stats_assignment_and_input_errors_synthetic(tmp_path):
     """The r10 bonus analyzers pinned on a synthetic log: stage 0
