@@ -638,40 +638,75 @@ ORACLE["text_logprob"] = _TEXT_LOGPROB_SQL
 DUP_SPAN_L = 6  # tokens per exact-substring gram
 
 
+def token_gram_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UN-persisted tokens -> gram_windows(6) -> gram_hash explode
+    plan (doc_id, pos, g) — pure map-side codegen over the scan's
+    natural splits (fan_out first: the fixture arrives as one split,
+    and a 1-partition stream serializes every consumer's map stage —
+    at 100TB the scan's natural splits make this a no-op). g is the
+    md5-hex prefix (the gram_hash convention both DuckDB oracles
+    mirror); pos rides along and text_dup_spans simply ignores it."""
+    from tez_spark.operators.core import fan_out
+
+    L = DUP_SPAN_L
+    docs = load_table(spark, sf_dir, "documents")
+    base = fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", X.tokens("text").alias("_toks")
+    ).filter(F.size("_toks") >= L)
+    return base.select(
+        "doc_id",
+        F.posexplode(X.gram_windows(L)).alias("pos", "gram"),
+    ).select("doc_id", "pos", X.gram_hash("gram").alias("g"))
+
+
 def token_gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-memoized persisted token-gram table (doc_id, pos, g) —
-    the tokens -> gram_windows(6) -> gram_hash pass shared by
-    text_dup_spans and exactsubstr_spans (r13, the char_gram_table /
-    shingle_table pattern: each query previously exploded the corpus
-    TWICE — once for the frequency agg, once for the instance side —
-    so the fleet paid the identical explode four times per bench
-    pass). g stays the md5-hex prefix (the gram_hash convention both
-    DuckDB oracles mirror); pos rides along and text_dup_spans simply
-    ignores it. Keyed on the documents fingerprint; prewarmed by
-    prewarm_corpus_artifacts with the build cost stamped."""
+    """The token-gram instance stream shared by text_dup_spans and
+    exactsubstr_spans. Posture "dupset" (shipped, r14 — the char-side
+    decision applied symmetrically: the instance table is one row per
+    corpus TOKEN position, the same multi-PB-at-100TB class): the
+    un-persisted map-side plan; the session-memoized artifact is
+    dup_token_gram_set below. Posture "instances" (r13 shape, retained
+    for the A/B and small-scale use): the session-memoized persisted
+    explode, keyed on the documents fingerprint and prewarmed by
+    prewarm_corpus_artifacts."""
+    if GRAM_POSTURE != "instances":
+        return token_gram_plan(spark, sf_dir)
     from tez_spark.operators.core import shared_artifact
     from tez_spark.sources.catalog import path_fingerprint
 
-    L = DUP_SPAN_L
     path = os.path.join(sf_dir, "documents.parquet")
-    key = ("token_grams", os.path.abspath(sf_dir), path_fingerprint(path), L)
+    key = (
+        "token_grams", os.path.abspath(sf_dir), path_fingerprint(path),
+        DUP_SPAN_L,
+    )
+    return shared_artifact(spark, key, lambda: token_gram_plan(spark, sf_dir))
+
+
+def dup_token_gram_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized duplicated-token-gram set (g: 16-hex md5
+    prefix, one row per gram appearing >= 2 times) — the persisted
+    artifact of the "dupset" posture on the token side, built with ONE
+    partial-agg'd frequency aggregation (see dup_char_gram_set for the
+    posture rationale and PERF.md r14 for the A/B). Dup-content-
+    bounded where the instance table it replaces is corpus-token-
+    sized; prewarmed by prewarm_corpus_artifacts."""
+    from tez_spark.operators.core import shared_artifact
+    from tez_spark.sources.catalog import path_fingerprint
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = (
+        "dup_token_grams", os.path.abspath(sf_dir), path_fingerprint(path),
+        DUP_SPAN_L,
+    )
 
     def build() -> DataFrame:
-        from tez_spark.operators.core import fan_out
-
-        docs = load_table(spark, sf_dir, "documents")
-        # fan_out BEFORE the explode+md5 (the shingle_table precedent):
-        # the fixture arrives as one split, and a 1-partition persisted
-        # artifact serializes every consumer's map stage — at 100TB the
-        # scan's natural splits make this a no-op (r13: the artifact
-        # measured 1 partition; consumers' partial aggs ran single-task)
-        base = fan_out(docs.select("doc_id", "text")).select(
-            "doc_id", X.tokens("text").alias("_toks")
-        ).filter(F.size("_toks") >= L)
-        return base.select(
-            "doc_id",
-            F.posexplode(X.gram_windows(L)).alias("pos", "gram"),
-        ).select("doc_id", "pos", X.gram_hash("gram").alias("g"))
+        return (
+            token_gram_table(spark, sf_dir)
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") >= 2)
+            .select("g")
+        )
 
     return shared_artifact(spark, key, build)
 
@@ -687,25 +722,28 @@ def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity) and text_winnow (sampled fingerprints) with the
     verbatim-repetition dimension neither captures.
 
-    Plan: the session-memoized token_gram_table (one gram explode for
-    BOTH this query and exactsubstr_spans — r13; previously each built
-    the explode twice), one corpus-wide gram-frequency aggregation
-    (mergeable, partial-agg'd map-side; the vocabulary-sized exchange
-    IS the scale cost, same class as q03), then occurrences join
-    counts on the gram key, and a per-doc aggregation. Grams travel as
-    16-hex-char md5 prefixes (identical expression in the DuckDB
-    oracle): 8x smaller than raw 6-token strings through both
-    exchanges; a 64-bit prefix collision would need ~2^32 distinct
-    spans per false dup — at that scale switch to the full digest, not
-    raw strings."""
+    Plan (r14 "dupset" posture — see token_gram_table): the instance
+    stream recomputes map-side (one codegen explode), and the
+    duplicated-gram set is the session-memoized dup_token_gram_set
+    artifact (its build runs the corpus-wide gram-frequency
+    aggregation ONCE — mergeable, partial-agg'd map-side; the
+    vocabulary-sized exchange IS the scale cost, same class as q03 —
+    instead of once per consumer). A doc's window is duplicated iff
+    its gram is IN the set, so the per-instance count value never
+    needs to travel: one gram-keyed left marker join, then a per-doc
+    aggregation. Grams travel as 16-hex-char md5 prefixes (identical
+    expression in the DuckDB oracle): 8x smaller than raw 6-token
+    strings through both exchanges; a 64-bit prefix collision would
+    need ~2^32 distinct spans per false dup — at that scale switch to
+    the full digest, not raw strings."""
     grams = token_gram_table(spark, sf_dir).select("doc_id", "g")
-    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_c"))
+    dup = dup_token_gram_set(spark, sf_dir).withColumn("_m", F.lit(1))
     per_doc = (
-        grams.join(counts, "g")
+        grams.join(dup, "g", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("_c") >= 2).cast("long")).alias("n_dup_grams"),
+            F.sum(F.coalesce(F.col("_m"), F.lit(0))).alias("n_dup_grams"),
         )
     )
     out = per_doc.select(
@@ -753,15 +791,15 @@ def q_exactsubstr_spans(
     data. Output one row per merged span: (doc_id, span_start,
     span_end, n_windows) with 0-based token positions, end exclusive.
 
-    Plan (default, the skew-safe form — VERDICT r12 What's-wrong #1):
-    the session-memoized token_gram_table (posexplode over the shared
-    gram_windows kernel, shared with text_dup_spans — r13; grams
-    travel as 16-hex md5 prefixes), a
-    gram-frequency aggregation — partial-agg'd MAP-SIDE, so the
-    exchange is vocabulary-bounded: a boilerplate gram in millions of
-    documents contributes ONE row per map task, not one per instance —
-    filtered to duplicated grams, then a LEFT SEMI join back to the
-    instances on g. The probe side is a join, so AQE can skew-split it
+    Plan (default, the skew-safe form — VERDICT r12 What's-wrong #1;
+    r14 "dupset" posture): the token_gram_table instance stream
+    (map-side recomputed posexplode over the shared gram_windows
+    kernel, shared with text_dup_spans; grams travel as 16-hex md5
+    prefixes), and the session-memoized dup_token_gram_set — whose
+    build runs the gram-frequency aggregation partial-agg'd MAP-SIDE,
+    so the exchange is vocabulary-bounded: a boilerplate gram in
+    millions of documents contributes ONE row per map task, not one
+    per instance — then a LEFT SEMI join back to the instances on g. The probe side is a join, so AQE can skew-split it
     at runtime, and AQE broadcast-converts the (usually small)
     duplicated-gram set at fixture scales. The A/B'd one-exchange
     alternative — COUNT(*) OVER (PARTITION BY g), 1.13 s vs this
@@ -790,15 +828,12 @@ def q_exactsubstr_spans(
             "doc_id", F.col("pos").cast("long").alias("pos")
         )
     else:
-        dup_g = (
-            grams.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .filter(F.col("_c") >= 2)
-            .select("g")
-        )
-        dup = grams.join(dup_g, "g", "left_semi").select(
-            "doc_id", F.col("pos").cast("long").alias("pos")
-        )
+        # r14 "dupset" posture: the memoized dup-gram set replaces the
+        # in-query frequency agg (built once at artifact build — see
+        # token_gram_table / PERF.md r14)
+        dup = grams.join(
+            dup_token_gram_set(spark, sf_dir), "g", "left_semi"
+        ).select("doc_id", F.col("pos").cast("long").alias("pos"))
     return _merge_dup_spans(dup, L)
 
 
@@ -870,19 +905,23 @@ ORACLE["exactsubstr_spans"] = f"""
 CHAR_SPAN_L = 50  # Lee et al. (ACL 2022) §4.1: 50-char dedup threshold
 
 
-# Storage posture of the char-gram artifact family (VERDICT r13 item 2).
-# The instance table is one row per corpus CHARACTER position (~20–25
-# bytes/char): linear — the same complexity class as the reference
-# algorithm's ~8N suffix array — but a multi-PB distributed cache at the
-# 100TB target. Postures A/B'd at 1×/3×/10× (tools/gram_posture_ab.py,
-# decision recorded in PERF.md r14):
+# Storage posture of the gram-instance artifact family (VERDICT r13
+# item 2, decided for the char side and applied symmetrically to the
+# token side — both instance tables are one row per corpus position
+# (~20–25 bytes each): linear, the same complexity class as the
+# reference algorithm's ~8N suffix array, but a multi-PB distributed
+# cache at the 100TB target. Postures A/B'd at 1×/3×/10×
+# (tools/gram_posture_ab.py, decision recorded in PERF.md r14):
 #   "instances" — persist the full (doc_id, pos, g) explode (r13 shape);
 #   "dupset"    — persist ONLY the duplicated-gram set (count >= 2,
-#                 dup-content-bounded, single 8-byte column) and
-#                 recompute instance positions map-side in each consumer
-#                 (one extra codegen explode per query, zero persisted
+#                 dup-content-bounded, single-column) and recompute
+#                 instance positions map-side in each consumer (one
+#                 extra codegen explode per query, zero persisted
 #                 instance rows).
-CHAR_GRAM_POSTURE = os.environ.get("TEZ_SPARK_CHAR_GRAM_POSTURE", "dupset")
+GRAM_POSTURE = os.environ.get(
+    "TEZ_SPARK_GRAM_POSTURE",
+    os.environ.get("TEZ_SPARK_CHAR_GRAM_POSTURE", "dupset"),
+)
 
 
 def char_windows(df: DataFrame, L: int = CHAR_SPAN_L) -> DataFrame:
@@ -923,7 +962,7 @@ def char_gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-scale use): the session-memoized persisted explode (the
     shingle_table precedent), keyed on the documents fingerprint and
     prewarmed by prewarm_corpus_artifacts."""
-    if CHAR_GRAM_POSTURE != "instances":
+    if GRAM_POSTURE != "instances":
         return char_gram_plan(spark, sf_dir)
     from tez_spark.operators.core import shared_artifact
     from tez_spark.sources.catalog import path_fingerprint

@@ -1573,21 +1573,17 @@ def prewarm_corpus_artifacts(spark: SparkSession, sf_dir: str) -> float:
     winnow_table(spark, sf_dir).count()
     corpus_artifacts(spark, sf_dir)[1].count()
     # r13/r14: the ExactSubstr artifacts. Under the shipped "dupset"
-    # posture the char-side persisted artifact is the dup-gram SET
-    # (instance rows recompute map-side — counting the un-persisted
-    # char_gram_table plan here would explode the corpus for nothing);
-    # under the A/B's "instances" posture it is the full gram table.
-    from tez_spark.functions.text_queries import (
-        CHAR_GRAM_POSTURE,
-        char_gram_table,
-        char_span_table,
-        dup_char_gram_set,
-        token_gram_table,
-    )
+    # posture the persisted artifacts are the dup-gram SETS — char and
+    # token — plus the span table (instance rows recompute map-side;
+    # counting the un-persisted gram plans here would explode the
+    # corpus for nothing); under the A/B's "instances" posture they
+    # are the full gram instance tables.
+    from tez_spark.functions import text_queries as _tq
 
-    if CHAR_GRAM_POSTURE == "instances":
-        char_gram_table(spark, sf_dir).count()
-    dup_char_gram_set(spark, sf_dir).count()
-    char_span_table(spark, sf_dir).count()
-    token_gram_table(spark, sf_dir).count()
+    if _tq.GRAM_POSTURE == "instances":
+        _tq.char_gram_table(spark, sf_dir).count()
+        _tq.token_gram_table(spark, sf_dir).count()
+    _tq.dup_char_gram_set(spark, sf_dir).count()
+    _tq.dup_token_gram_set(spark, sf_dir).count()
+    _tq.char_span_table(spark, sf_dir).count()
     return round(_time.monotonic() - t0, 3)

@@ -45,18 +45,22 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # time_gapfill, train_split, window_sliding); (3) 25 of the 49 oracled
 # queries whose last driver row is round 12 (alphabetically first).
 # Displaced to round 15, union-covered by their r12 rows — these must
-# head the r15 window: percentiles_approx, pii_redact,
-# pmi_collocations, q07–q18, rollup, scalar_funcs, sessionize,
-# set_ops, string_agg, text_dup_spans, tpch01, tpch02, tpch03,
-# unpivot, window_funcs.
+# head the r15 window: multimodal_video, percentiles,
+# percentiles_approx, pii_redact, pmi_collocations, q07–q18, rollup,
+# scalar_funcs, sessionize, set_ops, string_agg, tpch01, tpch02,
+# tpch03, unpivot, window_funcs (text_dup_spans got a fresh r14 row —
+# its plan changed).
 _WINDOW_ROUND = 14
 _PRIORITY: tuple[str, ...] = (
     # 1. plans changed this round — fresh driver rows on the new
     #    shapes: tpch15 (rounded-key global-max join-back, ADVICE r13);
-    #    exactsubstr_chars + decontaminate_chars (char-gram "dupset"
-    #    posture — the persisted artifact is now the dup-gram set and
-    #    the instance stream recomputes map-side, VERDICT r13 item 2)
+    #    exactsubstr_chars + decontaminate_chars + exactsubstr_spans +
+    #    text_dup_spans (gram-artifact "dupset" posture, char AND token
+    #    sides — the persisted artifact is now the dup-gram set and the
+    #    instance stream recomputes map-side, VERDICT r13 item 2;
+    #    text_dup_spans' counts join became a dup-set marker join)
     "tpch15", "exactsubstr_chars", "decontaminate_chars",
+    "exactsubstr_spans", "text_dup_spans",
     # 2. oracled queries whose last driver row is round 11 — age out
     #    of the three-round union at r14
     "pivot", "q01", "q02", "q03", "q04", "q05", "q06",
@@ -74,7 +78,6 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_incremental", "embedding_quantize", "event_anomalies",
     "event_funnel", "event_retention", "interval_join",
     "length_curriculum", "multimodal_decode", "multimodal_frames",
-    "multimodal_video", "percentiles",
 )
 
 

@@ -22,7 +22,10 @@ warm walls for the three consumers (exactsubstr_chars,
 exactsubstr_trim, decontaminate_chars) with shuffle bytes. Fitted
 exponents between the smallest and largest scale land beside each
 posture. Decision recorded in PERF.md r14; the shipped default is
-CHAR_GRAM_POSTURE in tez_spark/functions/text_queries.py.
+GRAM_POSTURE in tez_spark/functions/text_queries.py. r14 extension:
+the token-gram family (text_dup_spans, exactsubstr_spans) is measured
+the same way — its instance table is the same corpus-position-linear
+class, and the shipped posture applies to both sides.
 
 Usage: python tools/gram_posture_ab.py [--scales 1,3,10]
        [--out /tmp/gram_posture_ab.json]
@@ -75,14 +78,15 @@ def main() -> None:
                       shuffle_partitions=32)
     reg = all_queries()
     consumers = ["exactsubstr_chars", "exactsubstr_trim",
-                 "decontaminate_chars"]
+                 "decontaminate_chars", "text_dup_spans",
+                 "exactsubstr_spans"]
 
     results: dict[str, dict] = {}
     for scale in scales:
         sf_dir = gen_fixture(scale)
         print(f"=== scale x{scale}: {sf_dir}", file=sys.stderr, flush=True)
         for posture in ("instances", "dupset"):
-            tq.CHAR_GRAM_POSTURE = posture
+            tq.GRAM_POSTURE = posture
             release_caches()
             release_shared(spark)
             base_bytes = storage_bytes(spark)
@@ -90,7 +94,9 @@ def main() -> None:
             t0 = time.monotonic()
             if posture == "instances":
                 tq.char_gram_table(spark, sf_dir).count()
+                tq.token_gram_table(spark, sf_dir).count()
             tq.dup_char_gram_set(spark, sf_dir).count()
+            tq.dup_token_gram_set(spark, sf_dir).count()
             build_sec = time.monotonic() - t0
             # span table is a downstream memo consumed by trim in BOTH
             # postures; build it apart so trim rows measure the splice
