@@ -165,6 +165,10 @@ def main() -> None:
         # char-level cross-split decontamination: distinct + gram-keyed
         # left join over the shared char-gram artifact — expect ~N^1.0
         ("decontaminate_chars", None),
+        # r14: text_dup_spans joined the posture-flipped family (dup-set
+        # marker join over the recomputed token-gram stream) — expect
+        # ~N^1.0 like its exactsubstr_spans sibling
+        ("text_dup_spans", None),
         # quadratic twins
         ("dedup_ngram_jaccard", 3),
         ("dedup_embedding", None),  # exact all-pairs cosine
