@@ -443,3 +443,20 @@ def test_runtime_bloom_filter_reduces_shuffle_join_probe(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_cms_heavyhitters_topk_is_take_ordered_not_global_window(spark):
+    """r14 self-audit (the tpch15 guard class): the exact top-20 rank
+    must plan as TakeOrderedAndProject (per-partition heaps + a 20-row
+    driver merge), never a row_number window with no partition key —
+    that form moves the ENTIRE distinct-token vocabulary to one
+    WindowExec partition at scale. Fleet-wide twin: tools/gen_plans.py
+    hard-fails on empty-partition windows outside its allowlist."""
+    from tez_spark.plans.registry import all_queries
+
+    df = all_queries()["cms_heavyhitters"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "windowspecdefinition" not in plan, (
+        "a window crept back into the heavy-hitter top-k:\n" + plan[:1500]
+    )

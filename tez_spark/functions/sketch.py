@@ -26,7 +26,7 @@ struct array, one groupBy. No Python in the build path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tez_spark.functions.text import tokens
@@ -105,10 +105,15 @@ def q_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens("text")).alias("tok"))
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    w = Window.orderBy(F.desc("exact_cnt"), F.asc("tok"))
+    # top-20 via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps + a 20-row driver merge — the q13/q14 pattern), NEVER a
+    # row_number window with no partition key: that form moves the
+    # ENTIRE distinct-token vocabulary to one partition (r14 self-audit
+    # — the same WindowExec class as the r13 tpch15 finding). The
+    # (exact_cnt desc, tok asc) total order makes the cut deterministic.
     top = (
-        exact.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        exact.orderBy(F.desc("exact_cnt"), F.asc("tok"))
+        .limit(20)
         .select("tok", "exact_cnt")
     )
     # N = total tokens: a single-row re-agg of the exact wordcount

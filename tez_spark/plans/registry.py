@@ -45,11 +45,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # time_gapfill, train_split, window_sliding); (3) 25 of the 49 oracled
 # queries whose last driver row is round 12 (alphabetically first).
 # Displaced to round 15, union-covered by their r12 rows — these must
-# head the r15 window: multimodal_video, percentiles,
-# percentiles_approx, pii_redact, pmi_collocations, q07–q18, rollup,
-# scalar_funcs, sessionize, set_ops, string_agg, tpch01, tpch02,
-# tpch03, unpivot, window_funcs (text_dup_spans got a fresh r14 row —
-# its plan changed).
+# head the r15 window: multimodal_frames, multimodal_video,
+# percentiles, percentiles_approx, pii_redact, pmi_collocations,
+# q07–q18, rollup, scalar_funcs, sessionize, set_ops, string_agg,
+# tpch01, tpch02, tpch03, unpivot, window_funcs (text_dup_spans got a
+# fresh r14 row — its plan changed).
 _WINDOW_ROUND = 14
 _PRIORITY: tuple[str, ...] = (
     # 1. plans changed this round — fresh driver rows on the new
@@ -58,9 +58,13 @@ _PRIORITY: tuple[str, ...] = (
     #    text_dup_spans (gram-artifact "dupset" posture, char AND token
     #    sides — the persisted artifact is now the dup-gram set and the
     #    instance stream recomputes map-side, VERDICT r13 item 2;
-    #    text_dup_spans' counts join became a dup-set marker join)
+    #    text_dup_spans' counts join became a dup-set marker join);
+    #    cms_heavyhitters (r14 self-audit: the top-20 rank ran as a
+    #    row_number window with NO partition key — the whole token
+    #    vocabulary on one partition at scale; now orderBy+limit,
+    #    TakeOrderedAndProject)
     "tpch15", "exactsubstr_chars", "decontaminate_chars",
-    "exactsubstr_spans", "text_dup_spans",
+    "exactsubstr_spans", "text_dup_spans", "cms_heavyhitters",
     # 2. oracled queries whose last driver row is round 11 — age out
     #    of the three-round union at r14
     "pivot", "q01", "q02", "q03", "q04", "q05", "q06",
@@ -77,7 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "editdistance_discovery", "embedding_centroids",
     "embedding_incremental", "embedding_quantize", "event_anomalies",
     "event_funnel", "event_retention", "interval_join",
-    "length_curriculum", "multimodal_decode", "multimodal_frames",
+    "length_curriculum", "multimodal_decode",
 )
 
 
