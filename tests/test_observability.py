@@ -726,6 +726,19 @@ def test_analyze_log_cli_runs_every_analyzer(tmp_path):
         assert section in out, section
     assert out["hung_tasks"] == [] and out["input_read_errors"] == []
     assert [r["task_id"] for r in out["slow_tasks"]] == [1, 0]
+    # r14 sections: swimlane always present; counter_diff only with --diff
+    assert [r["task_id"] for r in out["swimlane"]] == [0, 1]
+    assert "counter_diff" not in out
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "analyze_log.py"),
+         str(p), "--diff", str(p)],
+        capture_output=True, text=True, timeout=120, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    diff_out = json.loads(proc.stdout)
+    assert diff_out["counter_diff"] and all(
+        r["delta"] == 0 for r in diff_out["counter_diff"]
+    )
 
 
 def test_hung_task_last_attempt_across_stage_retries(tmp_path):
