@@ -879,3 +879,55 @@ def test_maintain_exactsubstr_crash_replay_recomputes_identical_spans(
     n1 = spark.read.parquet(str(store1 / "gramfreq" / "batch_0")).count()
     n2 = spark.read.parquet(str(store2 / "gramfreq" / "batch_0")).count()
     assert n2 == n1 > 0, "replay erased or mutated the committed delta"
+
+
+def test_maintain_exactsubstr_cross_batch_crossing_retroreports(
+    spark, tmp_path
+):
+    """The 1 -> >=2 crossing between two ARRIVAL batches (neither side
+    in the seed corpus): batch 0 carries a unique doc X — reports
+    nothing, stores X's grams as singleton witnesses; batch 1 carries a
+    copy of X — and must report BOTH the copy's span AND X's span
+    retro-actively from the stored witnesses. Covers the store-to-store
+    crossing the corpus-vs-arrival equivalence test doesn't isolate."""
+    import glob
+    import shutil
+
+    from tez_spark.streaming.ingest import maintain_exactsubstr
+
+    # non-self-repetitive: every 50-char window inside X is distinct
+    # (a repeating phrase would make batch 0 self-duplicated — correct
+    # behavior, but not the crossing this test isolates)
+    text_x = " ".join(f"uniqword{i:03d}" for i in range(24))  # 311 chars
+    arrivals = [
+        (9_200_001, text_x),             # batch 0: singleton
+        (9_200_002, text_x),             # batch 1: duplicates batch 0
+    ]
+    stream_dir = str(tmp_path / "arrivals")
+    os.makedirs(stream_dir)
+    for i, row in enumerate(arrivals):
+        spark.createDataFrame([row], "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(os.path.join(stream_dir, f"a{i}"))
+    for i, f in enumerate(
+        sorted(glob.glob(os.path.join(stream_dir, "a*", "*.parquet")))
+    ):
+        shutil.move(f, os.path.join(stream_dir, f"batch_{i}.parquet"))
+    for d in glob.glob(os.path.join(stream_dir, "a[0-9]")):
+        shutil.rmtree(d)
+
+    reported: dict[int, list] = {}
+    maintain_exactsubstr(
+        spark, SF_DIR, str(tmp_path / "store"), stream_dir,
+        lambda spans, bid: reported.update({bid: spans.collect()}),
+    )
+    assert reported[0] == [], "singleton batch must report nothing"
+    got = {(r.doc_id, r.span_start, r.span_end) for r in reported[1]}
+    # both docs' full text is one maximal duplicated span (the final
+    # space of the last repeat carries no 50-char window start beyond
+    # len-50, so span_end == len(text))
+    n = len(text_x)
+    assert got == {(9_200_001, 0, n), (9_200_002, 0, n)}, got
+    # every window position counted exactly once per doc
+    for r in reported[1]:
+        assert r.n_windows == n - 50 + 1
