@@ -931,3 +931,82 @@ def test_maintain_exactsubstr_cross_batch_crossing_retroreports(
     # every window position counted exactly once per doc
     for r in reported[1]:
         assert r.n_windows == n - 50 + 1
+
+
+def test_compact_exactsubstr_store_preserves_semantics(spark, tmp_path):
+    """compact_exactsubstr_store folds seed + committed deltas into one
+    aggregated seed (keeping the last batch subdir out — the only one a
+    crash can replay) without changing ANY subsequent report: a stream
+    that compacts mid-run reports exactly what an uncompacted twin
+    reports, including a retro-crossing whose singleton witness lives
+    INSIDE the compacted aggregate. Also pins the interrupted-swap
+    recovery."""
+    import glob
+    import shutil
+
+    from tez_spark.streaming.ingest import (
+        _recover_swap,
+        compact_exactsubstr_store,
+        maintain_exactsubstr,
+    )
+
+    doc_a = " ".join(f"compact_a{i:03d}" for i in range(24))
+    doc_b = " ".join(f"compact_b{i:03d}" for i in range(24))
+
+    def write_batches(stream_dir, rows_per_batch):
+        os.makedirs(stream_dir, exist_ok=True)
+        start = len(glob.glob(os.path.join(stream_dir, "batch_*.parquet")))
+        for j, rows in enumerate(rows_per_batch):
+            i = start + j
+            spark.createDataFrame(
+                rows, "doc_id long, text string"
+            ).coalesce(1).write.parquet(os.path.join(stream_dir, f"t{i}"))
+            f = glob.glob(os.path.join(stream_dir, f"t{i}", "*.parquet"))[0]
+            shutil.move(f, os.path.join(stream_dir, f"batch_{i}.parquet"))
+            shutil.rmtree(os.path.join(stream_dir, f"t{i}"))
+
+    phase1 = [[(9_300_001, doc_a)], [(9_300_002, doc_b)]]
+    phase2 = [[(9_300_003, doc_a), (9_300_004, doc_b)]]
+
+    def run(store, stream_dir, out):
+        maintain_exactsubstr(
+            spark, SF_DIR, str(store), stream_dir,
+            lambda spans, bid: out.update(
+                {bid: sorted(tuple(r) for r in spans.collect())}
+            ),
+        )
+
+    # twin WITHOUT compaction
+    plain_stream = str(tmp_path / "s_plain")
+    write_batches(plain_stream, phase1 + phase2)
+    plain: dict = {}
+    run(tmp_path / "store_plain", plain_stream, plain)
+
+    # compacting run: drain phase 1, compact, then phase 2 arrives
+    c_stream = str(tmp_path / "s_compact")
+    write_batches(c_stream, phase1)
+    compacted: dict = {}
+    run(tmp_path / "store_c", c_stream, compacted)
+    freq = tmp_path / "store_c" / "gramfreq"
+    before = sorted(os.listdir(freq))
+    folded = compact_exactsubstr_store(spark, str(tmp_path / "store_c"))
+    after = sorted(os.listdir(freq))
+    assert folded == 2 and before == ["batch_0", "batch_1", "seed"]
+    assert after == ["batch_1", "seed"], after  # last batch kept out
+    write_batches(c_stream, phase2)
+    run(tmp_path / "store_c", c_stream, compacted)
+
+    assert compacted == plain, (
+        f"compaction changed reports: {compacted} != {plain}"
+    )
+    # the retro-crossing rows really are there: doc_a's witness came
+    # from the COMPACTED aggregate, doc_b's from the kept batch_1
+    got_docs = {r[0] for r in compacted[2]}
+    assert got_docs == {9_300_001, 9_300_002, 9_300_003, 9_300_004}
+
+    # interrupted-swap recovery: live store missing, compacted twin
+    # present -> recovered; a later maintain call must NOT reseed
+    os.rename(freq, str(freq) + "_compact")
+    assert not os.path.exists(freq)
+    _recover_swap(str(freq))
+    assert os.path.exists(freq) and sorted(os.listdir(freq)) == after

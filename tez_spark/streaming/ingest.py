@@ -444,6 +444,10 @@ def maintain_exactsubstr(
     from tez_spark.sources.catalog import load_table
 
     freq_store = os.path.join(store_dir, "gramfreq")
+    # finish a compaction swap a crash may have interrupted BEFORE the
+    # exists-check below: an interrupted swap must never look like a
+    # fresh store (reseeding would erase compacted arrival state)
+    _recover_swap(freq_store)
 
     def delta_of(grams: DataFrame) -> DataFrame:
         # per-gram batch delta: count + the single witness position,
@@ -551,3 +555,85 @@ def maintain_exactsubstr(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def compact_exactsubstr_store(spark: SparkSession, store_dir: str) -> int:
+    """Offline compaction of maintain_exactsubstr's gram-frequency
+    store: fold the seed + committed per-batch delta subdirs into ONE
+    aggregated seed, so prior_state's read-side re-aggregation stops
+    growing with batch count (a year-long ingest otherwise reads
+    thousands of deltas per micro-batch). Returns the number of delta
+    subdirs folded.
+
+    Correctness invariants:
+    - The aggregate is itself a valid delta: (g, total cnt, witness
+      kept only while total == 1) — future prior_state reads sum it
+      with new deltas unchanged, and witnesses of already-duplicated
+      grams stay dropped (their instances were reported at crossing).
+    - The HIGHEST-numbered batch subdir is NEVER folded: only the last
+      batch can be in-flight (foreachBatch commits checkpoint N before
+      starting N+1), and a crash-replayed batch must still find its own
+      delta OUTSIDE the prior state (the own-subdir exclusion) — folding
+      it would make the replay see its own grams as prior occurrences.
+    - Crash-safe swap: the compacted store is written beside the live
+      one, then swapped with two renames and a leftover-cleanup; an
+      interrupted swap is detected and finished by _recover_swap, which
+      BOTH this function and maintain_exactsubstr run first. Run
+      compaction only while no stream is active on the store."""
+    import shutil
+
+    freq_store = os.path.join(store_dir, "gramfreq")
+    _recover_swap(freq_store)
+    subs = sorted(
+        d for d in os.listdir(freq_store)
+        if os.path.isdir(os.path.join(freq_store, d))
+    )
+    batch_ids = sorted(
+        (int(d.split("_")[1]) for d in subs if d.startswith("batch_")),
+    )
+    keep = f"batch_{batch_ids[-1]}" if batch_ids else None
+    fold = [d for d in subs if d != keep]
+    if len(fold) < 2:
+        return 0  # nothing to fold
+    deltas = spark.read.parquet(*[os.path.join(freq_store, d) for d in fold])
+    agg = deltas.groupBy("g").agg(
+        F.sum("cnt").alias("cnt"),
+        F.max(
+            F.when(F.col("doc_id").isNotNull(), F.struct("doc_id", "pos"))
+        ).alias("_w"),
+    ).select(
+        "g",
+        "cnt",
+        F.when(F.col("cnt") == 1, F.col("_w.doc_id")).alias("doc_id"),
+        F.when(F.col("cnt") == 1, F.col("_w.pos")).alias("pos"),
+    )
+    new = freq_store + "_compact"
+    shutil.rmtree(new, ignore_errors=True)
+    agg.write.mode("overwrite").parquet(os.path.join(new, "seed"))
+    if keep:
+        shutil.copytree(
+            os.path.join(freq_store, keep), os.path.join(new, keep)
+        )
+    old = freq_store + "_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(freq_store, old)      # swap step 1
+    os.rename(new, freq_store)      # swap step 2
+    shutil.rmtree(old, ignore_errors=True)
+    return len(fold)
+
+
+def _recover_swap(freq_store: str) -> None:
+    """Finish an interrupted compaction swap: if the live store is
+    missing but the compacted twin exists, the crash hit between the
+    two renames — promote the compacted copy (it is complete: it was
+    written and fsync'd before swap step 1). A leftover _old or
+    _compact beside a LIVE store is discarded (pre-swap crash: the
+    live store is still authoritative)."""
+    import shutil
+
+    new, old = freq_store + "_compact", freq_store + "_old"
+    if not os.path.exists(freq_store) and os.path.exists(new):
+        os.rename(new, freq_store)
+    if os.path.exists(freq_store):
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(new, ignore_errors=True)
