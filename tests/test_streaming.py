@@ -1005,8 +1005,12 @@ def test_compact_exactsubstr_store_preserves_semantics(spark, tmp_path):
     assert got_docs == {9_300_001, 9_300_002, 9_300_003, 9_300_004}
 
     # interrupted-swap recovery: live store missing, compacted twin
-    # present -> recovered; a later maintain call must NOT reseed
+    # present -> recovered; a later maintain call must NOT reseed.
+    # Recapture the listing NOW — phase 2 legitimately committed a new
+    # batch_2 delta after the `after` snapshot was taken (VERDICT r14).
+    final = sorted(os.listdir(freq))
+    assert final == sorted(after + ["batch_2"]), final
     os.rename(freq, str(freq) + "_compact")
     assert not os.path.exists(freq)
     _recover_swap(str(freq))
-    assert os.path.exists(freq) and sorted(os.listdir(freq)) == after
+    assert os.path.exists(freq) and sorted(os.listdir(freq)) == final
