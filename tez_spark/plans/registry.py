@@ -31,57 +31,42 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # driver dropping this round's own CORRECTNESS file no longer flips the
 # guard red at judging time.
 #
-# Round-14 window (VERDICT r13 item 1 executed): (1) tpch15, whose
-# persist-variant plan CHANGED this round (the global-max join-back now
-# matches on round(·,4) keys on both sides — ADVICE r13's ulp-drift
-# hazard) — plan changes get a fresh driver row (the r13
-# exactsubstr_spans precedent); (2) the 24 oracled queries whose last
-# driver row is round 11 — their r11 rows leave the three-round union
-# at r14, so they MUST be here (exactly the displacement the r13
-# comment scheduled: pivot, q01–q06, regex_tokens, seq_pack,
-# source_cap, source_mix, source_quality, star_join,
-# stratified_sample, text_fingerprint, text_langid, text_logprob,
-# text_metrics, text_repetition, text_winnow, tfidf_top_terms,
-# time_gapfill, train_split, window_sliding); (3) 25 of the 49 oracled
-# queries whose last driver row is round 12 (alphabetically first).
-# Displaced to round 15, union-covered by their r12 rows — these must
-# head the r15 window: multimodal_frames, multimodal_video,
-# percentiles, percentiles_approx, pii_redact, pmi_collocations,
-# q07–q18, rollup, scalar_funcs, sessionize, set_ops, string_agg,
-# tpch01, tpch02, tpch03, unpivot, window_funcs (text_dup_spans got a
-# fresh r14 row — its plan changed).
-_WINDOW_ROUND = 14
+# Round-15 window (VERDICT r14 item 2 executed; ADVICE r14 corrected
+# the r14 comment's miscount — r14 group 3 actually carried 20
+# r12-rowed queries, leaving 28, not 24, displaced here; the list
+# below is re-derived directly from CORRECTNESS_r12 − r13 − r14):
+# (1) the 28 oracled queries whose last driver row is round 12 — their
+# r12 rows leave the three-round union at r15, so they MUST be here:
+# multimodal_frames, multimodal_video, percentiles, percentiles_approx,
+# pii_redact, pmi_collocations, q07–q18, rollup, scalar_funcs,
+# sessionize, set_ops, string_agg, tpch01–tpch03, unpivot,
+# window_funcs; (2) 22 of the 45 oracled queries whose last driver row
+# is round 13 (alphabetically first — ann_incremental through
+# exactsubstr_trim). Displaced to round 16, union-covered by their r13
+# rows — these must head the r16 window: exists_subquery,
+# grouping_sets, json_extract, multimodal_audio, tpch04–tpch14,
+# tpch16–tpch22, weighted_sample (23 queries).
+_WINDOW_ROUND = 15
 _PRIORITY: tuple[str, ...] = (
-    # 1. plans changed this round — fresh driver rows on the new
-    #    shapes: tpch15 (rounded-key global-max join-back, ADVICE r13);
-    #    exactsubstr_chars + decontaminate_chars + exactsubstr_spans +
-    #    text_dup_spans (gram-artifact "dupset" posture, char AND token
-    #    sides — the persisted artifact is now the dup-gram set and the
-    #    instance stream recomputes map-side, VERDICT r13 item 2;
-    #    text_dup_spans' counts join became a dup-set marker join);
-    #    cms_heavyhitters (r14 self-audit: the top-20 rank ran as a
-    #    row_number window with NO partition key — the whole token
-    #    vocabulary on one partition at scale; now orderBy+limit,
-    #    TakeOrderedAndProject)
-    "tpch15", "exactsubstr_chars", "decontaminate_chars",
-    "exactsubstr_spans", "text_dup_spans", "cms_heavyhitters",
-    # 2. oracled queries whose last driver row is round 11 — age out
-    #    of the three-round union at r14
-    "pivot", "q01", "q02", "q03", "q04", "q05", "q06",
-    "regex_tokens", "seq_pack", "source_cap", "source_mix",
-    "source_quality", "star_join", "stratified_sample",
-    "text_fingerprint", "text_langid", "text_logprob", "text_metrics",
-    "text_repetition", "text_winnow", "tfidf_top_terms",
-    "time_gapfill", "train_split", "window_sliding",
-    # 3. oracled queries whose last driver row is round 12
-    #    (alphabetically first 25)
-    "ann_ivf", "ann_topk", "audio_features", "bpe_segment",
-    "bpe_train", "cross_join_chunked", "decontaminate",
-    "dedup_embedding", "dedup_embedding_lsh", "dedup_ngram_jaccard",
-    "editdistance_discovery", "embedding_centroids",
-    "embedding_incremental", "embedding_quantize", "event_anomalies",
-    "event_funnel", "event_retention", "interval_join",
-    "length_curriculum", "multimodal_decode",
+    # 1. oracled queries whose last driver row is round 12 — age out
+    #    of the three-round union at r15
+    "multimodal_frames", "multimodal_video", "percentiles",
+    "percentiles_approx", "pii_redact", "pmi_collocations",
+    "q07", "q08", "q09", "q10", "q11", "q12", "q13", "q14", "q15",
+    "q16", "q17", "q18", "rollup", "scalar_funcs", "sessionize",
+    "set_ops", "string_agg", "tpch01", "tpch02", "tpch03", "unpivot",
+    "window_funcs",
+    # 2. oracled queries whose last driver row is round 13
+    #    (alphabetically first 22) — they age out at r16, so pulling
+    #    the head of that cohort forward keeps the r16 displacement
+    #    at 23
+    "ann_incremental", "ann_lsh", "approx_distinct", "argmax_funcs",
+    "asof_join", "column_profile", "cross_join_bucketed", "cube",
+    "curation_pipeline", "curation_pipeline_lsh", "date_funcs",
+    "decontaminate_ngram", "dedup_clusters", "dedup_editdistance",
+    "dedup_embedding_clusters", "dedup_exact", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_winnow", "doc_chunk",
+    "exactsubstr_trim",
 )
 
 
