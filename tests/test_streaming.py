@@ -521,10 +521,10 @@ def test_streaming_ann_partial_seed_index_rebuilt(spark, tmp_path):
 
 def test_streaming_ann_crash_replay_probes_prior_content_only(spark, tmp_path):
     """Crash between a batch's append write and its checkpoint commit:
-    the replayed batch finds its OWN append_{bid} dir on disk and must
-    still probe prior content only — neighbors never come from the
-    batch itself, and the replayed report equals the original run's
-    (r6 advice: store_vectors used to union every append_* dir)."""
+    the replayed batch finds its OWN appends/batch_{bid} subdir on disk
+    and must still probe prior content only — neighbors never come from
+    the batch itself, and the replayed report equals the original run's
+    (r6 advice: store_vectors used to union every append subdir)."""
     import glob
     import shutil
 
@@ -543,21 +543,21 @@ def test_streaming_ann_crash_replay_probes_prior_content_only(spark, tmp_path):
     shutil.move(f, os.path.join(stream_dir, "batch_0.parquet"))
     shutil.rmtree(os.path.join(stream_dir, "b0"))
 
-    # clean first run: builds the seed index and writes append_0
+    # clean first run: builds the seed index and writes appends/batch_0
     store1 = tmp_path / "store1"
     first = {}
     maintain_ann(
         spark, SF_DIR, str(store1), stream_dir,
         lambda t, b: first.update({b: {tuple(r) for r in t.collect()}}), k=3,
     )
-    assert 0 in first and os.path.isdir(store1 / "append_0")
+    assert 0 in first and os.path.isdir(store1 / "appends" / "batch_0")
 
-    # simulated crash replay: same seed index AND append_0 already on
+    # simulated crash replay: same seed index AND batch_0 append already
     # disk, but a FRESH checkpoint — batch 0 re-fires
     store2 = tmp_path / "store2"
     os.makedirs(store2)
     shutil.copytree(store1 / "index", store2 / "index")
-    shutil.copytree(store1 / "append_0", store2 / "append_0")
+    shutil.copytree(store1 / "appends", store2 / "appends")
     replayed = {}
     maintain_ann(
         spark, SF_DIR, str(store2), stream_dir,
@@ -1014,3 +1014,287 @@ def test_compact_exactsubstr_store_preserves_semantics(spark, tmp_path):
     assert not os.path.exists(freq)
     _recover_swap(str(freq))
     assert os.path.exists(freq) and sorted(os.listdir(freq)) == final
+
+
+def _write_doc_batches(spark, stream_dir, rows_per_batch):
+    """Append one single-file parquet micro-batch per row list (the
+    file-stream source reads files in name order, maxFilesPerTrigger=1)."""
+    import glob
+    import shutil
+
+    os.makedirs(stream_dir, exist_ok=True)
+    start = len(glob.glob(os.path.join(stream_dir, "batch_*.parquet")))
+    for j, rows in enumerate(rows_per_batch):
+        i = start + j
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.parquet(os.path.join(stream_dir, f"t{i}"))
+        f = glob.glob(os.path.join(stream_dir, f"t{i}", "*.parquet"))[0]
+        shutil.move(f, os.path.join(stream_dir, f"batch_{i}.parquet"))
+        shutil.rmtree(os.path.join(stream_dir, f"t{i}"))
+
+
+def _assert_interrupted_swap_recovers(delta_dir):
+    """Shared tail assertion: simulate the crash window between the two
+    swap renames (live store gone, compacted twin present) and pin that
+    _recover_swap restores the exact current listing."""
+    from tez_spark.streaming.ingest import _recover_swap
+
+    final = sorted(os.listdir(delta_dir))
+    os.rename(delta_dir, str(delta_dir) + "_compact")
+    assert not os.path.exists(delta_dir)
+    _recover_swap(str(delta_dir))
+    assert os.path.exists(delta_dir) and sorted(os.listdir(delta_dir)) == final
+
+
+def test_compact_dedup_store_preserves_semantics(spark, tmp_path):
+    """compact_dedup_store folds seed + committed shingle/band deltas
+    into one seed per table (keeping the last batch subdir out) without
+    changing ANY subsequent report: a stream that compacts mid-run
+    reports exactly what an uncompacted twin reports, including a pair
+    whose prior-side signatures live INSIDE the compacted aggregate."""
+    from tez_spark.streaming.ingest import compact_dedup_store, maintain_dedup
+
+    base_a = " ".join(f"cdedup_a{i:03d}" for i in range(30))
+    base_b = " ".join(f"cdedup_b{i:03d}" for i in range(30))
+    phase1 = [[(9_400_001, base_a)], [(9_400_002, base_b)]]
+    # near-dup of the PHASE-1 doc_a (one trailing token changed): its
+    # prior-side signatures sit in the folded seed after compaction
+    phase2 = [[(9_400_003, base_a[: -len("a029")] + "zzzz")]]
+
+    def run(store, stream_dir, out):
+        maintain_dedup(
+            spark, SF_DIR, str(store), stream_dir,
+            lambda pairs, bid: out.update(
+                {bid: sorted((r.da, r.db, round(r.j, 6)) for r in pairs.collect())}
+            ),
+        )
+
+    plain_stream = str(tmp_path / "s_plain")
+    _write_doc_batches(spark, plain_stream, phase1 + phase2)
+    plain: dict = {}
+    run(tmp_path / "store_plain", plain_stream, plain)
+
+    c_stream = str(tmp_path / "s_compact")
+    _write_doc_batches(spark, c_stream, phase1)
+    compacted: dict = {}
+    run(tmp_path / "store_c", c_stream, compacted)
+    sh = tmp_path / "store_c" / "shingles"
+    bands = tmp_path / "store_c" / "bands"
+    folded = compact_dedup_store(spark, str(tmp_path / "store_c"))
+    # both tables folded seed+batch_0, each keeping batch_1 out
+    assert folded == 4
+    assert sorted(os.listdir(sh)) == ["batch_1", "seed"]
+    assert sorted(os.listdir(bands)) == ["batch_1", "seed"]
+    _write_doc_batches(spark, c_stream, phase2)
+    run(tmp_path / "store_c", c_stream, compacted)
+
+    assert compacted == plain, (
+        f"compaction changed reports: {compacted} != {plain}"
+    )
+    # the cross-compaction pair really is there: doc_a arrived in
+    # batch_0 (now folded into the seed), its near-dup in batch_2
+    assert any(da == 9_400_001 and db == 9_400_003 for da, db, _ in compacted[2])
+
+    _assert_interrupted_swap_recovers(sh)
+    _assert_interrupted_swap_recovers(bands)
+
+
+def test_compact_ann_store_preserves_semantics(spark, tmp_path):
+    """compact_ann_store folds committed per-batch vector appends into
+    one cell-partitioned seed (keeping the last batch out) without
+    changing ANY subsequent report: a stream that compacts mid-run
+    reports exactly what an uncompacted twin reports, including
+    neighbors drawn from the folded appends."""
+    import glob
+    import shutil
+
+    from tez_spark.sources.catalog import load_table
+    from tez_spark.streaming.ingest import compact_ann_store, maintain_ann
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    h = F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8"))
+    arrivals = emb.filter(F.substring(h, 1, 2) >= "e6").select(
+        "vec_id", "embedding"
+    )
+
+    # 4 arrival batches: the appends store has no seed subdir (the seed
+    # is the index itself), so a real fold needs >= 3 committed batches
+    def write_vec_batches(stream_dir, parts):
+        os.makedirs(stream_dir, exist_ok=True)
+        start = len(glob.glob(os.path.join(stream_dir, "batch_*.parquet")))
+        for j, p in enumerate(parts):
+            i = start + j
+            arrivals.filter(F.col("vec_id") % 4 == p).coalesce(1).write.parquet(
+                os.path.join(stream_dir, f"t{i}")
+            )
+            f = glob.glob(os.path.join(stream_dir, f"t{i}", "*.parquet"))[0]
+            shutil.move(f, os.path.join(stream_dir, f"batch_{i}.parquet"))
+            shutil.rmtree(os.path.join(stream_dir, f"t{i}"))
+
+    def run(store, stream_dir, out):
+        maintain_ann(
+            spark, SF_DIR, str(store), stream_dir,
+            lambda topk, bid: out.update(
+                {bid: sorted(
+                    (r.q_id, r.vec_id, round(r.sim, 6), r.rn)
+                    for r in topk.collect()
+                )}
+            ),
+            k=3,
+        )
+
+    plain_stream = str(tmp_path / "s_plain")
+    write_vec_batches(plain_stream, [0, 1, 2, 3])
+    plain: dict = {}
+    run(tmp_path / "store_plain", plain_stream, plain)
+
+    c_stream = str(tmp_path / "s_compact")
+    write_vec_batches(c_stream, [0, 1, 2])
+    compacted: dict = {}
+    run(tmp_path / "store_c", c_stream, compacted)
+    appends = tmp_path / "store_c" / "appends"
+    folded = compact_ann_store(spark, str(tmp_path / "store_c"))
+    assert folded == 2 and sorted(os.listdir(appends)) == ["batch_2", "seed"]
+    # the folded seed kept the cell partitioning (probe-path pruning)
+    assert glob.glob(os.path.join(appends, "seed", "cell=*")), (
+        "compacted ANN seed lost its cell partitioning"
+    )
+    write_vec_batches(c_stream, [3])
+    run(tmp_path / "store_c", c_stream, compacted)
+
+    assert compacted == plain, (
+        f"compaction changed reports: {compacted} != {plain}"
+    )
+    # batch 3's neighbors include earlier-batch arrivals (the folded
+    # appends really are probed)
+    batch_ids = {r.vec_id for r in arrivals.select("vec_id").collect()}
+    n_from_arrivals = {v for _, v, _, _ in compacted[3] if v in batch_ids}
+    assert n_from_arrivals, "no neighbors drawn from folded appends"
+
+    _assert_interrupted_swap_recovers(appends)
+
+
+def test_compact_decontaminate_store_preserves_semantics(spark, tmp_path):
+    """compact_decontaminate_store folds seed + committed distinct-gram
+    deltas into one seed (keeping the last batch out) without changing
+    ANY subsequent report: a stream that compacts mid-run reports
+    exactly what an uncompacted twin reports — grams first seen before
+    the compaction stay 'seen' (no double counting), grams first seen
+    after it still report."""
+    from collections import defaultdict
+
+    from tez_spark.sources.catalog import load_table
+    from tez_spark.streaming.ingest import (
+        compact_decontaminate_store,
+        maintain_decontaminate,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    train = docs.filter(F.substring(h, 1, 2) < "e6").select("doc_id", "text")
+    parts = [
+        [tuple(r) for r in train.filter(F.col("doc_id") % 3 == i).collect()]
+        for i in range(3)
+    ]
+
+    def run(store, stream_dir, out):
+        maintain_decontaminate(
+            spark, SF_DIR, str(store), stream_dir,
+            lambda inc, bid: out.update(
+                {bid: sorted(
+                    (r.doc_id, r.n_new_shared_grams) for r in inc.collect()
+                )}
+            ),
+        )
+
+    plain_stream = str(tmp_path / "s_plain")
+    _write_doc_batches(spark, plain_stream, parts)
+    plain: dict = {}
+    run(tmp_path / "store_plain", plain_stream, plain)
+
+    c_stream = str(tmp_path / "s_compact")
+    _write_doc_batches(spark, c_stream, parts[:2])
+    compacted: dict = {}
+    run(tmp_path / "store_c", c_stream, compacted)
+    grams = tmp_path / "store_c" / "grams"
+    folded = compact_decontaminate_store(spark, str(tmp_path / "store_c"))
+    assert folded == 2 and sorted(os.listdir(grams)) == ["batch_1", "seed"]
+    _write_doc_batches(spark, c_stream, parts[2:])
+    run(tmp_path / "store_c", c_stream, compacted)
+
+    assert compacted == plain, (
+        f"compaction changed reports: {compacted} != {plain}"
+    )
+    # summed increments still equal the batch query (the existing
+    # equivalence, now across a compaction boundary)
+    totals: dict[int, int] = defaultdict(int)
+    for rows in compacted.values():
+        for doc_id, n in rows:
+            totals[doc_id] += n
+    from tez_spark.plans.registry import all_queries
+
+    want_rows = all_queries()["decontaminate_ngram"](spark, SF_DIR).collect()
+    want = {r.doc_id: r.n_shared_grams for r in want_rows if r.n_shared_grams > 0}
+    assert dict(totals) == want
+
+    _assert_interrupted_swap_recovers(grams)
+
+
+def test_guard_store_checkpoint_rejects_forgotten_commits(spark, tmp_path):
+    """ADVICE r14: a kept store + deleted/foreign checkpoint must refuse
+    to stream — batch ids would restart at 0 and overwrite committed
+    deltas. Unit-pins the shared guard's boundary (at most ONE batch
+    beyond the last commit — the single legitimately in-flight batch a
+    crash can leave), then end-to-end: maintain_exactsubstr on a
+    multi-batch store whose checkpoint was deleted raises before any
+    write."""
+    import pytest
+
+    from tez_spark.streaming.ingest import (
+        _guard_store_checkpoint,
+        maintain_exactsubstr,
+    )
+
+    # unit boundary: commits up to 1 -> batch_2 in-flight ok, batch_3 not
+    store = tmp_path / "u"
+    delta = store / "gramfreq"
+    for d in ("checkpoint/commits", "gramfreq/seed"):
+        os.makedirs(store / d)
+    for c in ("0", "1"):
+        (store / "checkpoint" / "commits" / c).write_text("")
+    for b in ("batch_0", "batch_1", "batch_2"):
+        os.makedirs(delta / b)
+    _guard_store_checkpoint(str(store), str(delta))  # in-flight: allowed
+    os.makedirs(delta / "batch_3")
+    with pytest.raises(ValueError, match="committed only up to 1"):
+        _guard_store_checkpoint(str(store), str(delta))
+    # missing checkpoint: only a lone batch_0 is ambiguous-and-allowed
+    store2 = tmp_path / "u2"
+    os.makedirs(store2 / "gramfreq" / "batch_0")
+    _guard_store_checkpoint(str(store2), str(store2 / "gramfreq"))
+    os.makedirs(store2 / "gramfreq" / "batch_1")
+    with pytest.raises(ValueError):
+        _guard_store_checkpoint(str(store2), str(store2 / "gramfreq"))
+
+    # end-to-end: build a real 2-batch store, delete its checkpoint,
+    # assert the restart refuses and the store is untouched
+    import shutil
+
+    doc_a = " ".join(f"guard_a{i:03d}" for i in range(24))
+    doc_b = " ".join(f"guard_b{i:03d}" for i in range(24))
+    stream_dir = str(tmp_path / "s")
+    _write_doc_batches(
+        spark, stream_dir, [[(9_500_001, doc_a)], [(9_500_002, doc_b)]]
+    )
+    e2e_store = tmp_path / "store"
+    maintain_exactsubstr(
+        spark, SF_DIR, str(e2e_store), stream_dir, lambda s, b: s.collect()
+    )
+    shutil.rmtree(e2e_store / "checkpoint")
+    before = sorted(os.listdir(e2e_store / "gramfreq"))
+    with pytest.raises(ValueError, match="overwrite committed deltas"):
+        maintain_exactsubstr(
+            spark, SF_DIR, str(e2e_store), stream_dir, lambda s, b: None
+        )
+    assert sorted(os.listdir(e2e_store / "gramfreq")) == before

@@ -68,6 +68,9 @@ def maintain_dedup(
     # downstream Jaccard via inflated na/nb counts.
     sh_store = os.path.join(store_dir, "shingles")
     band_store = os.path.join(store_dir, "bands")
+    _recover_swap(sh_store)
+    _recover_swap(band_store)
+    _guard_store_checkpoint(store_dir, sh_store, band_store)
     if not os.path.exists(sh_store):
         docs = load_table(spark, sf_dir, "documents")
         h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
@@ -183,6 +186,9 @@ def maintain_ann(
     # means a crash mid-seed-build followed by a stream restart rebuilds
     # instead of probing a vectors-less or partial index.
     idx = os.path.join(store_dir, "index")
+    appends = os.path.join(store_dir, "appends")
+    _recover_swap(appends)
+    _guard_store_checkpoint(store_dir, appends)
     if not os.path.exists(os.path.join(idx, "_COMPLETE")):
         emb = load_table(spark, sf_dir, "embeddings")
         h = F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8"))
@@ -199,21 +205,22 @@ def maintain_ann(
         Cn[r.cell] = r.centroid
 
     def store_vectors(exclude_batch_id: int) -> DataFrame:
-        # Exclude the in-flight batch's OWN append dir: a crash between
-        # its append write and the checkpoint commit leaves the dir on
-        # disk, and the replayed batch must still probe prior content
-        # only (not its own vectors).
+        # Exclude the in-flight batch's OWN append subdir: a crash
+        # between its append write and the checkpoint commit leaves the
+        # subdir on disk, and the replayed batch must still probe prior
+        # content only (not its own vectors). Layout mirrors the other
+        # maintain_* stores (appends/{seed,batch_N}) so
+        # compact_ann_store's fold-all-but-last applies unchanged.
         vec = spark.read.parquet(os.path.join(idx, "vectors"))
-        appends = sorted(
+        subs = sorted(
             d
-            for d in os.listdir(store_dir)
-            if d.startswith("append_")
-            and d != f"append_{exclude_batch_id}"
-            and os.path.isdir(os.path.join(store_dir, d))
+            for d in (os.listdir(appends) if os.path.isdir(appends) else [])
+            if d != f"batch_{exclude_batch_id}"
+            and os.path.isdir(os.path.join(appends, d))
         )
-        for d in appends:
+        for d in subs:
             vec = vec.unionByName(
-                spark.read.parquet(os.path.join(store_dir, d))
+                spark.read.parquet(os.path.join(appends, d))
             )
         return vec
 
@@ -240,7 +247,7 @@ def maintain_ann(
             .repartition("cell")
             .write.mode("overwrite")
             .partitionBy("cell")
-            .parquet(os.path.join(store_dir, f"append_{batch_id}"))
+            .parquet(os.path.join(appends, f"batch_{batch_id}"))
         )
 
     stream = spark.readStream.schema(schema).option(
@@ -305,6 +312,8 @@ def maintain_decontaminate(
 
     gram_store = os.path.join(store_dir, "grams")
     hold_path = os.path.join(store_dir, "holdout_grams")
+    _recover_swap(gram_store)
+    _guard_store_checkpoint(store_dir, gram_store)
 
     def doc_grams(df: DataFrame) -> DataFrame:
         base = df.select(
@@ -413,7 +422,14 @@ def maintain_exactsubstr(
     8 bytes of key + a count, and only the still-unique frontier
     carries positions (same linear class as the reference suffix
     array's 8N, and strictly smaller on duplicate-heavy corpora; the
-    dedup_incremental signature store is the precedent). Store layout
+    dedup_incremental signature store is the precedent). Precisely
+    (ADVICE r14): the singleton-only bound holds for the AGGREGATED
+    state. Each delta is batch-LOCAL — a batch-singleton occurrence of
+    a gram already duplicated in prior state still writes a (doc_id,
+    pos) witness to its own delta (the read side ignores it: reporting
+    gates on prior_cnt == 1), and such stale witnesses persist
+    harmlessly until compact_exactsubstr_store folds them away.
+    Store layout
     mirrors maintain_decontaminate: one per-gram-delta subdirectory per
     committed batch, overwrite-mode; the read side re-aggregates prior
     deltas gram-keyed (vocabulary-bounded exchange, never a corpus
@@ -448,6 +464,7 @@ def maintain_exactsubstr(
     # exists-check below: an interrupted swap must never look like a
     # fresh store (reseeding would erase compacted arrival state)
     _recover_swap(freq_store)
+    _guard_store_checkpoint(store_dir, freq_store)
 
     def delta_of(grams: DataFrame) -> DataFrame:
         # per-gram batch delta: count + the single witness position,
@@ -580,46 +597,180 @@ def compact_exactsubstr_store(spark: SparkSession, store_dir: str) -> int:
       interrupted swap is detected and finished by _recover_swap, which
       BOTH this function and maintain_exactsubstr run first. Run
       compaction only while no stream is active on the store."""
+
+    def fold(deltas: DataFrame) -> DataFrame:
+        # the fold is itself a valid delta: total count + the witness,
+        # kept only while the TOTAL is 1 (a duplicated gram's instances
+        # were all reported at its 1 -> >=2 crossing)
+        return deltas.groupBy("g").agg(
+            F.sum("cnt").alias("cnt"),
+            F.max(
+                F.when(F.col("doc_id").isNotNull(), F.struct("doc_id", "pos"))
+            ).alias("_w"),
+        ).select(
+            "g",
+            "cnt",
+            F.when(F.col("cnt") == 1, F.col("_w.doc_id")).alias("doc_id"),
+            F.when(F.col("cnt") == 1, F.col("_w.pos")).alias("pos"),
+        )
+
+    return _compact_delta_store(
+        spark, os.path.join(store_dir, "gramfreq"), fold
+    )
+
+
+def compact_dedup_store(spark: SparkSession, store_dir: str) -> int:
+    """Offline compaction of maintain_dedup's signature store (VERDICT
+    r14 item 3): fold the seed + committed per-batch subdirs of BOTH the
+    shingle table and the band table into one seed each, so the
+    per-micro-batch store glob stops growing with batch count. Shingle
+    and band rows are pure per-document facts (no cross-batch
+    aggregation semantics), so the fold is the identity union — the
+    compacted seed is the concatenation of the folded subdirs. The
+    highest-numbered batch stays out of the fold in each table for
+    crash-replay (its replay overwrites its own subdir). Returns total
+    subdirs folded across both tables. Run only while no stream is
+    active on the store."""
+    return _compact_delta_store(
+        spark, os.path.join(store_dir, "shingles"), lambda d: d
+    ) + _compact_delta_store(
+        spark, os.path.join(store_dir, "bands"), lambda d: d
+    )
+
+
+def compact_ann_store(spark: SparkSession, store_dir: str) -> int:
+    """Offline compaction of maintain_ann's append store (VERDICT r14
+    item 3): fold the committed per-batch vector appends into one
+    cell-partitioned seed subdir, so store_vectors stops unioning one
+    parquet read per historical batch. Centroids are fixed, so append
+    rows (cell, vec_id, v) are position-independent facts and the fold
+    is the identity union, rewritten partitionBy(cell) to preserve the
+    probe path's partition pruning. The highest-numbered batch stays
+    out for crash-replay (the replayed batch must find its own subdir
+    excludable). Returns subdirs folded. Run only while no stream is
+    active on the store."""
+    return _compact_delta_store(
+        spark,
+        os.path.join(store_dir, "appends"),
+        lambda d: d,
+        partition_by=("cell",),
+    )
+
+
+def compact_decontaminate_store(spark: SparkSession, store_dir: str) -> int:
+    """Offline compaction of maintain_decontaminate's distinct-gram
+    store (VERDICT r14 item 3): fold the seed + committed per-batch
+    gram subdirs into one seed. Per-batch gram sets are DISJOINT by
+    construction (each batch's new_g is left-anti-joined against all
+    priors), so the identity union is already distinct; even a stray
+    duplicate would be harmless under the read side's left-anti
+    semantics. The highest-numbered batch stays out for crash-replay.
+    Returns subdirs folded. Run only while no stream is active on the
+    store."""
+    return _compact_delta_store(
+        spark, os.path.join(store_dir, "grams"), lambda d: d
+    )
+
+
+def _compact_delta_store(
+    spark: SparkSession,
+    delta_dir: str,
+    fold,
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Shared fold-all-but-last + crash-safe-swap engine behind the four
+    compact_*_store functions. Folds the seed + all committed batch
+    subdirs EXCEPT the highest-numbered one (only the last batch can be
+    in-flight — foreachBatch commits checkpoint N before starting N+1 —
+    and a crash-replayed batch must still find its own delta excludable
+    from prior state) through `fold` into a single new `seed` subdir,
+    then swaps the compacted store in with two renames; _recover_swap
+    (run first here and by every maintain_* on start) finishes a swap a
+    crash interrupted. Returns the number of subdirs folded (0 when
+    there is nothing to gain)."""
     import shutil
 
-    freq_store = os.path.join(store_dir, "gramfreq")
-    _recover_swap(freq_store)
+    _recover_swap(delta_dir)
+    if not os.path.isdir(delta_dir):
+        return 0
     subs = sorted(
-        d for d in os.listdir(freq_store)
-        if os.path.isdir(os.path.join(freq_store, d))
+        d for d in os.listdir(delta_dir)
+        if os.path.isdir(os.path.join(delta_dir, d))
     )
     batch_ids = sorted(
-        (int(d.split("_")[1]) for d in subs if d.startswith("batch_")),
+        int(d.split("_")[1]) for d in subs if d.startswith("batch_")
     )
     keep = f"batch_{batch_ids[-1]}" if batch_ids else None
-    fold = [d for d in subs if d != keep]
-    if len(fold) < 2:
+    fold_dirs = [d for d in subs if d != keep]
+    if len(fold_dirs) < 2:
         return 0  # nothing to fold
-    deltas = spark.read.parquet(*[os.path.join(freq_store, d) for d in fold])
-    agg = deltas.groupBy("g").agg(
-        F.sum("cnt").alias("cnt"),
-        F.max(
-            F.when(F.col("doc_id").isNotNull(), F.struct("doc_id", "pos"))
-        ).alias("_w"),
-    ).select(
-        "g",
-        "cnt",
-        F.when(F.col("cnt") == 1, F.col("_w.doc_id")).alias("doc_id"),
-        F.when(F.col("cnt") == 1, F.col("_w.pos")).alias("pos"),
-    )
-    new = freq_store + "_compact"
+    # read each subdir as its own root and union: a multi-path read over
+    # cell-partitioned subdirs trips partition discovery (conflicting
+    # directory structures), and per-root reads recover each subdir's
+    # partition columns correctly
+    deltas = spark.read.parquet(os.path.join(delta_dir, fold_dirs[0]))
+    for d in fold_dirs[1:]:
+        deltas = deltas.unionByName(
+            spark.read.parquet(os.path.join(delta_dir, d))
+        )
+    folded = fold(deltas)
+    new = delta_dir + "_compact"
     shutil.rmtree(new, ignore_errors=True)
-    agg.write.mode("overwrite").parquet(os.path.join(new, "seed"))
+    writer = folded.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(os.path.join(new, "seed"))
     if keep:
         shutil.copytree(
-            os.path.join(freq_store, keep), os.path.join(new, keep)
+            os.path.join(delta_dir, keep), os.path.join(new, keep)
         )
-    old = freq_store + "_old"
+    old = delta_dir + "_old"
     shutil.rmtree(old, ignore_errors=True)
-    os.rename(freq_store, old)      # swap step 1
-    os.rename(new, freq_store)      # swap step 2
+    os.rename(delta_dir, old)      # swap step 1
+    os.rename(new, delta_dir)      # swap step 2
     shutil.rmtree(old, ignore_errors=True)
-    return len(fold)
+    return len(fold_dirs)
+
+
+def _guard_store_checkpoint(store_dir: str, *delta_dirs: str) -> None:
+    """Refuse to stream against a store whose checkpoint has forgotten
+    committed batches (ADVICE r14): if the checkpoint under store_dir
+    is deleted (or the store is pointed at a new stream) while the
+    delta subdirs are kept, Spark restarts batch ids at 0 and the
+    per-batch mode('overwrite') silently replaces batch_0's delta with
+    NEW content — prior counts are lost. Detect it locally: the store
+    may carry at most ONE batch subdir beyond the checkpoint's last
+    committed id (the single legitimately in-flight batch a crash can
+    leave between its delta write and its commit). A store whose
+    highest batch subdir exceeds that is out of sync — re-seed it, or
+    restore the matching checkpoint. (A store holding ONLY batch_0 with
+    no commits is indistinguishable from a first-batch crash replay by
+    local metadata and is allowed.)"""
+    commits = os.path.join(store_dir, "checkpoint", "commits")
+    committed = -1
+    if os.path.isdir(commits):
+        committed = max(
+            (int(f) for f in os.listdir(commits) if f.isdigit()), default=-1
+        )
+    for dd in delta_dirs:
+        if not os.path.isdir(dd):
+            continue
+        sub_max = max(
+            (
+                int(d.split("_")[1])
+                for d in os.listdir(dd)
+                if d.startswith("batch_") and d.split("_")[1].isdigit()
+            ),
+            default=-1,
+        )
+        if sub_max > committed + 1:
+            raise ValueError(
+                f"store {dd} holds batch deltas up to batch_{sub_max} but "
+                f"the checkpoint under {store_dir} has committed only up "
+                f"to {committed} — streaming now would restart batch ids "
+                "and overwrite committed deltas. Restore the matching "
+                "checkpoint or re-seed the store."
+            )
 
 
 def _recover_swap(freq_store: str) -> None:
