@@ -1217,3 +1217,34 @@ def test_counter_diff_and_swimlane_synthetic(tmp_path):
     assert {r["stage"] for r in h2} == {"reduce"}
     assert all(r["duration_ms"] == r["finish_ms"] - r["start_ms"]
                for r in lanes)
+
+
+def test_swimlane_skips_malformed_launch_times(tmp_path):
+    """ADVICE r14: attempts whose event-log line lacked 'Launch Time'
+    (load_history's 0 default) can't be placed on the timeline — they
+    are skipped, never emitted as epoch-negative rows, and an
+    all-malformed log returns [] instead of raising min() on an empty
+    sequence (the same exclusion the stage-summary makespan applies)."""
+    import json
+
+    from tez_spark.observability import load_history, swimlane_from_history
+
+    mixed = [
+        _stage_completed(0, "scan", 1000, 2000),
+        _task_end(0, 0, 0, 0, 0, 1400),  # missing Launch Time -> 0
+        _task_end(0, 1, 1, 0, 1000, 1900),
+    ]
+    p = tmp_path / "mixed"
+    p.write_text("\n".join(json.dumps(e) for e in mixed))
+    lanes = swimlane_from_history(load_history(str(p)))
+    assert [r["task_id"] for r in lanes] == [1]
+    assert lanes[0]["start_ms"] == 0
+    assert not any(r["start_ms"] < 0 for r in lanes)
+
+    allbad = [
+        _stage_completed(0, "scan", 1000, 2000),
+        _task_end(0, 0, 0, 0, 0, 1400),
+    ]
+    p2 = tmp_path / "allbad"
+    p2.write_text("\n".join(json.dumps(e) for e in allbad))
+    assert swimlane_from_history(load_history(str(p2))) == []

@@ -1502,10 +1502,16 @@ def swimlane_from_history(
     start — each lane's rows ARE its swimlane, gaps between consecutive
     rows are container idle time. Pure Python over a closed log."""
     h = load_history(history) if isinstance(history, str) else history
-    tasks = h.get("tasks", [])
+    # launch_ms == 0/None means the event-log line was missing 'Launch
+    # Time' (load_history's default): such attempts can't be placed on
+    # a timeline, so they are skipped — the same malformed-attempt
+    # exclusion the stage-summary makespan applies (ADVICE r14; without
+    # it an all-malformed log raised min() on an empty sequence and a
+    # partially-malformed one emitted epoch-negative start_ms rows)
+    tasks = [t for t in h.get("tasks", []) if t.get("launch_ms")]
     if not tasks:
         return []
-    t0 = min(t["launch_ms"] for t in tasks if t["launch_ms"])
+    t0 = min(t["launch_ms"] for t in tasks)
     names = _stage_names(h)
     out = [
         {
