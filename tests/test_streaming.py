@@ -1220,6 +1220,10 @@ def test_compact_decontaminate_store_preserves_semantics(spark, tmp_path):
     grams = tmp_path / "store_c" / "grams"
     folded = compact_decontaminate_store(spark, str(tmp_path / "store_c"))
     assert folded == 2 and sorted(os.listdir(grams)) == ["batch_1", "seed"]
+    # idempotent no-op: a second compaction has nothing to fold (the
+    # kept batch must never fold into the seed while it could replay)
+    assert compact_decontaminate_store(spark, str(tmp_path / "store_c")) == 0
+    assert sorted(os.listdir(grams)) == ["batch_1", "seed"]
     _write_doc_batches(spark, c_stream, parts[2:])
     run(tmp_path / "store_c", c_stream, compacted)
 
