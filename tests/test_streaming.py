@@ -1302,3 +1302,49 @@ def test_guard_store_checkpoint_rejects_forgotten_commits(spark, tmp_path):
             spark, SF_DIR, str(e2e_store), stream_dir, lambda s, b: None
         )
     assert sorted(os.listdir(e2e_store / "gramfreq")) == before
+
+
+def test_maintain_dedup_crash_replay_reports_no_self_pairs(spark, tmp_path):
+    """Crash between a batch's signature commit and its checkpoint
+    commit (r15 self-audit — the one maintain_* that still read its
+    store with an everything glob): the replayed batch finds its OWN
+    shingle/band subdirs on disk and must still join against PRIOR
+    content only — no doc ever pairs with itself at j=1.0, within-batch
+    pairs are not doubled, and the replayed report equals the original
+    run's."""
+    from tez_spark.streaming.ingest import maintain_dedup
+
+    base = " ".join(f"ddreplay_{i:03d}" for i in range(30))
+    near = base[: -len("_029")] + "zzzz"  # within-batch near-dup pair
+    batch = [[(9_900_001, base), (9_900_002, near)]]
+
+    def run(store, stream_dir, out):
+        maintain_dedup(
+            spark, SF_DIR, str(store), stream_dir,
+            lambda pairs, bid: out.update(
+                {bid: sorted((r.da, r.db, round(r.j, 6)) for r in pairs.collect())}
+            ),
+        )
+
+    stream_dir = str(tmp_path / "arrivals")
+    _write_doc_batches(spark, stream_dir, batch)
+    store1 = tmp_path / "store1"
+    first: dict = {}
+    run(store1, stream_dir, first)
+    assert os.path.isdir(store1 / "shingles" / "batch_0")
+    assert any(da == 9_900_001 and db == 9_900_002 for da, db, _ in first[0])
+
+    # simulated crash replay: seed + batch_0 signatures already on disk
+    # in BOTH tables, but a fresh checkpoint — batch 0 re-fires
+    import shutil
+
+    store2 = tmp_path / "store2"
+    os.makedirs(store2)
+    shutil.copytree(store1 / "shingles", store2 / "shingles")
+    shutil.copytree(store1 / "bands", store2 / "bands")
+    replayed: dict = {}
+    run(store2, stream_dir, replayed)
+    assert not any(da == db for da, db, _ in replayed[0]), (
+        "replayed batch paired docs with themselves via its own subdir"
+    )
+    assert replayed == first, "crash replay diverged from the original report"

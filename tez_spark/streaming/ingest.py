@@ -60,12 +60,13 @@ def maintain_dedup(
     from tez_spark.sources.catalog import load_table
 
     # Store layout: one subdirectory per contribution ("seed" + one per
-    # committed micro-batch), read back with a glob. Per-batch
-    # subdirectories make the post-report append IDEMPOTENT: a batch
-    # replayed after a crash (foreachBatch re-delivers the in-flight
-    # batch id on restart) OVERWRITES its own subdir instead of
-    # double-appending signatures — double rows would skew every
-    # downstream Jaccard via inflated na/nb counts.
+    # committed micro-batch). Per-batch subdirectories make the
+    # post-report append IDEMPOTENT: a batch replayed after a crash
+    # (foreachBatch re-delivers the in-flight batch id on restart)
+    # OVERWRITES its own subdir instead of double-appending signatures —
+    # double rows would skew every downstream Jaccard via inflated na/nb
+    # counts. The read side EXCLUDES the in-flight batch's own subdir
+    # (see store_table) so the replayed report is also identical.
     sh_store = os.path.join(store_dir, "shingles")
     band_store = os.path.join(store_dir, "bands")
     _recover_swap(sh_store)
@@ -83,14 +84,31 @@ def maintain_dedup(
 
     schema = "doc_id long, text string"
 
+    def store_table(store: str, exclude_batch_id: int) -> DataFrame:
+        # Exclude the in-flight batch's OWN subdir (maintain_ann's
+        # store_vectors pattern, r15 self-audit): the per-batch writes
+        # are pure functions of the batch, so the STORE is replay-safe
+        # either way — but a crash between the signature commit and the
+        # checkpoint commit would otherwise leave the replayed batch
+        # joining against its own signatures, reporting every batch doc
+        # as a j=1.0 self-pair and every within-batch pair twice (once
+        # via the store copy, once via the within-batch branch).
+        subs = sorted(
+            d
+            for d in os.listdir(store)
+            if d != f"batch_{exclude_batch_id}"
+            and os.path.isdir(os.path.join(store, d))
+        )
+        return spark.read.parquet(*[os.path.join(store, d) for d in subs])
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from tez_spark.operators.core import release_caches, tracked_persist
 
         release_caches()
         micro_sh = tracked_persist(shingles(batch_df, "doc_id", "text", n=3))
         micro_bands = tracked_persist(band_signatures(minhash_signatures(micro_sh)))
-        store_bands = spark.read.parquet(os.path.join(band_store, "*"))
-        store_sh = spark.read.parquet(os.path.join(sh_store, "*"))
+        store_bands = store_table(band_store, exclude_batch_id=batch_id)
+        store_sh = store_table(sh_store, exclude_batch_id=batch_id)
         cross = (
             micro_bands.alias("b")
             .join(
