@@ -705,7 +705,13 @@ def _compact_delta_store(
     then swaps the compacted store in with two renames; _recover_swap
     (run first here and by every maintain_* on start) finishes a swap a
     crash interrupted. Returns the number of subdirs folded (0 when
-    there is nothing to gain)."""
+    there is nothing to gain).
+
+    The swap relies on atomic directory rename — POSIX and HDFS both
+    provide it. On an object store (S3-style, where "rename" is
+    copy+delete) run compaction against a manifest-pointer layout
+    instead; the fold logic is unchanged, only the publish step
+    differs."""
     import shutil
 
     _recover_swap(delta_dir)
