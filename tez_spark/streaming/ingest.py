@@ -670,7 +670,10 @@ def compact_ann_store(spark: SparkSession, store_dir: str) -> int:
     return _compact_delta_store(
         spark,
         os.path.join(store_dir, "appends"),
-        lambda d: d,
+        # repartition on cell before the partitioned write — the same
+        # few-files-per-cell-directory discipline the live append path
+        # and write_ivf_index apply
+        lambda d: d.repartition("cell"),
         partition_by=("cell",),
     )
 
