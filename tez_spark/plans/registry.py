@@ -31,42 +31,45 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # driver dropping this round's own CORRECTNESS file no longer flips the
 # guard red at judging time.
 #
-# Round-15 window (VERDICT r14 item 2 executed; ADVICE r14 corrected
-# the r14 comment's miscount — r14 group 3 actually carried 20
-# r12-rowed queries, leaving 28, not 24, displaced here; the list
-# below is re-derived directly from CORRECTNESS_r12 − r13 − r14):
-# (1) the 28 oracled queries whose last driver row is round 12 — their
-# r12 rows leave the three-round union at r15, so they MUST be here:
-# multimodal_frames, multimodal_video, percentiles, percentiles_approx,
-# pii_redact, pmi_collocations, q07–q18, rollup, scalar_funcs,
-# sessionize, set_ops, string_agg, tpch01–tpch03, unpivot,
-# window_funcs; (2) 22 of the 45 oracled queries whose last driver row
-# is round 13 (alphabetically first — ann_incremental through
-# exactsubstr_trim). Displaced to round 16, union-covered by their r13
-# rows — these must head the r16 window: exists_subquery,
-# grouping_sets, json_extract, multimodal_audio, tpch04–tpch14,
-# tpch16–tpch22, weighted_sample (23 queries).
-_WINDOW_ROUND = 15
+# Round-16 window (VERDICT r15 item 1 executed; the aged set below is
+# re-derived directly from CORRECTNESS files — set(r13) − r14 − r15 —
+# per the r14 lesson, never from the previous round's comment):
+# (1) ann_incremental heads the window: its probe plan CHANGED this
+# round (VERDICT r15 item 3 — the driver-streamed query chunking was
+# re-partitioned to one toLocalIterator job per chunk), and
+# plan-changed rows must be re-verified in their change round;
+# (2) the 23 oracled queries whose last driver row is round 13 — their
+# r13 rows leave the three-round union at r16, so they MUST be here:
+# exists_subquery, grouping_sets, json_extract, multimodal_audio,
+# tpch04–tpch14, tpch16–tpch22, weighted_sample;
+# (3) 26 of the 50 oracled queries whose last driver row is round 14
+# (alphabetically first — ann_ivf through q01). They age out at r17;
+# pulling the head of that cohort forward keeps the r17 displacement
+# at 24: audio_features would age there alongside q02–q06, regex_tokens,
+# seq_pack, source_*, star_join, stratified_sample, text_*,
+# tfidf_top_terms, time_gapfill, tpch15, train_split, window_sliding.
+_WINDOW_ROUND = 16
 _PRIORITY: tuple[str, ...] = (
-    # 1. oracled queries whose last driver row is round 12 — age out
-    #    of the three-round union at r15
-    "multimodal_frames", "multimodal_video", "percentiles",
-    "percentiles_approx", "pii_redact", "pmi_collocations",
-    "q07", "q08", "q09", "q10", "q11", "q12", "q13", "q14", "q15",
-    "q16", "q17", "q18", "rollup", "scalar_funcs", "sessionize",
-    "set_ops", "string_agg", "tpch01", "tpch02", "tpch03", "unpivot",
-    "window_funcs",
-    # 2. oracled queries whose last driver row is round 13
-    #    (alphabetically first 22) — they age out at r16, so pulling
-    #    the head of that cohort forward keeps the r16 displacement
-    #    at 23
-    "ann_incremental", "ann_lsh", "approx_distinct", "argmax_funcs",
-    "asof_join", "column_profile", "cross_join_bucketed", "cube",
-    "curation_pipeline", "curation_pipeline_lsh", "date_funcs",
-    "decontaminate_ngram", "dedup_clusters", "dedup_editdistance",
-    "dedup_embedding_clusters", "dedup_exact", "dedup_incremental",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_winnow", "doc_chunk",
-    "exactsubstr_trim",
+    # 1. plan changed this round — must re-verify in its change round
+    "ann_incremental",
+    # 2. oracled queries whose last driver row is round 13 — age out
+    #    of the three-round union at r16
+    "exists_subquery", "grouping_sets", "json_extract",
+    "multimodal_audio", "tpch04", "tpch05", "tpch06", "tpch07",
+    "tpch08", "tpch09", "tpch10", "tpch11", "tpch12", "tpch13",
+    "tpch14", "tpch16", "tpch17", "tpch18", "tpch19", "tpch20",
+    "tpch21", "tpch22", "weighted_sample",
+    # 3. oracled queries whose last driver row is round 14
+    #    (alphabetically first 26) — they age out at r17
+    "ann_ivf", "ann_topk", "audio_features", "bpe_segment",
+    "bpe_train", "cms_heavyhitters", "cross_join_chunked",
+    "decontaminate", "decontaminate_chars", "dedup_embedding",
+    "dedup_embedding_lsh", "dedup_ngram_jaccard",
+    "editdistance_discovery", "embedding_centroids",
+    "embedding_incremental", "embedding_quantize", "event_anomalies",
+    "event_funnel", "event_retention", "exactsubstr_chars",
+    "exactsubstr_spans", "interval_join", "length_curriculum",
+    "multimodal_decode", "pivot", "q01",
 )
 
 
