@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
@@ -1012,6 +1013,12 @@ def test_compact_exactsubstr_store_preserves_semantics(spark, tmp_path):
     assert final == sorted(after + ["batch_2"]), final
     os.rename(freq, str(freq) + "_compact")
     assert not os.path.exists(freq)
+    # a marker-less orphan twin is ambiguous (possibly incomplete after
+    # power loss) — _recover_swap must refuse, not promote (ADVICE r15)
+    with pytest.raises(RuntimeError, match="_FOLDED"):
+        _recover_swap(str(freq))
+    with open(os.path.join(str(freq) + "_compact", "_FOLDED"), "w") as f:
+        f.write("ok\n")
     _recover_swap(str(freq))
     assert os.path.exists(freq) and sorted(os.listdir(freq)) == final
 
@@ -1036,13 +1043,19 @@ def _write_doc_batches(spark, stream_dir, rows_per_batch):
 
 def _assert_interrupted_swap_recovers(delta_dir):
     """Shared tail assertion: simulate the crash window between the two
-    swap renames (live store gone, compacted twin present) and pin that
-    _recover_swap restores the exact current listing."""
+    swap renames (live store gone, compacted twin present — carrying
+    the _FOLDED completeness marker a real pre-swap fsync leaves) and
+    pin that _recover_swap restores the exact current listing, and that
+    a marker-LESS twin is refused instead of promoted (ADVICE r15)."""
     from tez_spark.streaming.ingest import _recover_swap
 
     final = sorted(os.listdir(delta_dir))
     os.rename(delta_dir, str(delta_dir) + "_compact")
     assert not os.path.exists(delta_dir)
+    with pytest.raises(RuntimeError, match="_FOLDED"):
+        _recover_swap(str(delta_dir))
+    with open(os.path.join(str(delta_dir) + "_compact", "_FOLDED"), "w") as f:
+        f.write("ok\n")
     _recover_swap(str(delta_dir))
     assert os.path.exists(delta_dir) and sorted(os.listdir(delta_dir)) == final
 
@@ -1348,3 +1361,202 @@ def test_maintain_dedup_crash_replay_reports_no_self_pairs(spark, tmp_path):
         "replayed batch paired docs with themselves via its own subdir"
     )
     assert replayed == first, "crash replay diverged from the original report"
+
+
+def test_compact_refuses_live_stream(spark, tmp_path):
+    """VERDICT r15 item 2a: the no-active-stream precondition is now
+    MECHANICAL. (1) compaction invoked while a maintain_* stream is
+    live on the store (from inside its report callback — the stream is
+    mid-batch there) raises instead of renaming the store out from
+    under the in-flight plan; (2) a checkpoint whose offsets log is
+    ahead of its commits log (in-flight or crashed-mid-batch) refuses;
+    (3) after the stream stops cleanly, the same call succeeds."""
+    from tez_spark.streaming.ingest import (
+        compact_decontaminate_store,
+        maintain_decontaminate,
+    )
+
+    doc_a = " ".join(f"livelock_a{i:03d}" for i in range(24))
+    doc_b = " ".join(f"livelock_b{i:03d}" for i in range(24))
+    stream_dir = str(tmp_path / "s")
+    _write_doc_batches(
+        spark, stream_dir, [[(9_700_001, doc_a)], [(9_700_002, doc_b)]]
+    )
+    store = str(tmp_path / "store")
+    refusals: list[str] = []
+
+    def report(inc, batch_id):
+        inc.collect()
+        try:
+            compact_decontaminate_store(spark, store)
+        except ValueError as e:
+            refusals.append(str(e))
+
+    maintain_decontaminate(spark, SF_DIR, store, stream_dir, report)
+    assert len(refusals) == 2 and all(
+        "_STREAM_LOCK" in m for m in refusals
+    ), refusals
+
+    # crafted in-flight checkpoint: offsets ahead of commits
+    store2 = tmp_path / "store2"
+    os.makedirs(store2 / "checkpoint" / "offsets")
+    os.makedirs(store2 / "checkpoint" / "commits")
+    os.makedirs(store2 / "grams" / "seed")
+    for o in ("0", "1"):
+        (store2 / "checkpoint" / "offsets" / o).write_text("")
+    (store2 / "checkpoint" / "commits" / "0").write_text("")
+    with pytest.raises(ValueError, match="in flight"):
+        compact_decontaminate_store(spark, str(store2))
+
+    # quiesced store: the refusal lifts (too few deltas to fold -> 0)
+    assert compact_decontaminate_store(spark, store) >= 0
+
+
+def test_second_concurrent_stream_refused(spark, tmp_path):
+    """Two maintain_* streams on one store would share a checkpoint and
+    corrupt it — the _STREAM_LOCK refuses the second while the holder
+    pid is alive, and a STALE lock (crashed holder) is reclaimed."""
+    from tez_spark.streaming.ingest import (
+        _acquire_stream_lock,
+        _release_stream_lock,
+        maintain_decontaminate,
+    )
+
+    store = str(tmp_path / "store")
+    lock = _acquire_stream_lock(store)  # this process: a live holder
+    # fake a DIFFERENT live holder: pid 1 is always alive
+    with open(lock, "w") as f:
+        f.write("1\n")
+    doc = " ".join(f"second_a{i:03d}" for i in range(24))
+    stream_dir = str(tmp_path / "s")
+    _write_doc_batches(spark, stream_dir, [[(9_710_001, doc)]])
+    with pytest.raises(ValueError, match="live"):
+        maintain_decontaminate(
+            spark, SF_DIR, store, stream_dir, lambda i, b: None
+        )
+    # stale lock: a pid that cannot exist is reclaimed, the run proceeds
+    with open(lock, "w") as f:
+        f.write("999999999\n")
+    got: list[int] = []
+    maintain_decontaminate(
+        spark, SF_DIR, store, stream_dir,
+        lambda inc, bid: got.append(bid),
+    )
+    assert got == [0]
+    _release_stream_lock(lock)
+
+
+def test_long_ingest_auto_compaction_bounds_store(spark, tmp_path):
+    """VERDICT r15 item 2b end-to-end: a ~20-batch ingest with
+    compact_every=4 reports value-identically to an uncompacted twin
+    while the store's delta-subdir count stays bounded by the policy
+    (the uncompacted twin's grows linearly with batch count) — the
+    operational property that keeps a year-long streaming ingest's
+    per-trigger store read O(compact_every) instead of O(batches)."""
+    from tez_spark.streaming.ingest import maintain_decontaminate
+
+    N_BATCHES = 20
+    batches = [
+        [(9_720_000 + i, " ".join(f"auto_{i:02d}_w{j:03d}" for j in range(20)))]
+        for i in range(N_BATCHES)
+    ]
+    # make some batches share grams with the holdout corpus: append a
+    # few real holdout docs' texts so increments are non-trivial
+    from tez_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    hold_texts = [
+        r.text
+        for r in docs.filter(F.substring(h, 1, 2) >= "e6")
+        .select("text")
+        .limit(6)
+        .collect()
+    ]
+    for i, t in enumerate(hold_texts):
+        batches[3 * i + 1].append((9_730_000 + i, t))
+
+    s_auto, s_plain = str(tmp_path / "sa"), str(tmp_path / "sp")
+    _write_doc_batches(spark, s_auto, batches)
+    _write_doc_batches(spark, s_plain, batches)
+
+    def run(store, stream_dir, compact_every):
+        out: dict[int, list] = {}
+        maintain_decontaminate(
+            spark, SF_DIR, str(store), stream_dir,
+            lambda inc, bid: out.update(
+                {bid: sorted(tuple(r) for r in inc.collect())}
+            ),
+            compact_every=compact_every,
+        )
+        return out
+
+    auto = run(tmp_path / "store_a", s_auto, 4)
+    plain = run(tmp_path / "store_p", s_plain, None)
+    assert len(auto) == N_BATCHES
+    assert auto == plain, "auto-compaction changed a report"
+
+    def n_batch_dirs(store):
+        g = os.path.join(str(store), "grams")
+        return sum(1 for d in os.listdir(g) if d.startswith("batch_"))
+
+    assert n_batch_dirs(tmp_path / "store_p") == N_BATCHES
+    # bounded: at most compact_every uncompacted deltas + the kept one
+    assert n_batch_dirs(tmp_path / "store_a") <= 4 + 1, sorted(
+        os.listdir(os.path.join(str(tmp_path / "store_a"), "grams"))
+    )
+
+    # a restart over the compacted store resumes cleanly (no reseed, no
+    # replay) — compaction left store + checkpoint + marker consistent
+    replay = run(tmp_path / "store_a", s_auto, 4)
+    assert replay == {}
+
+
+def test_legacy_ann_append_layout_migrates(tmp_path):
+    """ADVICE r15: a maintain_ann store written by the pre-r15 layout
+    (store_dir/append_N) is MIGRATED into store_dir/appends/batch_N on
+    startup instead of silently dropping every previously appended
+    vector; a same-batch-id collision across layouts raises."""
+    from tez_spark.streaming.ingest import _migrate_legacy_ann_appends
+
+    store = tmp_path / "store"
+    for b in (0, 2):
+        os.makedirs(store / f"append_{b}")
+        (store / f"append_{b}" / "part-0.parquet").write_text(f"p{b}")
+    os.makedirs(store / "append_x")  # non-numeric: not a legacy batch
+    assert _migrate_legacy_ann_appends(str(store)) == 2
+    assert sorted(os.listdir(store / "appends")) == ["batch_0", "batch_2"]
+    assert (store / "appends" / "batch_0" / "part-0.parquet").read_text() == "p0"
+    assert not (store / "append_0").exists()
+    assert (store / "append_x").exists()
+    assert _migrate_legacy_ann_appends(str(store)) == 0  # idempotent
+
+    os.makedirs(store / "append_2")
+    with pytest.raises(ValueError, match="BOTH layouts"):
+        _migrate_legacy_ann_appends(str(store))
+
+
+def test_guard_refuses_lone_batch0_after_observed_commit(tmp_path):
+    """ADVICE r15: the lone-batch_0 ambiguity. Without local metadata a
+    store holding only batch_0 and no checkpoint commits could be a
+    first-batch crash replay (allowed) OR a deleted checkpoint after
+    commit 0 (data loss on restart). The store-side _LAST_COMMITTED
+    marker — written when a later batch or restart OBSERVES commit 0 —
+    disambiguates: marker present + empty checkpoint = refuse."""
+    from tez_spark.streaming.ingest import (
+        _guard_store_checkpoint,
+        _note_committed,
+    )
+
+    store = tmp_path / "store"
+    os.makedirs(store / "gramfreq" / "batch_0")
+    # no marker: first-batch crash replay — allowed
+    _guard_store_checkpoint(str(store), str(store / "gramfreq"))
+    # commit 0 was observed at some point, checkpoint now empty: refuse
+    _note_committed(str(store), 0)
+    with pytest.raises(ValueError, match="_LAST_COMMITTED"):
+        _guard_store_checkpoint(str(store), str(store / "gramfreq"))
+    # matching checkpoint restored: allowed again
+    os.makedirs(store / "checkpoint" / "commits")
+    (store / "checkpoint" / "commits" / "0").write_text("")
+    _guard_store_checkpoint(str(store), str(store / "gramfreq"))

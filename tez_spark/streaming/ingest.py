@@ -37,6 +37,7 @@ def maintain_dedup(
     stream_dir: str,
     report,
     threshold: float = 0.8,
+    compact_every: int | None = None,
 ) -> None:
     """Run the streaming ingest-dedup pipeline over a (finite) file
     stream of document batches.
@@ -49,6 +50,14 @@ def maintain_dedup(
     - `report(pairs_df, batch_id)`: receives each batch's near-dup pairs
       (da = already-ingested doc, db = newly arrived doc, j) — the
       quarantine/drop decision hook.
+    - `compact_every`: auto-compaction policy (VERDICT r15 item 2b) —
+      when set, the store's committed per-batch delta subdirs are folded
+      into the seed whenever their count exceeds this, inside the
+      quiesced gap at the TOP of the next foreachBatch call (batches
+      0..N-1 are committed before process(N) starts and no concurrent
+      reader exists there), so a long-running ingest's per-trigger store
+      read stays O(compact_every) instead of O(total batches). None
+      leaves compaction to an out-of-band compact_dedup_store call.
     """
     from tez_spark.operators.dedup import (
         _verify_pairs,
@@ -72,6 +81,7 @@ def maintain_dedup(
     _recover_swap(sh_store)
     _recover_swap(band_store)
     _guard_store_checkpoint(store_dir, sh_store, band_store)
+    _note_checkpoint_commits(store_dir)
     if not os.path.exists(sh_store):
         docs = load_table(spark, sf_dir, "documents")
         h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
@@ -105,6 +115,12 @@ def maintain_dedup(
         from tez_spark.operators.core import release_caches, tracked_persist
 
         release_caches()
+        if batch_id > 0:
+            _note_committed(store_dir, batch_id - 1)
+        if compact_every and _n_batch_subdirs(sh_store) > compact_every:
+            compact_dedup_store(
+                spark, store_dir, _owner_bypass_active_check=True
+            )
         micro_sh = tracked_persist(shingles(batch_df, "doc_id", "text", n=3))
         micro_bands = tracked_persist(band_signatures(minhash_signatures(micro_sh)))
         store_bands = store_table(band_store, exclude_batch_id=batch_id)
@@ -146,17 +162,21 @@ def maintain_dedup(
     # the last committed batch instead of re-reading every file (the
     # claimed restart semantics need BOTH this and the idempotent store
     # writes above).
-    q = (
-        stream.writeStream.option(
-            "checkpointLocation", os.path.join(store_dir, "checkpoint")
-        )
-        .foreachBatch(process)
-        .start()
-    )
+    lock = _acquire_stream_lock(store_dir)
     try:
-        q.processAllAvailable()
+        q = (
+            stream.writeStream.option(
+                "checkpointLocation", os.path.join(store_dir, "checkpoint")
+            )
+            .foreachBatch(process)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        _release_stream_lock(lock)
 
 
 def maintain_ann(
@@ -166,6 +186,7 @@ def maintain_ann(
     stream_dir: str,
     report,
     k: int = 5,
+    compact_every: int | None = None,
 ) -> None:
     """Streaming ANN ingest — the continuous form of ann_incremental, and
     the ANN twin of maintain_dedup: new vectors arrive as a stream, every
@@ -205,8 +226,10 @@ def maintain_ann(
     # instead of probing a vectors-less or partial index.
     idx = os.path.join(store_dir, "index")
     appends = os.path.join(store_dir, "appends")
+    _migrate_legacy_ann_appends(store_dir)
     _recover_swap(appends)
     _guard_store_checkpoint(store_dir, appends)
+    _note_checkpoint_commits(store_dir)
     if not os.path.exists(os.path.join(idx, "_COMPLETE")):
         emb = load_table(spark, sf_dir, "embeddings")
         h = F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8"))
@@ -245,6 +268,12 @@ def maintain_ann(
     schema = "vec_id long, embedding array<float>"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id > 0:
+            _note_committed(store_dir, batch_id - 1)
+        if compact_every and _n_batch_subdirs(appends) > compact_every:
+            compact_ann_store(
+                spark, store_dir, _owner_bypass_active_check=True
+            )
         topk = ann_ivf_probe_index(
             spark,
             idx,
@@ -271,17 +300,21 @@ def maintain_ann(
     stream = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", "1"
     ).parquet(stream_dir)
-    q = (
-        stream.writeStream.option(
-            "checkpointLocation", os.path.join(store_dir, "checkpoint")
-        )
-        .foreachBatch(process)
-        .start()
-    )
+    lock = _acquire_stream_lock(store_dir)
     try:
-        q.processAllAvailable()
+        q = (
+            stream.writeStream.option(
+                "checkpointLocation", os.path.join(store_dir, "checkpoint")
+            )
+            .foreachBatch(process)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        _release_stream_lock(lock)
 
 
 def maintain_decontaminate(
@@ -290,6 +323,7 @@ def maintain_decontaminate(
     store_dir: str,
     stream_dir: str,
     report,
+    compact_every: int | None = None,
 ) -> None:
     """Streaming eval-set protection (r12) — the continuous form of
     q_decontaminate_ngram, and the decontamination twin of
@@ -332,6 +366,7 @@ def maintain_decontaminate(
     hold_path = os.path.join(store_dir, "holdout_grams")
     _recover_swap(gram_store)
     _guard_store_checkpoint(store_dir, gram_store)
+    _note_checkpoint_commits(store_dir)
 
     def doc_grams(df: DataFrame) -> DataFrame:
         base = df.select(
@@ -375,6 +410,12 @@ def maintain_decontaminate(
         from tez_spark.operators.core import release_caches, tracked_persist
 
         release_caches()
+        if batch_id > 0:
+            _note_committed(store_dir, batch_id - 1)
+        if compact_every and _n_batch_subdirs(gram_store) > compact_every:
+            compact_decontaminate_store(
+                spark, store_dir, _owner_bypass_active_check=True
+            )
         store_g = store_grams(exclude_batch_id=batch_id)
         new_g = tracked_persist(
             doc_grams(batch_df).select("g").distinct()
@@ -397,17 +438,21 @@ def maintain_decontaminate(
     stream = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", "1"
     ).parquet(stream_dir)
-    q = (
-        stream.writeStream.option(
-            "checkpointLocation", os.path.join(store_dir, "checkpoint")
-        )
-        .foreachBatch(process)
-        .start()
-    )
+    lock = _acquire_stream_lock(store_dir)
     try:
-        q.processAllAvailable()
+        q = (
+            stream.writeStream.option(
+                "checkpointLocation", os.path.join(store_dir, "checkpoint")
+            )
+            .foreachBatch(process)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        _release_stream_lock(lock)
 
 
 def maintain_exactsubstr(
@@ -416,6 +461,7 @@ def maintain_exactsubstr(
     store_dir: str,
     stream_dir: str,
     report,
+    compact_every: int | None = None,
 ) -> None:
     """Streaming ExactSubstr (r14, VERDICT r13 item 5) — the continuous
     form of q_exactsubstr_chars, completing the maintain_* family for
@@ -483,6 +529,7 @@ def maintain_exactsubstr(
     # fresh store (reseeding would erase compacted arrival state)
     _recover_swap(freq_store)
     _guard_store_checkpoint(store_dir, freq_store)
+    _note_checkpoint_commits(store_dir)
 
     def delta_of(grams: DataFrame) -> DataFrame:
         # per-gram batch delta: count + the single witness position,
@@ -544,6 +591,12 @@ def maintain_exactsubstr(
         from tez_spark.operators.core import release_caches, tracked_persist
 
         release_caches()
+        if batch_id > 0:
+            _note_committed(store_dir, batch_id - 1)
+        if compact_every and _n_batch_subdirs(freq_store) > compact_every:
+            compact_exactsubstr_store(
+                spark, store_dir, _owner_bypass_active_check=True
+            )
         grams = tracked_persist(char_windows(batch_df))
         prior = prior_state(exclude_batch_id=batch_id)
         # batch instances: report iff prior_cnt + n_batch >= 2 — the
@@ -579,20 +632,28 @@ def maintain_exactsubstr(
     stream = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", "1"
     ).parquet(stream_dir)
-    q = (
-        stream.writeStream.option(
-            "checkpointLocation", os.path.join(store_dir, "checkpoint")
-        )
-        .foreachBatch(process)
-        .start()
-    )
+    lock = _acquire_stream_lock(store_dir)
     try:
-        q.processAllAvailable()
+        q = (
+            stream.writeStream.option(
+                "checkpointLocation", os.path.join(store_dir, "checkpoint")
+            )
+            .foreachBatch(process)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        _release_stream_lock(lock)
 
 
-def compact_exactsubstr_store(spark: SparkSession, store_dir: str) -> int:
+def compact_exactsubstr_store(
+    spark: SparkSession,
+    store_dir: str,
+    _owner_bypass_active_check: bool = False,
+) -> int:
     """Offline compaction of maintain_exactsubstr's gram-frequency
     store: fold the seed + committed per-batch delta subdirs into ONE
     aggregated seed, so prior_state's read-side re-aggregation stops
@@ -613,8 +674,15 @@ def compact_exactsubstr_store(spark: SparkSession, store_dir: str) -> int:
     - Crash-safe swap: the compacted store is written beside the live
       one, then swapped with two renames and a leftover-cleanup; an
       interrupted swap is detected and finished by _recover_swap, which
-      BOTH this function and maintain_exactsubstr run first. Run
-      compaction only while no stream is active on the store."""
+      BOTH this function and maintain_exactsubstr run first.
+    - No-active-stream precondition ENFORCED (VERDICT r15 item 2a —
+      was documentation-only): raises if a live stream holds the
+      store's lock or its checkpoint shows an in-flight batch.
+      `_owner_bypass_active_check` is reserved for the auto-compaction
+      call the owning stream itself makes in its quiesced
+      foreachBatch gap."""
+    if not _owner_bypass_active_check:
+        _refuse_if_stream_active(store_dir)
 
     def fold(deltas: DataFrame) -> DataFrame:
         # the fold is itself a valid delta: total count + the witness,
@@ -637,7 +705,11 @@ def compact_exactsubstr_store(spark: SparkSession, store_dir: str) -> int:
     )
 
 
-def compact_dedup_store(spark: SparkSession, store_dir: str) -> int:
+def compact_dedup_store(
+    spark: SparkSession,
+    store_dir: str,
+    _owner_bypass_active_check: bool = False,
+) -> int:
     """Offline compaction of maintain_dedup's signature store (VERDICT
     r14 item 3): fold the seed + committed per-batch subdirs of BOTH the
     shingle table and the band table into one seed each, so the
@@ -647,8 +719,10 @@ def compact_dedup_store(spark: SparkSession, store_dir: str) -> int:
     compacted seed is the concatenation of the folded subdirs. The
     highest-numbered batch stays out of the fold in each table for
     crash-replay (its replay overwrites its own subdir). Returns total
-    subdirs folded across both tables. Run only while no stream is
-    active on the store."""
+    subdirs folded across both tables. The no-active-stream
+    precondition is enforced (compact_exactsubstr_store's note)."""
+    if not _owner_bypass_active_check:
+        _refuse_if_stream_active(store_dir)
     return _compact_delta_store(
         spark, os.path.join(store_dir, "shingles"), lambda d: d
     ) + _compact_delta_store(
@@ -656,7 +730,11 @@ def compact_dedup_store(spark: SparkSession, store_dir: str) -> int:
     )
 
 
-def compact_ann_store(spark: SparkSession, store_dir: str) -> int:
+def compact_ann_store(
+    spark: SparkSession,
+    store_dir: str,
+    _owner_bypass_active_check: bool = False,
+) -> int:
     """Offline compaction of maintain_ann's append store (VERDICT r14
     item 3): fold the committed per-batch vector appends into one
     cell-partitioned seed subdir, so store_vectors stops unioning one
@@ -665,8 +743,10 @@ def compact_ann_store(spark: SparkSession, store_dir: str) -> int:
     is the identity union, rewritten partitionBy(cell) to preserve the
     probe path's partition pruning. The highest-numbered batch stays
     out for crash-replay (the replayed batch must find its own subdir
-    excludable). Returns subdirs folded. Run only while no stream is
-    active on the store."""
+    excludable). Returns subdirs folded. The no-active-stream
+    precondition is enforced (compact_exactsubstr_store's note)."""
+    if not _owner_bypass_active_check:
+        _refuse_if_stream_active(store_dir)
     return _compact_delta_store(
         spark,
         os.path.join(store_dir, "appends"),
@@ -678,7 +758,11 @@ def compact_ann_store(spark: SparkSession, store_dir: str) -> int:
     )
 
 
-def compact_decontaminate_store(spark: SparkSession, store_dir: str) -> int:
+def compact_decontaminate_store(
+    spark: SparkSession,
+    store_dir: str,
+    _owner_bypass_active_check: bool = False,
+) -> int:
     """Offline compaction of maintain_decontaminate's distinct-gram
     store (VERDICT r14 item 3): fold the seed + committed per-batch
     gram subdirs into one seed. Per-batch gram sets are DISJOINT by
@@ -686,8 +770,10 @@ def compact_decontaminate_store(spark: SparkSession, store_dir: str) -> int:
     priors), so the identity union is already distinct; even a stray
     duplicate would be harmless under the read side's left-anti
     semantics. The highest-numbered batch stays out for crash-replay.
-    Returns subdirs folded. Run only while no stream is active on the
-    store."""
+    Returns subdirs folded. The no-active-stream precondition is
+    enforced (compact_exactsubstr_store's note)."""
+    if not _owner_bypass_active_check:
+        _refuse_if_stream_active(store_dir)
     return _compact_delta_store(
         spark, os.path.join(store_dir, "grams"), lambda d: d
     )
@@ -751,10 +837,32 @@ def _compact_delta_store(
         shutil.copytree(
             os.path.join(delta_dir, keep), os.path.join(new, keep)
         )
+    # Durability before the swap (ADVICE r15): fsync the compacted tree,
+    # then write + fsync a _FOLDED completeness marker, then fsync the
+    # parent directory — _recover_swap promotes an orphaned twin ONLY
+    # when the marker is present, so an OS crash / power loss that
+    # reorders the rename ahead of the twin's data blocks can never
+    # promote an incomplete twin over a store the rename already moved
+    # aside (the SIGKILL process-crash case never needed this; the
+    # marker upgrades the guarantee to power-loss-safe on journaled
+    # filesystems honoring fsync).
+    _fsync_tree(new)
+    marker = os.path.join(new, "_FOLDED")
+    with open(marker, "w") as f:
+        f.write("ok\n")
+        f.flush()
+        os.fsync(f.fileno())
+    _fsync_dir(new)
+    _fsync_dir(os.path.dirname(os.path.abspath(delta_dir)))
     old = delta_dir + "_old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(delta_dir, old)      # swap step 1
     os.rename(new, delta_dir)      # swap step 2
+    _fsync_dir(os.path.dirname(os.path.abspath(delta_dir)))
+    try:
+        os.remove(os.path.join(delta_dir, "_FOLDED"))
+    except OSError:
+        pass  # inert if left behind: every store read filters to subdirs
     shutil.rmtree(old, ignore_errors=True)
     return len(fold_dirs)
 
@@ -770,14 +878,31 @@ def _guard_store_checkpoint(store_dir: str, *delta_dirs: str) -> None:
     committed id (the single legitimately in-flight batch a crash can
     leave between its delta write and its commit). A store whose
     highest batch subdir exceeds that is out of sync — re-seed it, or
-    restore the matching checkpoint. (A store holding ONLY batch_0 with
-    no commits is indistinguishable from a first-batch crash replay by
-    local metadata and is allowed.)"""
-    commits = os.path.join(store_dir, "checkpoint", "commits")
-    committed = -1
-    if os.path.isdir(commits):
-        committed = max(
-            (int(f) for f in os.listdir(commits) if f.isdigit()), default=-1
+    restore the matching checkpoint.
+
+    The lone-batch_0 ambiguity (ADVICE r15) is closed by a store-side
+    _LAST_COMMITTED marker: each maintain_* records the highest commit
+    id it has OBSERVED (at stream start from the checkpoint, and at the
+    top of process(N) — batches <= N-1 are committed before N starts),
+    fsync'd, independent of the Spark checkpoint. A checkpoint whose
+    commit high-water mark is BELOW the store's marker has forgotten
+    committed batches — refused even when the subdir heuristic alone
+    cannot tell (a store holding only batch_0 after commit 0 was
+    observed vs a first-batch crash replay). Residual undetected
+    window: the checkpoint deleted after batch_0's commit but before
+    any later batch start or stream restart observed that commit."""
+    committed = _max_numeric_entry(
+        os.path.join(store_dir, "checkpoint", "commits")
+    )
+    observed = _read_last_committed(store_dir)
+    if committed < observed:
+        raise ValueError(
+            f"checkpoint under {store_dir} has committed only up to "
+            f"{committed} but the store's _LAST_COMMITTED marker records "
+            f"an observed commit {observed} — the checkpoint has "
+            "forgotten committed batches; streaming now would restart "
+            "batch ids and overwrite committed deltas. Restore the "
+            "matching checkpoint or re-seed the store."
         )
     for dd in delta_dirs:
         if not os.path.isdir(dd):
@@ -803,15 +928,234 @@ def _guard_store_checkpoint(store_dir: str, *delta_dirs: str) -> None:
 def _recover_swap(freq_store: str) -> None:
     """Finish an interrupted compaction swap: if the live store is
     missing but the compacted twin exists, the crash hit between the
-    two renames — promote the compacted copy (it is complete: it was
-    written and fsync'd before swap step 1). A leftover _old or
-    _compact beside a LIVE store is discarded (pre-swap crash: the
-    live store is still authoritative)."""
+    two renames — promote the compacted copy, but ONLY when its
+    _FOLDED completeness marker is present (ADVICE r15: the marker is
+    written + fsync'd after the twin's tree is fsync'd and before swap
+    step 1, so its presence proves the twin's data blocks are durable
+    even across power loss; a marker-less orphaned twin is ambiguous —
+    raise instead of promoting possibly-incomplete data; a twin from a
+    pre-marker build interrupted mid-swap is complete in the
+    process-crash sense and can be promoted by hand after inspection).
+    A leftover _old or _compact beside a LIVE store is discarded
+    (pre-swap crash: the live store is still authoritative)."""
     import shutil
 
     new, old = freq_store + "_compact", freq_store + "_old"
     if not os.path.exists(freq_store) and os.path.exists(new):
+        if not os.path.exists(os.path.join(new, "_FOLDED")):
+            raise RuntimeError(
+                f"interrupted compaction at {freq_store}: the live store "
+                f"was renamed aside but the compacted twin {new} carries "
+                "no _FOLDED completeness marker — refusing to promote a "
+                "possibly-incomplete twin. If the twin predates the "
+                "marker (pre-r16 build) and the host did not lose power, "
+                "inspect it and rename it into place manually; otherwise "
+                f"restore the store from {old} or a backup."
+            )
         os.rename(new, freq_store)
+        try:
+            os.remove(os.path.join(freq_store, "_FOLDED"))
+        except OSError:
+            pass
     if os.path.exists(freq_store):
         shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(new, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Store housekeeping: stream lock, commit high-water mark, fsync, migration
+# ---------------------------------------------------------------------------
+
+def _max_numeric_entry(dirpath: str) -> int:
+    """Highest all-digit entry name in a directory, -1 when absent —
+    the shape of a Spark checkpoint's offsets/ and commits/ logs."""
+    if not os.path.isdir(dirpath):
+        return -1
+    return max((int(f) for f in os.listdir(dirpath) if f.isdigit()), default=-1)
+
+
+def _n_batch_subdirs(delta_dir: str) -> int:
+    """Count of batch_N delta subdirs — the auto-compaction trigger."""
+    if not os.path.isdir(delta_dir):
+        return 0
+    return sum(
+        1
+        for d in os.listdir(delta_dir)
+        if d.startswith("batch_")
+        and d.split("_")[1].isdigit()
+        and os.path.isdir(os.path.join(delta_dir, d))
+    )
+
+
+def _read_last_committed(store_dir: str) -> int:
+    try:
+        with open(os.path.join(store_dir, "_LAST_COMMITTED")) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def _note_committed(store_dir: str, batch_id: int) -> None:
+    """Raise the store-side commit high-water mark (ADVICE r15): a tiny
+    fsync'd marker of the highest checkpoint commit this store has
+    OBSERVED, giving _guard_store_checkpoint local metadata independent
+    of the Spark checkpoint (closes the lone-batch_0 ambiguity —
+    deleted checkpoint vs first-batch crash). Monotone: never lowered."""
+    if batch_id < 0 or batch_id <= _read_last_committed(store_dir):
+        return
+    path = os.path.join(store_dir, "_LAST_COMMITTED")
+    tmp = path + ".tmp"
+    os.makedirs(store_dir, exist_ok=True)
+    with open(tmp, "w") as f:
+        f.write(f"{batch_id}\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    _fsync_dir(store_dir)
+
+
+def _note_checkpoint_commits(store_dir: str) -> None:
+    """At stream start, fold the checkpoint's current commit high-water
+    mark into the store-side marker, so a checkpoint deleted BETWEEN
+    runs is caught on the run after next even if no batch ran."""
+    _note_committed(
+        store_dir,
+        _max_numeric_entry(os.path.join(store_dir, "checkpoint", "commits")),
+    )
+
+
+def _stream_lock_path(store_dir: str) -> str:
+    return os.path.join(store_dir, "_STREAM_LOCK")
+
+
+def _live_lock_pid(path: str) -> int | None:
+    """The pid holding a stream lock, or None when the lock is absent,
+    unreadable, or held by a process that no longer exists (a crashed
+    stream must not block compaction forever). Single-host semantics —
+    pid liveness via kill(pid, 0); a cluster deployment would replace
+    this with a lease TTL, the usual table-format convention."""
+    try:
+        with open(path) as f:
+            pid = int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return None  # stale lock: the holder crashed
+    except PermissionError:
+        pass  # alive, owned by another user
+    return pid
+
+
+def _acquire_stream_lock(store_dir: str) -> str:
+    """Mark the store as streamed-against so compact_*_store refuses
+    while the stream lives (VERDICT r15 item 2a). Also refuses a SECOND
+    concurrent maintain_* on the same store — two streams sharing one
+    checkpoint would corrupt it. Released in the caller's finally;
+    stale locks from crashed holders are reclaimed via pid liveness."""
+    path = _stream_lock_path(store_dir)
+    pid = _live_lock_pid(path)
+    if pid is not None and pid != os.getpid():
+        raise ValueError(
+            f"store {store_dir} is already being maintained by live "
+            f"process {pid} — refusing a second concurrent stream."
+        )
+    os.makedirs(store_dir, exist_ok=True)
+    with open(path, "w") as f:
+        f.write(f"{os.getpid()}\n")
+        f.flush()
+        os.fsync(f.fileno())
+    return path
+
+
+def _release_stream_lock(path: str) -> None:
+    try:
+        os.remove(path)
+    except OSError:
+        pass
+
+
+def _refuse_if_stream_active(store_dir: str) -> None:
+    """The mechanical form of 'run compaction only while no stream is
+    active on the store' (VERDICT r15 item 2a — was documentation-only).
+    Two independent signals, either refuses:
+    - the store's _STREAM_LOCK names a LIVE pid (a maintain_* holds the
+      store open — even idle between triggers it can start a batch any
+      moment, and a swap rename under its feet breaks in-flight plans);
+    - the checkpoint's offsets log is ahead of its commits log (a batch
+      is in flight right now, or a crash landed mid-batch — in the
+      crash case, resume the stream once so the replayed batch commits,
+      then compact)."""
+    pid = _live_lock_pid(_stream_lock_path(store_dir))
+    if pid is not None:
+        raise ValueError(
+            f"refusing to compact {store_dir}: a live stream (pid {pid}) "
+            "holds its _STREAM_LOCK. Stop the stream first."
+        )
+    ck = os.path.join(store_dir, "checkpoint")
+    off = _max_numeric_entry(os.path.join(ck, "offsets"))
+    com = _max_numeric_entry(os.path.join(ck, "commits"))
+    if off > com:
+        raise ValueError(
+            f"refusing to compact {store_dir}: checkpoint offsets reach "
+            f"batch {off} but commits only {com} — a batch is in flight "
+            "(or a crash landed mid-batch; resume the stream once to "
+            "commit it, then compact)."
+        )
+
+
+def _migrate_legacy_ann_appends(store_dir: str) -> int:
+    """Migrate maintain_ann stores from the pre-r15 flat layout
+    (store_dir/append_N) into the current one (store_dir/appends/
+    batch_N) instead of silently ignoring them (ADVICE r15: a carried-
+    over store resumed under the new layout would drop every previously
+    appended vector from probes and compaction). Pure renames — the
+    per-batch parquet contents are identical across layouts. Returns
+    the number of batch dirs migrated; raises on a name collision
+    (both layouts holding the same batch id needs an operator's eyes)."""
+    if not os.path.isdir(store_dir):
+        return 0
+    appends = os.path.join(store_dir, "appends")
+    legacy = sorted(
+        d
+        for d in os.listdir(store_dir)
+        if d.startswith("append_")
+        and d.split("_", 1)[1].isdigit()
+        and os.path.isdir(os.path.join(store_dir, d))
+    )
+    for d in legacy:
+        dst = os.path.join(appends, "batch_" + d.split("_", 1)[1])
+        if os.path.exists(dst):
+            raise ValueError(
+                f"legacy append dir {os.path.join(store_dir, d)} collides "
+                f"with existing {dst} — the store holds BOTH layouts for "
+                "the same batch id; resolve manually."
+            )
+        os.makedirs(appends, exist_ok=True)
+        os.rename(os.path.join(store_dir, d), dst)
+    if legacy:
+        _fsync_dir(appends)
+        _fsync_dir(store_dir)
+    return len(legacy)
+
+
+def _fsync_dir(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _fsync_tree(root: str) -> None:
+    """fsync every file and directory under root, bottom-up — the
+    durability step before a compaction swap's completeness marker."""
+    for dirpath, _dirnames, filenames in os.walk(root, topdown=False):
+        for fn in filenames:
+            fd = os.open(os.path.join(dirpath, fn), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        _fsync_dir(dirpath)
