@@ -117,14 +117,37 @@ def brute_force_topk(
         flush()
         return queries.sparkSession.createDataFrame(result_rows, out_schema)
 
-    import pandas as pd
-
-    from tez_spark.operators.core import fan_out
-
     q_rows = queries.select(F.col(id_col), as_double(vec_col).alias("v")).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    scored = _local_topk_scored(corpus, q_ids, Qn, k, id_col, vec_col)
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def _local_topk_scored(
+    corpus: DataFrame,
+    q_ids: "np.ndarray",
+    Qn: "np.ndarray",
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map side of brute_force_topk for a PREPARED normalized query
+    block: per corpus partition, exact per-query top-k candidate rows
+    (q_id, id_col, sim). Any global top-k row survives its own
+    partition's cut, so one downstream rank (brute_force_topk's window,
+    or _recall_contract's) recovers the exact global top-k — split out
+    (r16) so q_ann_incremental can defer that rank into its single
+    final action instead of paying a separate collect per chunk."""
+    import pandas as pd
+
+    from tez_spark.operators.core import fan_out
+
     bq = corpus.sparkSession.sparkContext.broadcast((q_ids, Qn))
 
     c = fan_out(corpus.select(F.col(id_col), as_double(vec_col).alias("v")))
@@ -155,12 +178,7 @@ def brute_force_topk(
                 {"q_id": "int64", id_col: "int64", "sim": "float64"}
             )
 
-    scored = c.mapInPandas(local_topk, f"q_id long, {id_col} long, sim double")
-    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc(id_col))
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= k)
-    )
+    return c.mapInPandas(local_topk, f"q_id long, {id_col} long, sim double")
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,22 +284,41 @@ def ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _recall_contract(scored: DataFrame, approx: str, k: int = K) -> DataFrame:
     """Shared tail of the recall-contract promotions (q_ann_ivf,
-    q_ann_lsh): given (path, q_id, vec_id, sim) rows holding both the
-    'exact' audit path and the approximate path, rank each path to
-    top-k per query and emit (q_id, k_returned, recall_ok) where
-    recall_ok asserts the approximate top-k intersects the exact top-k
-    in at least one vector."""
+    q_ann_lsh, q_ann_incremental): given (path, q_id, vec_id, sim) rows
+    holding both the 'exact' audit path and the approximate path, rank
+    each path to top-k per query and emit (q_id, k_returned, recall_ok)
+    where recall_ok asserts the approximate top-k intersects the exact
+    top-k in at least one vector.
+
+    One aggregation exchange (r16, VERDICT r15 item 3): the per-query
+    intersection is computed from two k-bounded collect_sets instead of
+    the former (q_id, vec_id)-keyed dedup pass + re-aggregation — one
+    less shuffle per contract query. Precondition (true of all three
+    producers: each scores a given (query, vector) pair exactly once
+    per path, so post-rank rows are distinct): a producer that ever
+    emitted duplicate (path, q_id, vec_id) rows would inflate
+    k_returned here where the old dedup pass masked it."""
     w = Window.partitionBy("path", "q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     ranked = scored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
     )
-    per_vec = ranked.groupBy("q_id", "vec_id").agg(
-        F.max((F.col("path") == approx).cast("int")).alias("iv"),
-        F.max((F.col("path") == "exact").cast("int")).alias("ex"),
-    )
-    out = per_vec.groupBy("q_id").agg(
-        F.sum("iv").cast("long").alias("k_returned"),
-        (F.sum(F.col("iv") * F.col("ex")) >= 1).alias("recall_ok"),
+    out = ranked.groupBy("q_id").agg(
+        F.sum((F.col("path") == approx).cast("int"))
+        .cast("long")
+        .alias("k_returned"),
+        (
+            F.size(
+                F.array_intersect(
+                    F.collect_set(
+                        F.when(F.col("path") == approx, F.col("vec_id"))
+                    ),
+                    F.collect_set(
+                        F.when(F.col("path") == "exact", F.col("vec_id"))
+                    ),
+                )
+            )
+            >= 1
+        ).alias("recall_ok"),
     )
     return bounded_sort(out, "q_id")
 
@@ -1105,7 +1142,7 @@ def write_ivf_index(
     )
 
 
-def _probe_index_chunk(
+def _probe_chunk_scored(
     spark: SparkSession,
     vectors: DataFrame,
     q_ids: "np.ndarray",
@@ -1115,11 +1152,16 @@ def _probe_index_chunk(
     id_col: str,
     Cn: "np.ndarray",
 ) -> DataFrame:
-    """One probe job over a bounded, already-normalized query block: rank
-    cells, scan only the probed cell partitions of `vectors` (a
-    cell-partitioned (cell, id, v) table — the isin filter prunes
-    partition directories at planning time), exact cosine re-rank to
-    per-query top-k."""
+    """Scored candidate rows for one bounded, already-normalized query
+    block: rank cells on the driver, scan only the probed cell
+    partitions of `vectors` (a cell-partitioned (cell, id, v) table —
+    the isin filter prunes partition directories at planning time),
+    exact cosine per candidate, trimmed MAP-SIDE to per-(Arrow batch,
+    query) top-k before anything is shuffled (r16): a global top-k row
+    is by definition in its own batch's top-k, so the trim is lossless
+    while bounding the exchange at k x |queries| x n_batches rows
+    instead of every scored candidate — the partial-agg discipline the
+    exact path's _local_topk_scored already applies."""
     import pandas as pd
 
     cell_to_qrows: dict[int, list[int]] = {}
@@ -1148,12 +1190,43 @@ def _probe_index_chunk(
                         rows_q.append(j)
             if not rows_c:
                 continue
-            sims = np.einsum("ij,ij->i", Vn[rows_c], Qn_[rows_q])
+            rq = np.asarray(rows_q)
+            rc = np.asarray(rows_c)
+            sims = np.einsum("ij,ij->i", Vn[rc], Qn_[rq])
+            # per-batch per-query top-k: order by (q, -sim, id), keep
+            # the first k rows of each query's run
+            order = np.lexsort((ids[rc], -sims, rq))
+            rq, rc, sims = rq[order], rc[order], sims[order]
+            pos = np.arange(len(rq))
+            first = np.r_[0, 1 + np.nonzero(np.diff(rq))[0]]
+            rank = pos - np.repeat(first, np.diff(np.r_[first, len(rq)]))
+            keep = rank < k
             yield pd.DataFrame(
-                {"q_id": q_ids_[rows_q], "vec_id": ids[rows_c], "sim": sims}
+                {
+                    "q_id": q_ids_[rq[keep]],
+                    "vec_id": ids[rc[keep]],
+                    "sim": sims[keep],
+                }
             ).astype({"q_id": "int64", "vec_id": "int64", "sim": "float64"})
 
-    scored = vec.mapInPandas(score, "q_id long, vec_id long, sim double")
+    return vec.mapInPandas(score, "q_id long, vec_id long, sim double")
+
+
+def _probe_index_chunk(
+    spark: SparkSession,
+    vectors: DataFrame,
+    q_ids: "np.ndarray",
+    Qn: "np.ndarray",
+    k: int,
+    nprobe: int,
+    id_col: str,
+    Cn: "np.ndarray",
+) -> DataFrame:
+    """One probe job over a bounded query block: _probe_chunk_scored's
+    candidate rows re-ranked to exact per-query top-k."""
+    scored = _probe_chunk_scored(
+        spark, vectors, q_ids, Qn, k, nprobe, id_col, Cn
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -1186,10 +1259,7 @@ def ann_ivf_probe_index(
     results union losslessly). None collects the whole query set at once
     (fine for a bounded daily batch; a 100× batch sets a chunk size and
     pays one extra job per chunk, never more driver memory)."""
-    cent = spark.read.parquet(path + "/centroids").collect()
-    Cn = np.zeros((len(cent), len(cent[0].centroid)))
-    for r in cent:
-        Cn[r.cell] = r.centroid
+    Cn = _load_centroids(spark, path)
     nprobe = min(nprobe, Cn.shape[0])
     # `vectors` override: probe a GROWN store (seed index + streamed
     # appends, maintain_ann) instead of the path's own vectors table
@@ -1286,24 +1356,115 @@ def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_recall_contracts_hold_at_driver_sfs evaluates the real
     booleans at all three SFs. Real clustered corpora prune deeper at
     far smaller nprobe — tune it down there. The exact side here is
-    the AUDIT path (corpus passes against driver-bounded query chunks —
-    query_chunk_rows streams the corpus-scaled batch exactly like the
-    probe's probe_chunk_rows, so neither side ever collects unbounded
-    rows); at 100TB drop the audit and serve ann_incremental_neighbors
-    — the probe itself reads only probed cell partitions."""
+    the AUDIT path (corpus passes against driver-bounded query chunks,
+    so neither side ever collects unbounded rows); at 100TB drop the
+    audit and serve ann_incremental_neighbors — the probe itself reads
+    only probed cell partitions.
+
+    Single-action shape (r16, VERDICT r15 item 3): both sides are built
+    from ONE driver pass over the batch (_probe_exact_scored) into one
+    lazy union, and the per-path ranking happens once inside
+    _recall_contract — replacing the former two toLocalIterator sweeps
+    + per-chunk exact collects + separate probe rank. Measured at
+    sf0.1: 17 serialized driver jobs -> 7, value-identical contract
+    rows (PERF.md r16)."""
     corpus, batch = _incremental_split(spark, sf_dir)
     idx = ensure_ivf_index(corpus, sf_dir)
-    probe = ann_ivf_probe_index(
-        spark, idx, batch, k=5, nprobe=ANN_INCR_NPROBE,
-        probe_chunk_rows=10_000,
-    )
-    exact = brute_force_topk(corpus, batch, k=5, query_chunk_rows=10_000)
-    both = probe.select(
-        F.lit("ivf").alias("path"), "q_id", "vec_id", "sim"
-    ).unionByName(
-        exact.select(F.lit("exact").alias("path"), "q_id", "vec_id", "sim")
+    both = _probe_exact_scored(
+        spark, idx, corpus, batch, k=5, nprobe=ANN_INCR_NPROBE,
+        chunk_rows=10_000,
     )
     return _recall_contract(both, "ivf", k=5)
+
+
+def _probe_exact_scored(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    chunk_rows: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One driver pass over the query set building BOTH recall-contract
+    sides as a single lazy plan: per driver-bounded chunk, the IVF
+    probe's scored candidates (path='ivf', probed-cell partition scan)
+    and the exact audit's per-partition top-k candidates
+    (path='exact', one corpus pass) — each k-trimmed map-side, globally
+    ranked once by _recall_contract's window. No intermediate action:
+    the chunks compose losslessly because queries partition across
+    them. Driver memory stays chunk-bounded in Python (one chunk of
+    vectors buffered at a time); per-chunk broadcasts accumulate until
+    the final action exactly as in ann_ivf_probe_index's chunked mode."""
+    Cn = _load_centroids(spark, path)
+    nprobe = min(nprobe, Cn.shape[0])
+    vec = spark.read.parquet(path + "/vectors")
+    q_sel = queries.select(
+        F.col(id_col).alias("q_id"), as_double(vec_col).alias("v")
+    )
+
+    def block(rows) -> DataFrame:
+        q_ids = np.array([r.q_id for r in rows], dtype=np.int64)
+        Q = np.array([list(r.v) for r in rows], dtype=np.float64)
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+        ivf = _probe_chunk_scored(
+            spark, vec, q_ids, Qn, k, nprobe, id_col, Cn
+        ).select(F.lit("ivf").alias("path"), "q_id", "vec_id", "sim")
+        exact = _local_topk_scored(
+            corpus, q_ids, Qn, k, id_col, vec_col
+        ).select(
+            F.lit("exact").alias("path"),
+            "q_id",
+            F.col(id_col).alias("vec_id"),
+            "sim",
+        )
+        return ivf.unionByName(exact)
+
+    parts: list[DataFrame] = []
+    buf: list = []
+    for row in q_sel.toLocalIterator():
+        buf.append(row)
+        if len(buf) >= chunk_rows:
+            parts.append(block(buf))
+            buf = []
+    if buf:
+        parts.append(block(buf))
+    if not parts:
+        return spark.createDataFrame(
+            [], "path string, q_id long, vec_id long, sim double"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_CENTROID_MEMO: dict[str, "np.ndarray"] = {}
+
+
+def _load_centroids(spark: SparkSession, path: str) -> "np.ndarray":
+    """Session-process memo of an index's dense centroid matrix, keyed
+    by absolute index path (r16): a published IVF index is immutable —
+    write_ivf_index builds into a unique scratch dir and the
+    _COMPLETE-gated rename never mutates a live path, and fingerprint
+    changes produce a NEW path — so re-collecting the (cells x dim)
+    centroid table on every probe repeats a fixed driver job for bytes
+    that cannot have changed. The memo is a few hundred KB per index;
+    nothing reads centroids before the _COMPLETE gate, so a partial
+    build can never populate it."""
+    import os as _os
+
+    key = _os.path.abspath(path)
+    Cn = _CENTROID_MEMO.get(key)
+    if Cn is None:
+        cent = spark.read.parquet(path + "/centroids").collect()
+        Cn = np.zeros((len(cent), len(cent[0].centroid)))
+        for r in cent:
+            Cn[r.cell] = r.centroid
+        _CENTROID_MEMO[key] = Cn
+    return Cn
 
 
 def publish_build_dir(scratch: str, idx: str, max_attempts: int = 5) -> None:

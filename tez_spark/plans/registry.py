@@ -34,24 +34,27 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Round-16 window (VERDICT r15 item 1 executed; the aged set below is
 # re-derived directly from CORRECTNESS files — set(r13) − r14 − r15 —
 # per the r14 lesson, never from the previous round's comment):
-# (1) ann_incremental heads the window: its probe plan CHANGED this
-# round (VERDICT r15 item 3 — the driver-streamed query chunking was
-# re-partitioned to one toLocalIterator job per chunk), and
-# plan-changed rows must be re-verified in their change round;
+# (1) plan-changed rows head the window (must be re-verified in their
+# change round): ann_incremental's probe was restructured to a
+# single-action shape (VERDICT r15 item 3 — one driver pass builds
+# both contract sides, ranked once; 17 -> 8 serialized jobs at sf0.1),
+# and the shared _recall_contract dropped its per-(q,vec) dedup pass
+# for a single collect_set aggregation — which also changes ann_lsh
+# and ann_ivf (ann_ivf already sits in group 3);
 # (2) the 23 oracled queries whose last driver row is round 13 — their
 # r13 rows leave the three-round union at r16, so they MUST be here:
 # exists_subquery, grouping_sets, json_extract, multimodal_audio,
 # tpch04–tpch14, tpch16–tpch22, weighted_sample;
-# (3) 26 of the 50 oracled queries whose last driver row is round 14
-# (alphabetically first — ann_ivf through q01). They age out at r17;
+# (3) 25 of the 50 oracled queries whose last driver row is round 14
+# (alphabetically first — ann_ivf through pivot). They age out at r17;
 # pulling the head of that cohort forward keeps the r17 displacement
-# at 24: audio_features would age there alongside q02–q06, regex_tokens,
+# at 25: q01 would age there alongside q02–q06, regex_tokens,
 # seq_pack, source_*, star_join, stratified_sample, text_*,
 # tfidf_top_terms, time_gapfill, tpch15, train_split, window_sliding.
 _WINDOW_ROUND = 16
 _PRIORITY: tuple[str, ...] = (
     # 1. plan changed this round — must re-verify in its change round
-    "ann_incremental",
+    "ann_incremental", "ann_lsh",
     # 2. oracled queries whose last driver row is round 13 — age out
     #    of the three-round union at r16
     "exists_subquery", "grouping_sets", "json_extract",
@@ -60,7 +63,8 @@ _PRIORITY: tuple[str, ...] = (
     "tpch14", "tpch16", "tpch17", "tpch18", "tpch19", "tpch20",
     "tpch21", "tpch22", "weighted_sample",
     # 3. oracled queries whose last driver row is round 14
-    #    (alphabetically first 26) — they age out at r17
+    #    (alphabetically first 25; ann_ivf doubles as the third
+    #    _recall_contract plan-changed row) — they age out at r17
     "ann_ivf", "ann_topk", "audio_features", "bpe_segment",
     "bpe_train", "cms_heavyhitters", "cross_join_chunked",
     "decontaminate", "decontaminate_chars", "dedup_embedding",
@@ -69,7 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_incremental", "embedding_quantize", "event_anomalies",
     "event_funnel", "event_retention", "exactsubstr_chars",
     "exactsubstr_spans", "interval_join", "length_curriculum",
-    "multimodal_decode", "pivot", "q01",
+    "multimodal_decode", "pivot",
 )
 
 
