@@ -817,3 +817,35 @@ def test_profile_columns_planted_nulls(spark):
         "m": (1, 2, "1.00", "2.01"),
         "s": (1, 2, "a", "b"),
     }
+
+
+def test_fan_out_bytes_per_task_caps_small_input_spread(spark):
+    """r16 work-aware fan_out: with bytes_per_task set, a tiny file-backed
+    input is NOT spread to the slot count — the target is
+    ceil(input_bytes / bytes_per_task), so light-map callers skip the
+    repartition exchange entirely at small scale while heavy callers
+    (no bytes_per_task) keep the full slot spread."""
+    from tez_spark.operators.core import fan_out
+    from tez_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    # huge bytes_per_task -> target 1 -> no repartition: plan unchanged
+    capped = fan_out(docs, bytes_per_task=1 << 40)
+    assert capped.rdd.getNumPartitions() == docs.rdd.getNumPartitions()
+    assert "Exchange" not in capped._jdf.queryExecution().executedPlan().toString()
+
+    # default (no bytes_per_task) on the same tiny input -> slot spread
+    spread = fan_out(docs)
+    assert (
+        spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+    # tiny bytes_per_task -> bytes target exceeds the slot count and is
+    # clamped back to it (never OVER-spreads beyond the slot target)
+    clamped = fan_out(docs, bytes_per_task=1)
+    assert (
+        clamped.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )

@@ -167,7 +167,11 @@ def hash_repartition(df: DataFrame, *keys: ColumnOrName, num_partitions: int | N
     return df.repartition(*keys)
 
 
-def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    bytes_per_task: int | None = None,
+) -> DataFrame:
     """Round-robin repartition when the scan yielded fewer splits than the
     cluster has slots (RoundRobinPartitioner parity,
     tez-runtime-library/.../partitioner/RoundRobinPartitioner.java:23-27).
@@ -177,6 +181,18 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     has thousands of natural splits and this is a no-op decision — call it
     only in front of compute-heavy per-row work (hashing, Python decode),
     never before pushdown-sensitive filters.
+
+    bytes_per_task: work-aware target sizing (r16). The slot-count target
+    assumes per-row work heavy enough that every core should help even on
+    a KB-scale input (shingling, per-token md5, real media decode). For
+    LIGHT per-row work (the multimodal fake stand-ins: ~0.01 ms/row) a
+    32-way spread of a single tiny split costs more in task scheduling +
+    per-task Python round-trips than the map work itself — measured at
+    sf0.1: 1.22-1.45 s with the slot target vs 0.59-0.89 s bytes-sized
+    (PERF/OPTIMIZATION_r16.md). Passing bytes_per_task caps the target at
+    ceil(input_bytes / bytes_per_task), so the spread grows with data
+    (scale-adaptive, never a local[32] constant) and converges to the
+    same no-op as the slot target once natural splits dominate.
 
     The split-count check estimates from the scan's input files (Spark's
     own packing formula: total bytes / maxPartitionBytes) — file stats
@@ -192,7 +208,7 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
 
-    def _estimated_splits() -> int | None:
+    def _estimated_splits() -> "tuple[int, int] | None":
         files = df.inputFiles()  # analysis only; no job, no physical plan
         if not files:
             return None
@@ -216,11 +232,15 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         # Spark packs small files together and splits large ones, so the
         # split count is ~ total / maxPartitionBytes in both regimes
         # (openCostInBytes padding ignored — fine for a >=-target check).
-        return math.ceil(total / max(max_bytes, 1)) or 1
+        return math.ceil(total / max(max_bytes, 1)) or 1, total
 
-    splits = _estimated_splits()
-    if splits is None:
-        splits = df.rdd.getNumPartitions()
+    est = _estimated_splits()
+    if est is None:
+        splits, total_bytes = df.rdd.getNumPartitions(), None
+    else:
+        splits, total_bytes = est
+    if bytes_per_task and total_bytes is not None:
+        target = min(target, max(1, math.ceil(total_bytes / bytes_per_task)))
     if splits >= target:
         return df
     return df.repartition(target)

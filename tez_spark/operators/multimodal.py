@@ -526,8 +526,16 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tez_spark.operators.core import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
+    # bytes-sized spread (r16): the fake stand-in is ~0.01 ms/row of
+    # Python, so the slot-count spread of one tiny split costs more in
+    # task scheduling + per-task Python round-trips than the map work
+    # (measured 1.2-1.5 s -> 0.6-0.9 s/query at sf0.1); 4 MB/task grows
+    # the spread with the corpus and is a no-op once natural splits
+    # dominate. Real-decode callers (fake=False) keep the slot target —
+    # per-row codec work is orders of magnitude heavier.
     payloads = fan_out(
-        docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+        docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")),
+        bytes_per_task=4 << 20,
     )
     return decode_image_meta(payloads, fake=True).orderBy("doc_id")
 
@@ -543,8 +551,16 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tez_spark.operators.core import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
+    # bytes-sized spread (r16): the fake stand-in is ~0.01 ms/row of
+    # Python, so the slot-count spread of one tiny split costs more in
+    # task scheduling + per-task Python round-trips than the map work
+    # (measured 1.2-1.5 s -> 0.6-0.9 s/query at sf0.1); 4 MB/task grows
+    # the spread with the corpus and is a no-op once natural splits
+    # dominate. Real-decode callers (fake=False) keep the slot target —
+    # per-row codec work is orders of magnitude heavier.
     payloads = fan_out(
-        docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+        docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")),
+        bytes_per_task=4 << 20,
     )
     return decode_audio_meta(payloads, fake=True).orderBy("doc_id")
 
@@ -572,8 +588,16 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tez_spark.operators.core import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
+    # bytes-sized spread (r16): the fake stand-in is ~0.01 ms/row of
+    # Python, so the slot-count spread of one tiny split costs more in
+    # task scheduling + per-task Python round-trips than the map work
+    # (measured 1.2-1.5 s -> 0.6-0.9 s/query at sf0.1); 4 MB/task grows
+    # the spread with the corpus and is a no-op once natural splits
+    # dominate. Real-decode callers (fake=False) keep the slot target —
+    # per-row codec work is orders of magnitude heavier.
     payloads = fan_out(
-        docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+        docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")),
+        bytes_per_task=4 << 20,
     )
     return audio_features(payloads, fake=True).orderBy("doc_id")
 
@@ -680,8 +704,16 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tez_spark.operators.core import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
+    # bytes-sized spread (r16): the fake stand-in is ~0.01 ms/row of
+    # Python, so the slot-count spread of one tiny split costs more in
+    # task scheduling + per-task Python round-trips than the map work
+    # (measured 1.2-1.5 s -> 0.6-0.9 s/query at sf0.1); 4 MB/task grows
+    # the spread with the corpus and is a no-op once natural splits
+    # dominate. Real-decode callers (fake=False) keep the slot target —
+    # per-row codec work is orders of magnitude heavier.
     payloads = fan_out(
-        docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+        docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")),
+        bytes_per_task=4 << 20,
     )
     return decode_video_meta(payloads, fake=True).orderBy("doc_id")
 
@@ -698,8 +730,16 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tez_spark.operators.core import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
+    # bytes-sized spread (r16): the fake stand-in is ~0.01 ms/row of
+    # Python, so the slot-count spread of one tiny split costs more in
+    # task scheduling + per-task Python round-trips than the map work
+    # (measured 1.2-1.5 s -> 0.6-0.9 s/query at sf0.1); 4 MB/task grows
+    # the spread with the corpus and is a no-op once natural splits
+    # dominate. Real-decode callers (fake=False) keep the slot target —
+    # per-row codec work is orders of magnitude heavier.
     payloads = fan_out(
-        docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+        docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")),
+        bytes_per_task=4 << 20,
     )
     frames = frame_sample(payloads, n_frames=4, fake=True)
     return frames.select(
