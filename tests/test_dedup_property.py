@@ -464,3 +464,42 @@ def test_passjoin_short_stratum_equijoin(spark):
     # appear in the analyzed plan if F.broadcast() were reintroduced
     analyzed = dd.passjoin_pairs(docs, k=k)._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+
+
+def test_connected_components_seed_fusion_and_unique_edges(spark):
+    """r16 CC changes pinned: (a) the 1-hop label seed returns the same
+    components as identity-seeded propagation on a long chain (needs
+    several propagation rounds past the seed); (b) edges_unique=True on
+    input with DUPLICATE pairs still returns correct components (min-
+    label is insensitive to duplicate edges — the distinct it skips was
+    only a size optimization); (c) a diameter over max_iter+1 raises."""
+    import pytest
+
+    from tez_spark.operators.dedup import connected_components
+
+    # (a) chain 10-11-...-16 (diameter 6) plus a 2-cycle pair
+    chain = [(i, i + 1) for i in range(10, 16)] + [(30, 31)]
+    pairs = spark.createDataFrame(chain, "da long, db long")
+    want = {(10, d) for d in range(10, 17)} | {(30, 30), (30, 31)}
+    got = {
+        (r.component, r.doc_id)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == want
+
+    # (b) duplicate pairs + edges_unique=True (the flag asserts the
+    # CALLER contract; results must still be right if it is violated,
+    # because min-label propagation ignores edge multiplicity)
+    dup = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 3)], "da long, db long"
+    )
+    got = {
+        (r.component, r.doc_id)
+        for r in connected_components(dup, edges_unique=True).collect()
+    }
+    assert got == {(1, 1), (1, 2), (1, 3)}
+
+    # (c) diameter 6 cannot converge within max_iter=2 (+1-hop seed)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2).collect()
+

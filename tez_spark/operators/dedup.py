@@ -731,7 +731,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def connected_components(
-    pairs: DataFrame, a_col: str = "da", b_col: str = "db", max_iter: int = 20
+    pairs: DataFrame,
+    a_col: str = "da",
+    b_col: str = "db",
+    max_iter: int = 20,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """(doc_id, component) with component = min doc id reachable through
     the undirected pair graph — turns pairwise near-dup hits into
@@ -747,7 +751,21 @@ def connected_components(
     convergence count). Each round's labels are persisted and the
     previous round's released, so lineage stays one round deep — at
     100TB swap persist for localCheckpoint and replace min-label with
-    the large-star/small-star variant if diameters grow."""
+    the large-star/small-star variant if diameters grow.
+
+    edges_unique: the caller guarantees `pairs` holds each undirected
+    pair at most once with a_col < b_col (true for every aggregated /
+    block-deduped pair producer in this module) — skips the edge-table
+    distinct, whose exchange only ever removed duplicates min-label is
+    insensitive to anyway (r16: one less exchange + AQE job per query).
+
+    r16 round fusion: the initial labels are seeded at ONE HOP —
+    label₀(v) = min(v, min over neighbors of their ids) — which equals
+    the result of propagation round 1 from identity labels, computed as
+    a single groupBy over the persisted edge table instead of a full
+    join + agg + left-join + count round (measured: one fewer loop
+    round on every fixture graph; effective propagation bound is
+    max_iter + 1 hops)."""
     from tez_spark.operators.core import tracked_persist
 
     # Persisted PRE-PARTITIONED on the per-round join key: every
@@ -757,15 +775,22 @@ def connected_components(
     # round (the same store-side economy as corpus_bands; labels come
     # out of each round's join already partitioned on node, so the only
     # per-round exchange left is the groupBy(src)).
-    edges = tracked_persist(
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
-        .repartition("dst")
+    both = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
+    if not edges_unique:
+        both = both.distinct()
+    edges = tracked_persist(both.repartition("dst"))
+    # 1-hop seed (fused round 1): every node of the symmetric edge table
+    # appears as src, so groupBy(src) enumerates the node set AND its
+    # round-1 neighbor-min in one aggregation.
     persisted = tracked_persist(
-        edges.select(F.col("src").alias("node")).distinct()
-        .select("node", F.col("node").alias("label"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("_mn")).alias("label"),
+        )
     )
     labels = persisted
     converged = False
@@ -802,7 +827,7 @@ def connected_components(
         # raise max_iter or switch to large-star/small-star.
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            "(component diameter exceeds max_iter)"
+            f"after the 1-hop seed (component diameter exceeds {max_iter + 1})"
         )
     return labels.select(F.col("label").alias("component"), F.col("node").alias("doc_id"))
 
@@ -813,8 +838,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_table(spark, sf_dir)
     pairs = _pair_jaccard(sh).filter(F.col("j") >= 0.8)
     # clustered-docs output is corpus-fraction-scaled (duplicated docs):
-    # parallel range sort, not bounded_sort's single-partition funnel (r13)
-    return connected_components(pairs).orderBy("component", "doc_id")
+    # parallel range sort, not bounded_sort's single-partition funnel (r13).
+    # edges_unique: _pair_jaccard's groupBy(da, db) emits each da<db pair
+    # exactly once — skip the edge distinct (r16).
+    return connected_components(pairs, edges_unique=True).orderBy(
+        "component", "doc_id"
+    )
 
 
 def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -836,9 +865,11 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.col("va").alias("da"), F.col("vb").alias("db"))
     )
     # corpus-fraction-scaled output: parallel range sort (see
-    # q_dedup_clusters)
+    # q_dedup_clusters). edges_unique: all_pairs_cosine scores each
+    # unordered block pair in exactly one group and emits va < vb —
+    # each pair at most once — skip the edge distinct (r16).
     return (
-        connected_components(pairs)
+        connected_components(pairs, edges_unique=True)
         .withColumnRenamed("doc_id", "vec_id")
         .orderBy("component", "vec_id")
     )
