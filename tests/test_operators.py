@@ -849,3 +849,30 @@ def test_fan_out_bytes_per_task_caps_small_input_spread(spark):
         clamped.rdd.getNumPartitions()
         == spark.sparkContext.defaultParallelism
     )
+
+
+def test_jvm_expr_memo_reuses_and_isolates_keys(spark):
+    """r16 expression-family memo: the same key returns the SAME Column
+    objects (one Py4J build per JVM), different keys build separately,
+    and a memoized family is usable in more than one plan."""
+    from pyspark.sql import functions as F
+
+    from tez_spark.operators.core import jvm_expr_memo
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return [F.expr("id * 2 AS d"), F.expr("id + 1 AS e")]
+
+    a = jvm_expr_memo("test-memo-key-a", build)
+    b = jvm_expr_memo("test-memo-key-a", build)
+    assert a is b and calls["n"] == 1
+    c = jvm_expr_memo("test-memo-key-b", build)
+    assert calls["n"] == 2 and c is not a
+
+    # the same memoized Columns compose into two independent plans
+    r1 = spark.range(3).select(*a).collect()
+    r2 = spark.range(5).select(*a).collect()
+    assert [tuple(r) for r in r1] == [(0, 1), (2, 2), (4, 3)]
+    assert len(r2) == 5

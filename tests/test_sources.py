@@ -468,3 +468,22 @@ def test_zorder_null_cluster_values_bucket_low(spark, tmp_path):
     assert n_null_files > 0
     assert hit_high / len(files) <= 0.5
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_read_parquet_cached_invalidates_on_file_change(spark, tmp_path):
+    """r16 fingerprint-keyed raw-path relation cache: same path + same
+    bytes returns the cached DataFrame; rewriting any file under the
+    path produces a fresh relation that sees the new contents."""
+    from tez_spark.sources.catalog import read_parquet_cached
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(3).write.mode("overwrite").parquet(p)
+    a = read_parquet_cached(spark, p)
+    b = read_parquet_cached(spark, p)
+    assert a is b
+    assert a.count() == 3
+
+    spark.range(7).write.mode("overwrite").parquet(p)
+    c = read_parquet_cached(spark, p)
+    assert c is not a
+    assert c.count() == 7

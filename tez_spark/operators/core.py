@@ -46,6 +46,46 @@ def release_caches() -> None:
             pass
 
 
+_EXPR_MEMO = None  # WeakKeyDictionary[py4j gateway -> dict[key -> columns]]
+
+
+def jvm_expr_memo(key: str, build):
+    """Memoize a STATIC expression-Column family per JVM gateway (r16).
+
+    Plan construction cost in classic PySpark is Py4J round-trips: every
+    Column operation is a synchronous socket call, so a 128-term
+    aggregate family costs ~600 round-trips (~0.5-1 s) on EVERY query
+    build — the bench pays it per timed sample. Expression trees are
+    immutable JVM objects bound to no session or plan (reusing one
+    Column in many DataFrames is ordinary Spark usage), so a family
+    whose shape is a module constant (the minhash hash family, the
+    simhash bit fold, the LSH band array) can build once per JVM and be
+    reused by every subsequent query build. Keyed WEAKLY on the py4j
+    gateway: a restarted JVM gets a fresh dict, and stale JVM handles
+    can never leak across gateways. This caches no data and no plan —
+    execution still computes everything from the parquet inputs."""
+    import weakref
+
+    from pyspark import SparkContext
+
+    global _EXPR_MEMO
+    if _EXPR_MEMO is None:
+        _EXPR_MEMO = weakref.WeakKeyDictionary()
+    gw = SparkContext._gateway
+    if gw is None:
+        # no JVM yet — the build() itself would fail too; let it try
+        return build()
+    try:
+        per_gw = _EXPR_MEMO.get(gw)
+        if per_gw is None:
+            per_gw = _EXPR_MEMO[gw] = {}
+    except TypeError:
+        return build()  # un-weakref-able gateway: skip the cache
+    if key not in per_gw:
+        per_gw[key] = build()
+    return per_gw[key]
+
+
 # Shared corpus-derived artifacts (the shingle table, the minhash band
 # table, winnow fingerprints) that MULTIPLE registry queries build
 # identically in one bench/driver run. Unlike _TRACKED_CACHES these

@@ -354,29 +354,45 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
     # the trailing mod is essential: without it a*h+b is monotonic in h and
     # every "hash function" would select the same min shingle.
-    aggs = [
-        F.min(
-            F.pmod(F.col("_base") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
-        ).alias(f"h{i}")
-        for i, (a, b) in enumerate(_hash_family())
-    ]
+    # Built as SQL expr strings and memoized per JVM (r16): the Column-API
+    # form cost ~600 Py4J round-trips per query BUILD (~0.5-1 s, paid by
+    # every minhash consumer on every bench sample); one parse per
+    # process now. Value-identical: min(pmod(_base*a + b, P)) with long
+    # literals — same arithmetic, same types after implicit promotion.
+    from tez_spark.operators.core import jvm_expr_memo
+
+    aggs = jvm_expr_memo(
+        "minhash_aggs",
+        lambda: [
+            F.expr(
+                f"min(pmod(_base * {a}L + {b}L, {_MERSENNE_P}L)) AS h{i}"
+            )
+            for i, (a, b) in enumerate(_hash_family())
+        ],
+    )
     return hashed.groupBy(id_col).agg(*aggs)
 
 
 def band_signatures(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, band, sig) banded-signature plan (un-persisted) — xxhash64 of
-    each band's ROWS_PER_BAND minhashes."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-                ).alias("sig"),
+    each band's ROWS_PER_BAND minhashes. The 32-struct band array is one
+    memoized SQL expr (r16 — same Py4J-round-trip economy as the minhash
+    aggs; identical struct/int/long types as the Column-API form)."""
+    from tez_spark.operators.core import jvm_expr_memo
+
+    def _band_array():
+        parts = ", ".join(
+            "struct({b} AS band, xxhash64({cols}) AS sig)".format(
+                b=b,
+                cols=", ".join(
+                    f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+                ),
             )
             for b in range(BANDS)
-        ]
-    )
+        )
+        return F.expr(f"array({parts})")
+
+    bands = jvm_expr_memo("lsh_band_array", _band_array)
     return sig.select(F.col(id_col), F.explode(bands).alias("bs")).select(
         id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
@@ -889,13 +905,24 @@ def _simhash_col() -> F.Column:
     """32-bit SimHash over a precomputed `_h` md5-hex column (see
     simhash_fingerprints): bit j of a token = (hex digit j of md5(token))
     >= '8' — the high bit of that nibble. Expressible identically in
-    DuckDB, which is the whole point (xxhash64 isn't)."""
-    bit = lambda j: F.when(F.substring(F.col("_h"), j + 1, 1) >= "8", 1).otherwise(-1)
-    sums = [F.sum(bit(j)) for j in range(SIMHASH_BITS)]
-    return sum(
-        (F.when(s > 0, F.lit(2**j)).otherwise(F.lit(0)) for j, s in enumerate(sums)),
-        F.lit(0),
-    ).cast("long")
+    DuckDB, which is the whole point (xxhash64 isn't).
+
+    One memoized SQL expr (r16): the Column-API fold (32 sums of CASEs,
+    Python-summed into a 32-deep Add chain) cost ~3.4 s of Py4J
+    round-trips per query build; the CASE WHEN string is the identical
+    expression tree parsed in one call. Value-equality pinned by the
+    dedup_simhash oracle test."""
+    from tez_spark.operators.core import jvm_expr_memo
+
+    def _fold():
+        terms = " + ".join(
+            f"(CASE WHEN SUM(CASE WHEN substring(_h, {j + 1}, 1) >= '8' "
+            f"THEN 1 ELSE -1 END) > 0 THEN {2 ** j}L ELSE 0L END)"
+            for j in range(SIMHASH_BITS)
+        )
+        return F.expr(f"CAST({terms} AS BIGINT)")
+
+    return jvm_expr_memo("simhash_fold", _fold)
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tez_spark.functions.vectors import as_double, cosine
-from tez_spark.sources.catalog import load_table
+from tez_spark.sources.catalog import load_table, read_parquet_cached
 from tez_spark.operators.core import bounded_sort
 
 K = 5
@@ -1263,7 +1263,14 @@ def ann_ivf_probe_index(
     nprobe = min(nprobe, Cn.shape[0])
     # `vectors` override: probe a GROWN store (seed index + streamed
     # appends, maintain_ann) instead of the path's own vectors table
-    vec = vectors if vectors is not None else spark.read.parquet(path + "/vectors")
+    vec = (
+        vectors
+        if vectors is not None
+        # published index paths are immutable (see _load_centroids);
+        # the fingerprint-keyed relation cache skips the ~70-250 ms
+        # footer read + analysis on every probe build (r16)
+        else read_parquet_cached(spark, path + "/vectors")
+    )
 
     q_sel = queries.select(F.col(id_col).alias("q_id"), as_double(vec_col).alias("v"))
 
@@ -1400,7 +1407,7 @@ def _probe_exact_scored(
     the final action exactly as in ann_ivf_probe_index's chunked mode."""
     Cn = _load_centroids(spark, path)
     nprobe = min(nprobe, Cn.shape[0])
-    vec = spark.read.parquet(path + "/vectors")
+    vec = read_parquet_cached(spark, path + "/vectors")  # immutable index path (r16)
     q_sel = queries.select(
         F.col(id_col).alias("q_id"), as_double(vec_col).alias("v")
     )

@@ -48,6 +48,14 @@ RUNTIME_CONFS: dict[str, str] = {
     # re-set on every load_table call.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # PySpark 4.x wraps EVERY DataFrame/function API call with call-site
+    # capture for error decoration: getActiveSession + a conf read + a
+    # PySparkCurrentOrigin set/clear = ~4 Py4J round-trips per API call.
+    # Across a 124-query registry that is measured at ~4.3 s of pure
+    # plan-BUILD overhead per bench pass (r16 A/B: fleet build 18.2 s ->
+    # 13.8 s warm). Deployment-independent driver-side cost; the only
+    # loss is the Python call-site line in error messages.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -133,6 +133,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with the SAME per-session, fingerprint-keyed
+    relation cache as load_table — for non-fixture parquet the engine
+    itself wrote (persisted ANN index stores, bucketed artifacts). A
+    fresh read costs a footer read + relation analysis (~70-250 ms) on
+    every query BUILD; the fingerprint key (size+mtime walk) re-reads
+    the moment any file under the path changes, so an appended or
+    compacted store can never serve a stale file listing (r16)."""
+    apply_runtime_confs(spark)
+    cache = _table_cache(spark)
+    key = ("rawpath", os.path.abspath(path), path_fingerprint(path))
+    if cache is not None and key in cache:
+        return cache[key]
+    df = spark.read.parquet(path)
+    if cache is not None:
+        for old in [k for k in cache if k[:2] == key[:2] and k != key]:
+            del cache[old]
+        cache[key] = df
+    return df
+
+
 _ROW_COUNT_CACHE: dict[tuple, int] = {}
 
 
