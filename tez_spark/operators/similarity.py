@@ -773,6 +773,8 @@ def cross_pairs_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_rows: int = 2048,
+    n_a: "int | None" = None,
+    n_b: "int | None" = None,
 ) -> DataFrame:
     """Exact A×B cosine ≥ threshold (two-sided block-pair matmul) — the
     incremental twin of all_pairs_cosine: scores ONLY new-batch × corpus
@@ -788,10 +790,16 @@ def cross_pairs_cosine(
     candidates first and exact-verify — this operator is the
     oracle-verifiable truth and the right tool while nb_a stays small.
 
-    Output: (ida, idb, sim) with ida from A, idb from B."""
+    Output: (ida, idb, sim) with ida from A, idb from B.
+
+    n_a / n_b: caller-supplied cardinalities for the grid sizing (same
+    contract as all_pairs_cosine's n_rows — an over-estimate only makes
+    blocks smaller); when the caller can derive both from one aggregate
+    or footer stats it skips the two scalar count() driver jobs (r16)."""
     import pandas as pd
 
-    na, nb_rows = a.count(), b.count()
+    na = n_a if n_a is not None else a.count()
+    nb_rows = n_b if n_b is not None else b.count()
     nb_a = max(1, -(-na // block_rows))
     nb_b = max(1, -(-nb_rows // block_rows))
 
@@ -858,10 +866,23 @@ def q_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8"))
     corpus = emb.filter(F.substring(h, 1, 2) < "e6")
     batch = emb.filter(F.substring(h, 1, 2) >= "e6")
-    cross = cross_pairs_cosine(batch, corpus, threshold=0.45).select(
-        F.col("idb").alias("da"), F.col("ida").alias("db"), "sim"
-    )
-    within = all_pairs_cosine(batch, threshold=0.45).select(
+    # ONE aggregate job supplies all three grid cardinalities (r16): the
+    # two cross_pairs counts and the within count previously ran three
+    # serialized scalar count() driver jobs per build.
+    split_counts = {
+        r["_split"]: r["n"]
+        for r in emb.groupBy(
+            (F.substring(h, 1, 2) >= "e6").alias("_split")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_batch = int(split_counts.get(True, 0))
+    n_corpus = int(split_counts.get(False, 0))
+    cross = cross_pairs_cosine(
+        batch, corpus, threshold=0.45, n_a=n_batch, n_b=n_corpus
+    ).select(F.col("idb").alias("da"), F.col("ida").alias("db"), "sim")
+    within = all_pairs_cosine(batch, threshold=0.45, n_rows=n_batch).select(
         F.col("va").alias("da"), F.col("vb").alias("db"), "sim"
     )
     return bounded_sort(cross.unionByName(within), "da", "db")
