@@ -42,15 +42,26 @@ def metrics_of(docs: DataFrame) -> DataFrame:
     nothing is recomputed — one split + one stopword filter per document
     (the round-1 version split each document ~10x; see functions/text.py).
     """
+    # The three stages' column families are static expression trees over
+    # fixed names ("text", "_toks", the count/ratio aliases) — memoized
+    # per JVM (r16): ~130 ms of Py4J round-trips per build otherwise,
+    # and metrics_of is built by SIX registry queries per bench pass.
+    from tez_spark.operators.core import jvm_expr_memo
+
     toks = F.col("_toks")
     base = docs.select("doc_id", "text", X.tokens("text").alias("_toks"))
     counts = base.select(
         "doc_id",
-        X.token_count_of(toks).alias("n_tokens"),
-        X.char_count("text").alias("n_chars_m"),
-        X.alpha_ratio("text").alias("alpha_r"),
-        X.stopword_count_of(toks).alias("_n_stop"),
-        X.token_char_sum_of(toks).alias("_tok_chars"),
+        *jvm_expr_memo(
+            "metrics_counts",
+            lambda: [
+                X.token_count_of(toks).alias("n_tokens"),
+                X.char_count("text").alias("n_chars_m"),
+                X.alpha_ratio("text").alias("alpha_r"),
+                X.stopword_count_of(toks).alias("_n_stop"),
+                X.token_char_sum_of(toks).alias("_tok_chars"),
+            ],
+        ),
     )
     n = F.col("n_tokens")
     ratios = counts.select(
@@ -58,8 +69,13 @@ def metrics_of(docs: DataFrame) -> DataFrame:
         "n_tokens",
         "n_chars_m",
         "alpha_r",
-        X.ratio_of(F.col("_n_stop"), n).alias("stop_r"),
-        X.ratio_of(F.col("_tok_chars"), n).alias("avg_tok_len"),
+        *jvm_expr_memo(
+            "metrics_ratios",
+            lambda: [
+                X.ratio_of(F.col("_n_stop"), n).alias("stop_r"),
+                X.ratio_of(F.col("_tok_chars"), n).alias("avg_tok_len"),
+            ],
+        ),
     )
     return ratios.select(
         "doc_id",
@@ -68,9 +84,14 @@ def metrics_of(docs: DataFrame) -> DataFrame:
         "alpha_r",
         "stop_r",
         "avg_tok_len",
-        X.quality_score_of(
-            F.col("stop_r"), F.col("alpha_r"), F.col("avg_tok_len")
-        ).alias("quality"),
+        *jvm_expr_memo(
+            "metrics_quality",
+            lambda: [
+                X.quality_score_of(
+                    F.col("stop_r"), F.col("alpha_r"), F.col("avg_tok_len")
+                ).alias("quality")
+            ],
+        ),
     )
 
 
@@ -103,6 +124,8 @@ def langid_of(docs: DataFrame) -> DataFrame:
     vocabulary ever grows beyond expression size (thousands of n-grams),
     revert to the broadcast-join shape — that is what broadcast is for.
     """
+    from tez_spark.operators.core import jvm_expr_memo
+
     toks = F.col("_toks")
     base = docs.select("doc_id", "lang", X.tokens("text").alias("_toks"))
     def marker_hit(m):
@@ -110,21 +133,27 @@ def langid_of(docs: DataFrame) -> DataFrame:
         # 2-arg lambda as the (element, index) form
         return lambda t: F.array_contains(m, t)
 
-    lang_structs = []
-    for lang in sorted(LANG_MARKERS):
-        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
-        hits = F.size(F.filter(toks, marker_hit(markers))).cast("long")
-        lang_structs.append(
-            F.struct((-hits).alias("nh"), F.lit(lang).alias("pred_lang"))
-        )
-    best = F.array_min(F.array(*lang_structs))
+    def _build_scoring():
+        # static marker table -> static expression family; memoized per
+        # JVM (r16 — ~100 ms of Py4J round-trips per build, five
+        # consumers per bench pass)
+        lang_structs = []
+        for lang in sorted(LANG_MARKERS):
+            markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+            hits = F.size(F.filter(toks, marker_hit(markers))).cast("long")
+            lang_structs.append(
+                F.struct((-hits).alias("nh"), F.lit(lang).alias("pred_lang"))
+            )
+        best = F.array_min(F.array(*lang_structs))
+        return [
+            F.when(best["nh"] < 0, best["pred_lang"])
+            .otherwise(F.lit("und"))
+            .alias("pred_lang"),
+            (-best["nh"]).alias("hits"),
+        ]
+
     return base.select(
-        "doc_id",
-        "lang",
-        F.when(best["nh"] < 0, best["pred_lang"]).otherwise(F.lit("und")).alias(
-            "pred_lang"
-        ),
-        (-best["nh"]).alias("hits"),
+        "doc_id", "lang", *jvm_expr_memo("langid_scoring", _build_scoring)
     )
 
 
