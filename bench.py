@@ -94,6 +94,7 @@ def format_headline(line: dict, timings: dict, names, budget: int = 1980) -> str
     def render(tier: float, keep_steal: bool = True) -> str:
         line.pop("queries_ds", None)
         line.pop("queries_sub_sec", None)
+        line.pop("queries_ms", None)
         line.pop("units", None)
         if steal is not None:
             if keep_steal:
@@ -172,7 +173,7 @@ def format_headline(line: dict, timings: dict, names, budget: int = 1980) -> str
     ):
         out = render(tier, keep_steal)
         if len(out) <= budget:
-            return out
+            return _with_ms(line, timings, ordered, budget, out)
     # tier 5: failed entries carry no timing signal — drop them (with an
     # explicit count) before any successful timing is sacrificed
     kept = [n for n in ordered if timings.get(n, -1.0) >= 0]
@@ -193,6 +194,52 @@ def format_headline(line: dict, timings: dict, names, budget: int = 1980) -> str
         if len(out) <= budget:
             return out
     return out
+
+
+def _with_ms(
+    line: dict, timings: dict, names, budget: int, fitted: str
+) -> str:
+    """Float-resolution enrichment (VERDICT r16 item 1, r17): once the
+    precision ladder settles on a fitting rendering, spend any LEFTOVER
+    budget on a "queries_ms" map — integer milliseconds, most expensive
+    query first (cost desc, name asc tiebreak), adding entries only
+    while the whole line still fits. Strictly additions-only: the
+    fitted "queries"/"queries_ds" maps are byte-identical to the
+    ladder's choice, so every existing consumer parses exactly what it
+    parsed before; the ms entries de-quantize the rows that dominate
+    the total (where 1 s buckets hid every win and regression). A
+    subset run (TEZ_SPARK_BENCH_ONLY) or a smaller registry gets the
+    complete map; at today's ~124-name registry the driver's
+    ~2000-char stdout tail cannot hold a second full name mass
+    (the ladder already sheds decisecond entries to fit), so the
+    COMPLETE ms map additionally always travels in the diagnostics
+    line, unconditionally and at full fleet width."""
+    ran = sorted(
+        (n for n in names if timings.get(n, -1.0) >= 0),
+        key=lambda n: (-timings[n], n),
+    )
+    ms: dict[str, int] = {}
+    prev_units = line.get("units")
+    best = fitted
+    for n in ran:
+        ms[n] = int(round(timings[n] * 1000))
+        line["queries_ms"] = ms
+        line["units"] = dict(
+            prev_units or {"queries": "sec"}, queries_ms="ms"
+        )
+        trial = json.dumps(line, separators=(",", ":"))
+        if len(trial) <= budget:
+            best = trial
+        else:
+            del ms[n]
+            break
+    if not ms:
+        line.pop("queries_ms", None)
+        if prev_units is None:
+            line.pop("units", None)
+        else:
+            line["units"] = prev_units
+    return best
 
 
 def achieved_runs(n_samples: dict, queries, failed: set) -> int:
@@ -426,6 +473,17 @@ def main() -> None:
                 "protocol": "min-of-n-v4-paired-interleaved-prewarmed",
                 "samples": {n: n_samples.get(n, 0) for n in sorted(queries)},
                 "medians": {n: medians[n] for n in sorted(medians)},
+                # full-fleet float resolution (r17): the headline's
+                # integer/decisecond buckets exist only to fit the
+                # driver's ~2000-char stdout tail; the per-query MINS in
+                # milliseconds live here so every captured run (PERF.md
+                # window stamps, the low-core scaling block, A/B sweeps)
+                # has de-quantized per-query data
+                "queries_ms": {
+                    n: int(round(timings[n] * 1000))
+                    for n in sorted(queries)
+                    if timings.get(n, -1.0) >= 0
+                },
                 "loadavg": [round(load_start, 2), round(_load1(), 2)],
                 # ALSO here, not just the headline: tier 3b sheds
                 # steal_pct from the headline at >=117 names, and the

@@ -243,6 +243,70 @@ def test_headline_accounting_property():
     check()
 
 
+def test_headline_ms_enrichment_is_complete_on_small_registries():
+    """r17 (VERDICT r16 item 1): when the registry is small enough that
+    the line has slack, queries_ms carries EVERY ran query at integer
+    milliseconds, self-documented in units, and the line still fits."""
+    names = _real_names()[:12]
+    timings = {n: 0.123 + i for i, n in enumerate(names)}
+    out = bench.format_headline(_line(), timings, names)
+    assert len(out) <= 1980
+    parsed = json.loads(out)
+    assert parsed["units"]["queries_ms"] == "ms"
+    assert set(parsed["queries_ms"]) == set(names)
+    for n in names:
+        assert parsed["queries_ms"][n] == int(round(timings[n] * 1000))
+
+
+def test_headline_ms_enrichment_is_additions_only():
+    """The ms map may only ever be APPENDED into leftover budget: the
+    ladder-fitted queries / queries_ds / queries_sub_sec maps must be
+    byte-identical with and without the enrichment step (the driver's
+    parser and the round-over-round comparison see the same shapes),
+    and ms entries must prioritize the most expensive queries."""
+    import random
+
+    names = _real_names()
+    rng = random.Random(17)
+    timings = {n: round(rng.uniform(0.05, 4.0), 3) for n in names}
+    out = bench.format_headline(_line(), dict(timings), names)
+    parsed = json.loads(out)
+    unenriched = bench._with_ms
+    try:
+        bench._with_ms = lambda line, t, nm, b, fitted: fitted
+        base = json.loads(bench.format_headline(_line(), dict(timings), names))
+    finally:
+        bench._with_ms = unenriched
+    assert parsed["queries"] == base["queries"]
+    assert parsed.get("queries_ds", {}) == base.get("queries_ds", {})
+    assert parsed.get("queries_sub_sec", 0) == base.get("queries_sub_sec", 0)
+    assert len(out) <= 1980
+    ms = parsed.get("queries_ms", {})
+    if ms:
+        # cost-descending greedy: every included entry is at least as
+        # expensive as every excluded one (name-asc tiebreak aside)
+        floor = min(timings[n] for n in ms)
+        ceil_excluded = max(
+            (timings[n] for n in names if n not in ms), default=-1.0
+        )
+        assert floor >= ceil_excluded - 1e-9
+        for n, v in ms.items():
+            assert v == int(round(timings[n] * 1000))
+
+
+def test_headline_ms_enrichment_skips_failed_queries():
+    """Failed (-1) queries carry no timing signal and must never appear
+    in queries_ms; an all-failed emit carries no ms map at all."""
+    names = _real_names()[:20]
+    timings = {n: -1.0 for n in names}
+    timings[names[0]] = 2.5
+    out = bench.format_headline(_line(), timings, names)
+    parsed = json.loads(out)
+    assert set(parsed.get("queries_ms", {})) == {names[0]}
+    out_all_failed = bench.format_headline(_line(partial=True), {}, names)
+    assert "queries_ms" not in json.loads(out_all_failed)
+
+
 def test_headline_carries_sample_count_through_every_tier():
     """VERDICT r11 item 4: a load-degraded driver window defaults to
     min-of-1 sampling — systematically inflated on this host — and the
