@@ -172,6 +172,71 @@ def test_persisted_ivf_index_probe_recall_and_pruning(spark, tmp_path):
     assert "cell" in pruned, f"cell predicate not pushed to partitions: {pruned}"
 
 
+def test_recall_contract_producers_emit_unique_rows(spark):
+    """Pins _recall_contract's precondition (VERDICT r16 item 7): its
+    one-exchange aggregation counts post-rank rows, so every producer
+    must emit each (path, q_id, vec_id) at most once — a duplicate
+    would inflate k_returned where the pre-r16 dedup pass masked it.
+    Captures the actual scored frame each contract query feeds in."""
+    import pyspark.sql.functions as F
+
+    import tez_spark.operators.similarity as sim
+
+    captured: dict[str, object] = {}
+    orig = sim._recall_contract
+
+    def capturing(scored, approx, k=sim.K):
+        captured[approx + str(len(captured))] = scored
+        return orig(scored, approx, k)
+
+    sim._recall_contract = capturing
+    try:
+        for q in (sim.q_ann_lsh, sim.q_ann_ivf, sim.q_ann_incremental):
+            captured.clear()
+            q(spark, SF_DIR).collect()
+            assert captured, f"{q.__name__} no longer routes via _recall_contract"
+            for scored in captured.values():
+                n, nd = (
+                    scored.agg(
+                        F.count(F.lit(1)),
+                        F.count_distinct("path", "q_id", "vec_id"),
+                    ).collect()
+                )[0]
+                assert n == nd, (
+                    f"{q.__name__} emitted {n - nd} duplicate "
+                    "(path, q_id, vec_id) rows"
+                )
+    finally:
+        sim._recall_contract = orig
+
+
+def test_load_centroids_memo_invalidates_on_rebuild(spark, tmp_path):
+    """ADVICE r16: the centroid memo is fingerprint-keyed, so an
+    in-process rebuild at the SAME path (maintain_ann's fixed
+    store_dir/index) serves the NEW centroids instead of a stale
+    matrix, keeping probe cell-ranking and append cell-assignment on
+    one index generation."""
+    import numpy as np
+
+    from tez_spark.operators.similarity import _load_centroids
+
+    path = str(tmp_path / "idx")
+
+    def write_centroids(vals):
+        spark.createDataFrame(
+            [(i, [float(v)] * 4) for i, v in enumerate(vals)],
+            "cell int, centroid array<double>",
+        ).write.mode("overwrite").parquet(path + "/centroids")
+
+    write_centroids([1.0, 2.0])
+    a = _load_centroids(spark, path)
+    assert a is _load_centroids(spark, path)  # unchanged path: memo hit
+    write_centroids([5.0, 6.0])
+    b = _load_centroids(spark, path)
+    assert not np.array_equal(a, b)
+    assert b[1][0] == 6.0
+
+
 def test_ann_incremental_recall_vs_exact_truth(spark):
     """ann_incremental (new batch probed against the persisted
     corpus-side IVF index) must recall the exact batch x corpus top-5

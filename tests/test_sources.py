@@ -487,3 +487,16 @@ def test_read_parquet_cached_invalidates_on_file_change(spark, tmp_path):
     c = read_parquet_cached(spark, p)
     assert c is not a
     assert c.count() == 7
+
+
+def test_read_parquet_cached_missing_path_raises_spark_error(spark, tmp_path):
+    """ADVICE r16: a missing path must surface Spark's usual
+    AnalysisException (the error callers of spark.read.parquet handle),
+    not a FileNotFoundError leaked from the fingerprint's os.stat."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from tez_spark.sources.catalog import read_parquet_cached
+
+    with pytest.raises(AnalysisException):
+        read_parquet_cached(spark, str(tmp_path / "never_written.parquet"))

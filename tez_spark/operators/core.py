@@ -233,6 +233,12 @@ def fan_out(
     ceil(input_bytes / bytes_per_task), so the spread grows with data
     (scale-adaptive, never a local[32] constant) and converges to the
     same no-op as the slot target once natural splits dominate.
+    SCOPE (ADVICE r16): the cap applies only when the plan is
+    scan-rooted over stat-able local files (inputFiles() non-empty);
+    on a derived input (post-shuffle, in-memory) total bytes are
+    unknown and the spread falls back to the full slot target — don't
+    pass bytes_per_task in front of light map work over derived frames
+    and expect the cap to bound the task count.
 
     The split-count check estimates from the scan's input files (Spark's
     own packing formula: total bytes / maxPartitionBytes) — file stats

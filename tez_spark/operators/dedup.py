@@ -780,8 +780,11 @@ def connected_components(
     the result of propagation round 1 from identity labels, computed as
     a single groupBy over the persisted edge table instead of a full
     join + agg + left-join + count round (measured: one fewer loop
-    round on every fixture graph; effective propagation bound is
-    max_iter + 1 hops)."""
+    round on every fixture graph). Verified-diameter bound (ADVICE
+    r16): convergence detection needs a final CHANGE-FREE round, so
+    the seed's 1 hop + at most (max_iter - 1) change rounds verify
+    diameters up to max_iter hops; a diameter >= max_iter + 1 graph
+    raises."""
     from tez_spark.operators.core import tracked_persist
 
     # Persisted PRE-PARTITIONED on the per-round join key: every
@@ -843,7 +846,8 @@ def connected_components(
         # raise max_iter or switch to large-star/small-star.
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"after the 1-hop seed (component diameter exceeds {max_iter + 1})"
+            f"after the 1-hop seed (component diameter exceeds {max_iter}: "
+            "the last round must be change-free to verify convergence)"
         )
     return labels.select(F.col("label").alias("component"), F.col("node").alias("doc_id"))
 

@@ -297,7 +297,10 @@ def _recall_contract(scored: DataFrame, approx: str, k: int = K) -> DataFrame:
     producers: each scores a given (query, vector) pair exactly once
     per path, so post-rank rows are distinct): a producer that ever
     emitted duplicate (path, q_id, vec_id) rows would inflate
-    k_returned here where the old dedup pass masked it."""
+    k_returned here where the old dedup pass masked it — pinned by
+    tests/test_similarity.py::test_recall_contract_producers_emit_unique_rows,
+    which captures each contract query's actual scored frame and
+    asserts (path, q_id, vec_id) uniqueness."""
     w = Window.partitionBy("path", "q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     ranked = scored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
@@ -1469,28 +1472,35 @@ def _probe_exact_scored(
     return out
 
 
-_CENTROID_MEMO: dict[str, "np.ndarray"] = {}
+_CENTROID_MEMO: dict[tuple, "np.ndarray"] = {}
 
 
 def _load_centroids(spark: SparkSession, path: str) -> "np.ndarray":
     """Session-process memo of an index's dense centroid matrix, keyed
-    by absolute index path (r16): a published IVF index is immutable —
-    write_ivf_index builds into a unique scratch dir and the
-    _COMPLETE-gated rename never mutates a live path, and fingerprint
-    changes produce a NEW path — so re-collecting the (cells x dim)
-    centroid table on every probe repeats a fixed driver job for bytes
-    that cannot have changed. The memo is a few hundred KB per index;
-    nothing reads centroids before the _COMPLETE gate, so a partial
-    build can never populate it."""
+    by absolute index path PLUS the centroid files' fingerprint
+    (ADVICE r16: ensure_ivf_index's published paths are immutable, but
+    maintain_ann reads the FIXED path store_dir/index — an in-process
+    rebuild at that path would otherwise silently serve stale centroids
+    while the fingerprint-keyed vectors read refreshed, splitting probe
+    and append across two index generations). The fingerprint stat walk
+    is ~µs against the collect job it saves; a changed fingerprint
+    evicts the superseded entry. The memo is a few hundred KB per
+    index; nothing reads centroids before the _COMPLETE gate, so a
+    partial build can never populate it."""
     import os as _os
 
-    key = _os.path.abspath(path)
+    from tez_spark.sources.catalog import path_fingerprint
+
+    abspath = _os.path.abspath(path)
+    key = (abspath, path_fingerprint(_os.path.join(abspath, "centroids")))
     Cn = _CENTROID_MEMO.get(key)
     if Cn is None:
         cent = spark.read.parquet(path + "/centroids").collect()
         Cn = np.zeros((len(cent), len(cent[0].centroid)))
         for r in cent:
             Cn[r.cell] = r.centroid
+        for old in [k for k in _CENTROID_MEMO if k[0] == abspath]:
+            del _CENTROID_MEMO[old]
         _CENTROID_MEMO[key] = Cn
     return Cn
 

@@ -138,12 +138,23 @@ def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
     relation cache as load_table — for non-fixture parquet the engine
     itself wrote (persisted ANN index stores, bucketed artifacts). A
     fresh read costs a footer read + relation analysis (~70-250 ms) on
-    every query BUILD; the fingerprint key (size+mtime walk) re-reads
+    every query BUILD; the fingerprint key (size+mtime_ns walk) re-reads
     the moment any file under the path changes, so an appended or
-    compacted store can never serve a stale file listing (r16)."""
+    compacted store can never serve a stale file listing (r16).
+    Granularity caveat: a rewrite preserving every file's size AND
+    mtime_ns would go unnoticed — no store here mutates that way (they
+    append subdirs or rename-swap, both of which change the walk).
+
+    A missing or mid-delete path falls through to an UNCACHED read so
+    Spark surfaces its usual AnalysisException instead of this helper
+    leaking FileNotFoundError from os.stat (ADVICE r16)."""
     apply_runtime_confs(spark)
     cache = _table_cache(spark)
-    key = ("rawpath", os.path.abspath(path), path_fingerprint(path))
+    try:
+        fp = path_fingerprint(path)
+    except OSError:
+        return spark.read.parquet(path)
+    key = ("rawpath", os.path.abspath(path), fp)
     if cache is not None and key in cache:
         return cache[key]
     df = spark.read.parquet(path)
