@@ -41,18 +41,31 @@ def _cell(col: F.Column, d: int) -> F.Column:
     return F.pmod(F.xxhash64(F.lit(d), col), F.lit(CMS_W))
 
 
+def _cells_array(col: str) -> F.Column:
+    """The D-struct (d, j) cell array for one input column — a module
+    constant per column name (CMS_D/CMS_W are fixed), so it builds ONCE
+    per JVM via jvm_expr_memo (r17: build_cms and cms_estimate each
+    paid ~40 Py4J Column round-trips per query build for byte-identical
+    expression trees)."""
+    from tez_spark.operators.core import jvm_expr_memo
+
+    return jvm_expr_memo(
+        f"cms.cells.{col}.{CMS_D}.{CMS_W}",
+        lambda: F.array(
+            *[
+                F.struct(F.lit(d).alias("d"), _cell(F.col(col), d).alias("j"))
+                for d in range(CMS_D)
+            ]
+        ),
+    )
+
+
 def build_cms(toks: DataFrame, col: str = "tok") -> DataFrame:
     """(d, j, cnt) sketch cells from a token column — the distributed
     CMS build: explode D (row, cell) pairs per token, one bounded-key
     aggregation (≤ CMS_D × CMS_W distinct keys in the exchange)."""
-    cells = F.array(
-        *[
-            F.struct(F.lit(d).alias("d"), _cell(F.col(col), d).alias("j"))
-            for d in range(CMS_D)
-        ]
-    )
     return (
-        toks.select(F.explode(cells).alias("c"))
+        toks.select(F.explode(_cells_array(col)).alias("c"))
         .groupBy(F.col("c.d").alias("d"), F.col("c.j").alias("j"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -68,13 +81,9 @@ def cms_estimate(sketch: DataFrame, candidates: DataFrame, col: str = "tok") -> 
     An inner join would instead drop a candidate whose D cells are all
     absent (true est=0) and overestimate one with some absent cells by
     taking min over only the populated ones (ADVICE r4)."""
-    cells = F.array(
-        *[
-            F.struct(F.lit(d).alias("d"), _cell(F.col(col), d).alias("j"))
-            for d in range(CMS_D)
-        ]
-    )
-    cand = candidates.select(F.col(col), F.explode(cells).alias("c")).select(
+    cand = candidates.select(
+        F.col(col), F.explode(_cells_array(col)).alias("c")
+    ).select(
         col, F.col("c.d").alias("d"), F.col("c.j").alias("j")
     )
     return (

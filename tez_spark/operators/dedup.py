@@ -780,11 +780,15 @@ def connected_components(
     the result of propagation round 1 from identity labels, computed as
     a single groupBy over the persisted edge table instead of a full
     join + agg + left-join + count round (measured: one fewer loop
-    round on every fixture graph). Verified-diameter bound (ADVICE
-    r16): convergence detection needs a final CHANGE-FREE round, so
-    the seed's 1 hop + at most (max_iter - 1) change rounds verify
-    diameters up to max_iter hops; a diameter >= max_iter + 1 graph
-    raises."""
+    round on every fixture graph). A deeper (2-hop) seed was A/B'd and
+    REJECTED in r17: under AQE the extra hop's own exchange
+    materializations cost what the saved round's left-join + count
+    cost (job-count wash at sf0.1; OPTIMIZATION_r17.md).
+
+    Verified-diameter bound (ADVICE r16): convergence detection needs
+    a final CHANGE-FREE round, so the seed's 1 hop + at most
+    (max_iter - 1) change rounds verify diameters up to max_iter hops;
+    anything deeper raises."""
     from tez_spark.operators.core import tracked_persist
 
     # Persisted PRE-PARTITIONED on the per-round join key: every
@@ -888,6 +892,11 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q_dedup_clusters). edges_unique: all_pairs_cosine scores each
     # unordered block pair in exactly one group and emits va < vb —
     # each pair at most once — skip the edge distinct (r16).
+    # A 2-hop seed (pre-fusing the one measured change round) was A/B'd
+    # and REJECTED in r17: the hop's own join+agg exchange
+    # materializations exactly offset the saved round's left-join +
+    # count (23 -> 23 jobs, 77 -> 76 stages, +3 KB shuffle at sf0.1) —
+    # see OPTIMIZATION_r17.md.
     return (
         connected_components(pairs, edges_unique=True)
         .withColumnRenamed("doc_id", "vec_id")
@@ -1286,7 +1295,17 @@ def passjoin_pairs(
         F.length(text_col).alias("L"),
     )
     kk = F.lit(k)
-    long_docs = base.filter(F.col("L") > k)
+    from tez_spark.operators.core import fan_out
+
+    # Slot-target spread before the segment/probe explodes (r17): the
+    # probe side fans every doc into ~(k+1)x(2k+1)xO(k) substring rows
+    # (~85/doc measured at k=4) — compute-heavy per-row work, exactly
+    # fan_out's documented case — and a KB-scale corpus arrives as ONE
+    # parquet split, serializing it all on one core (measured at sf0.1:
+    # the probe stage was the query's whole executor bill). Both strata
+    # consume the same spread subtree, so the exchange is planned once
+    # and reused; at 100TB the scan's natural splits make this a no-op.
+    long_docs = fan_out(base.filter(F.col("L") > k))
     idx = (
         long_docs.select(
             "id",

@@ -953,50 +953,59 @@ def profile_columns(df: DataFrame, cols) -> DataFrame:
     ~1.35 s (the residual is the serialized AQE/broadcast job floor,
     not bytes) and its distinct exchange shrinks from rows x 7 to the
     per-column vocabularies. At 100TB that difference is the plan."""
+    # The three expression families below (agg list, per-column pack
+    # array, stacked-pair array) are pure functions of the (name,
+    # formatter) list — a module constant for the registry caller — and
+    # cost ~500 Py4J Column round-trips per build: memoized once per
+    # JVM (r17; same pattern as the minhash/simhash families).
+    from tez_spark.operators.core import jvm_expr_memo
+
+    def _families() -> tuple:
+        aggs = []
+        for name, fmt in cols:
+            c = F.col(name)
+            aggs += [
+                (F.count(F.lit(1)) - F.count(c)).alias(f"{name}__nulls"),
+                fmt(F.min(c)).alias(f"{name}__min"),
+                fmt(F.max(c)).alias(f"{name}__max"),
+            ]
+        pack = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("col_name"),
+                    F.col(f"{name}__nulls").alias("n_nulls"),
+                    F.col(f"{name}__min").alias("min_val"),
+                    F.col(f"{name}__max").alias("max_val"),
+                )
+                for name, _ in cols
+            ]
+        )
+        stack = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("col_name"),
+                    F.col(name).cast("string").alias("val"),
+                )
+                for name, _ in cols
+            ]
+        )
+        return aggs, pack, stack
+
+    memo_key = "profile_columns:" + ",".join(
+        f"{name}:{fmt.__name__}" for name, fmt in cols
+    )
+    aggs, pack, stack = jvm_expr_memo(memo_key, _families)
+
     # pass 1: nulls + formatted min/max, keyless agg -> 1 row -> explode
-    aggs = []
-    for name, fmt in cols:
-        c = F.col(name)
-        aggs += [
-            (F.count(F.lit(1)) - F.count(c)).alias(f"{name}__nulls"),
-            fmt(F.min(c)).alias(f"{name}__min"),
-            fmt(F.max(c)).alias(f"{name}__max"),
-        ]
     base = (
         df.agg(*aggs)
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(name).alias("col_name"),
-                            F.col(f"{name}__nulls").alias("n_nulls"),
-                            F.col(f"{name}__min").alias("min_val"),
-                            F.col(f"{name}__max").alias("max_val"),
-                        )
-                        for name, _ in cols
-                    ]
-                )
-            ).alias("p")
-        )
+        .select(F.explode(pack).alias("p"))
         .select("p.*")
     )
     # pass 2: exact distinct counts over stacked (col_name, value) pairs;
     # the string cast is injective per column type, so counts are exact
     stacked = (
-        df.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(name).alias("col_name"),
-                            F.col(name).cast("string").alias("val"),
-                        )
-                        for name, _ in cols
-                    ]
-                )
-            ).alias("s")
-        )
+        df.select(F.explode(stack).alias("s"))
         .select("s.*")
         .where(F.col("val").isNotNull())
     )

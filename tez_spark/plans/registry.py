@@ -31,59 +31,46 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # driver dropping this round's own CORRECTNESS file no longer flips the
 # guard red at judging time.
 #
-# Round-16 window (VERDICT r15 item 1 executed; the aged set below is
-# re-derived directly from CORRECTNESS files — set(r13) − r14 − r15 —
-# per the r14 lesson, never from the previous round's comment):
+# Round-17 window (VERDICT r16 item 5 executed; the aged set below is
+# re-derived directly from CORRECTNESS files — (set(r14) − r15 − r16)
+# ∩ oracled — per the r14 lesson, never from the previous round's
+# comment):
 # (1) plan-changed rows head the window (must be re-verified in their
-# change round): ann_incremental's probe was restructured to a
-# single-action shape (VERDICT r15 item 3 — one driver pass builds
-# both contract sides, ranked once; 17 -> 8 serialized jobs at sf0.1),
-# and the shared _recall_contract dropped its per-(q,vec) dedup pass
-# for a single collect_set aggregation — which also changes ann_lsh
-# and ann_ivf (ann_ivf already sits in group 3);
-# (2) the 23 oracled queries whose last driver row is round 13 — their
-# r13 rows leave the three-round union at r16, so they MUST be here:
-# exists_subquery, grouping_sets, json_extract, multimodal_audio,
-# tpch04–tpch14, tpch16–tpch22, weighted_sample;
-# (3) 25 of the 50 oracled queries whose last driver row is round 14
-# (alphabetically first — ann_ivf through pivot). They age out at r17;
-# pulling the head of that cohort forward keeps the r17 displacement
-# at 25: q01 would age there alongside q02–q06, regex_tokens,
-# seq_pack, source_*, star_join, stratified_sample, text_*,
-# tfidf_top_terms, time_gapfill, tpch15, train_split, window_sliding.
-_WINDOW_ROUND = 16
+# change round): editdistance_discovery gained a slot-target fan_out
+# in front of the PassJoin segment/probe explodes (the KB-scale corpus
+# arrived as ONE split, serializing the probe stage); cms_heavyhitters
+# and column_profile moved their static expression families through
+# jvm_expr_memo — plans verified shape-identical modulo expression-ID
+# renumbering, headed anyway as cheap insurance (the r16 memo-family
+# precedent).
+# (2) the 29 oracled queries whose last driver row is round 14 — their
+# r14 rows leave the three-round union at r17, so they MUST be here.
+# (3) 18 of the 44 oracled queries whose last driver row is round 15
+# (alphabetically first, column_profile/cms already counted above).
+# They age out at r18; pulling the head of that cohort forward keeps
+# the r18 displacement at ~26.
+_WINDOW_ROUND = 17
 _PRIORITY: tuple[str, ...] = (
-    # 1. plan changed this round — must re-verify in its change round.
-    #    r16-opt additions: the optimization round changed the executed
-    #    plans of the multimodal family (bytes-sized fan_out — the
-    #    round-robin exchange is gone at bench scale) and the two
-    #    cluster queries (1-hop CC seed, no edge distinct); the four of
-    #    those not already in the window head it, displacing the four
-    #    alphabetically-last non-plan-changed group-3 rows
-    #    (exactsubstr_spans, interval_join, length_curriculum, pivot —
-    #    all r14-rowed, so the three-round union stays intact; they
-    #    re-enter at r17 with the rest of the r14 cohort).
-    "ann_incremental", "ann_lsh",
-    "multimodal_video", "multimodal_frames",
-    "dedup_clusters", "dedup_embedding_clusters",
-    # 2. oracled queries whose last driver row is round 13 — age out
-    #    of the three-round union at r16
-    "exists_subquery", "grouping_sets", "json_extract",
-    "multimodal_audio", "tpch04", "tpch05", "tpch06", "tpch07",
-    "tpch08", "tpch09", "tpch10", "tpch11", "tpch12", "tpch13",
-    "tpch14", "tpch16", "tpch17", "tpch18", "tpch19", "tpch20",
-    "tpch21", "tpch22", "weighted_sample",
-    # 3. oracled queries whose last driver row is round 14
-    #    (alphabetically first 25; ann_ivf doubles as the third
-    #    _recall_contract plan-changed row) — they age out at r17
-    "ann_ivf", "ann_topk", "audio_features", "bpe_segment",
-    "bpe_train", "cms_heavyhitters", "cross_join_chunked",
-    "decontaminate", "decontaminate_chars", "dedup_embedding",
-    "dedup_embedding_lsh", "dedup_ngram_jaccard",
-    "editdistance_discovery", "embedding_centroids",
-    "embedding_incremental", "embedding_quantize", "event_anomalies",
-    "event_funnel", "event_retention", "exactsubstr_chars",
-    "multimodal_decode",
+    # 1. plan changed this round — must re-verify in its change round
+    "editdistance_discovery", "cms_heavyhitters", "column_profile",
+    # 2. oracled queries whose last driver row is round 14 — age out
+    #    of the three-round union at r17
+    "exactsubstr_spans", "interval_join", "length_curriculum",
+    "pivot", "q01", "q02", "q03", "q04", "q05", "q06",
+    "regex_tokens", "seq_pack", "source_cap", "source_mix",
+    "source_quality", "star_join", "stratified_sample",
+    "text_dup_spans", "text_fingerprint", "text_langid",
+    "text_logprob", "text_metrics", "text_repetition", "text_winnow",
+    "tfidf_top_terms", "time_gapfill", "tpch15", "train_split",
+    "window_sliding",
+    # 3. oracled queries whose last driver row is round 15
+    #    (alphabetically first 18) — they age out at r18
+    "approx_distinct", "argmax_funcs", "asof_join",
+    "cross_join_bucketed", "cube", "curation_pipeline",
+    "curation_pipeline_lsh", "date_funcs", "decontaminate_ngram",
+    "dedup_editdistance", "dedup_exact", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_winnow", "doc_chunk",
+    "exactsubstr_trim", "percentiles",
 )
 
 

@@ -173,6 +173,24 @@ def main() -> None:
         ("dedup_ngram_jaccard", 3),
         ("dedup_embedding", None),  # exact all-pairs cosine
         ("ann_topk", None),  # exact brute-force scan baseline
+        # r17 (VERDICT r16 item 2): the r16-changed plan shapes get
+        # measured scale evidence instead of argued scale evidence.
+        # multimodal_decode: bytes-sized fan_out — the spread target is
+        # ceil(input_bytes / 4MB), so the exchange is absent at x1 and
+        # reappears bytes-sized (not slot-count-sized) as data grows;
+        # expect ~N^1 wall/executor.
+        ("multimodal_decode", None),
+        # CC with the 1-hop seed: pair producer is gram-candidate-
+        # bounded, loop is diameter-bounded — expect ~N^1 shuffle.
+        ("dedup_clusters", None),
+        # embedding CC rides the exact all-pairs producer (the declared
+        # quadratic stage) — capped like the other quadratic twins; the
+        # CC tail itself is edge-linear.
+        ("dedup_embedding_clusters", 3),
+        # ann probe with the map-side per-(batch, query) top-k trim:
+        # exchange rows bounded at k x |queries| x n_batches — expect
+        # sublinear wall vs the exact twin, ~N^1 executor (audit side).
+        ("ann_incremental", None),
     ]
     cases = [
         (n, (lambda d, _n=n: reg[_n](spark, d)), cap) for n, cap in case_spec
@@ -229,6 +247,10 @@ def main() -> None:
                 "wall_sec": round(best, 3),
                 "shuffle_bytes": counters.get("SHUFFLE_BYTES_WRITTEN", 0),
                 "executor_ms": counters.get("EXECUTOR_RUN_TIME_MS", 0),
+                # r17: serialized driver jobs — flat job counts across
+                # scales are the direct evidence a shape adds no
+                # per-scale driver rounds
+                "n_jobs": counters.get("NUM_JOBS", 0),
             }
             results.setdefault(name, {}).setdefault("scales", {})[
                 f"x{scale}"
