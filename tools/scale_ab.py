@@ -209,6 +209,36 @@ def main() -> None:
                                    threshold=0.45, dim=64)
 
     cases.append(("dedup_embedding_lsh_path", _lsh_path_only, None))
+
+    # the CC TAIL alone on a LINEAR edge set (r17, the _lsh_path_only
+    # attribution move): the registry cluster rows ride pair producers
+    # whose FIXTURE-geometry blows up quadratically at scale (the fixed
+    # 31-word vocabulary makes every 3-gram class grow ~N, so exact
+    # gram-keyed pairing yields ~N^2 candidates; uniform-random
+    # embeddings at cos>=0.45 yield ~N^2 random edges — measured
+    # 194 -> 1615 at x1 -> x3). The r16/r17 claim under test is the
+    # 1-hop-seeded min-label loop itself, so it gets an edge-LINEAR
+    # input: the fixture's planted near-dup pairs re-derived
+    # arithmetically (i%47==1, partner i - N//10 — ~N/47 edges,
+    # diameter 1). Expect ~N^1 shuffle, FLAT n_jobs.
+    def _cc_planted(d):
+        from tez_spark.operators.dedup import connected_components
+        from tez_spark.sources.catalog import load_table, table_row_count
+
+        import pyspark.sql.functions as F
+
+        stride = table_row_count(d, "documents") // 10
+        ids = load_table(spark, d, "documents").select("doc_id").filter(
+            (F.col("doc_id") % 47 == 1) & (F.col("doc_id") >= stride)
+        )
+        pairs = ids.select(
+            (F.col("doc_id") - stride).alias("da"), F.col("doc_id").alias("db")
+        )
+        return connected_components(pairs, edges_unique=True).orderBy(
+            "component", "doc_id"
+        )
+
+    cases.append(("cc_tail_planted_pairs", _cc_planted, None))
     if only is not None:
         unknown = only - {n for n, _, _ in cases}
         if unknown:
